@@ -1,0 +1,63 @@
+"""Named parquet sources.
+
+Replaces the reference's Oracle access layer (``src/common/database.py:117-163``,
+operator S1/S2 in SURVEY.md §2.1): every load is a declarative
+``spark.read.parquet`` so Catalyst gets predicate pushdown + column pruning
+for free — the reference hand-writes ``FARM_NO = :farm_no`` + 2-year windows
+into every SQL string for the same effect (``src/weekly/data_loader.py:228-231``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions a planner should always broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table from a scale-factor directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as a long (nanos since epoch) and
+    expose ``ts_us`` (microseconds) — the same precision DuckDB sees after
+    its silent nanos→micros coercion, and timezone-proof because all
+    downstream date/second math is integer arithmetic, never a tz cast.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts_us", F.expr("ts div 1000"))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table; handy for registering temp views."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql() use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

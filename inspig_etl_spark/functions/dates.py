@@ -1,0 +1,93 @@
+"""Date/period helpers (SURVEY.md §2.8 X1-X6, §4 item 2).
+
+The reference leans on Python ``%G/%V`` for ISO week/year
+(``src/weekly/orchestrator.py:162-164``) and pure-Python week-boundary math
+(``:148-160``). Here the same semantics are Spark expressions so they run
+distributed; the week-boundary helper stays driver-side (it computes two
+scalars per run, exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iso_week(col: Column) -> Column:
+    """ISO-8601 week number. Spark's weekofyear is already ISO."""
+    return F.weekofyear(col)
+
+
+def iso_year(col: Column) -> Column:
+    """ISO-8601 week-numbering year (the %G the reference uses).
+
+    The ISO year of a date is the calendar year of the Thursday of its week:
+    shift to Thursday with ``date_add(d, 4 - iso_dow)`` then take the year.
+    Tested around year boundaries (2024-12-30 → 2025).
+    """
+    return F.year(F.date_add(col, 4 - F.dayofweek(F.date_add(col, -1))))
+
+
+SQL_ISO_YEAR = "CAST(isoyear({col}) AS INT)"
+SQL_ISO_WEEK = "CAST(weekofyear({col}) AS INT)"
+
+
+def report_week_bounds(base_date: dt.date) -> tuple[dt.date, dt.date]:
+    """Last full Mon..Sun week before ``base_date``.
+
+    Mirrors the reference's ``days_to_last_sunday = (weekday+1) % 7 or 7``
+    (``src/weekly/orchestrator.py:148-160``): from any base date, back up to
+    the most recent Sunday (strictly before base when base is Sunday), then
+    the report week is the Monday..Sunday ending there.
+    """
+    days_to_last_sunday = (base_date.weekday() + 1) % 7 or 7
+    sunday = base_date - dt.timedelta(days=days_to_last_sunday)
+    monday = sunday - dt.timedelta(days=6)
+    return monday, sunday
+
+
+US_PER_SEC = 1_000_000
+US_PER_DAY = 86_400 * US_PER_SEC
+
+
+def us_to_sec(col: Column) -> Column:
+    """Epoch-microseconds → whole epoch seconds (truncating).
+
+    DuckDB oracle equivalent: ``epoch_us(ts) // 1000000``.
+
+    The double division is safe here: with integer-µs inputs the fractional
+    part is ≤ 1−1e-6 while the rounding error bound at ~1.7e9 s is ~2e-7,
+    so the truncating cast can never flip to the next second.
+    """
+    return (col / US_PER_SEC).cast("long")
+
+
+def us_to_day(col: Column) -> Column:
+    """Epoch-microseconds → naive UTC date, as pure integer arithmetic.
+
+    Timezone-proof: never goes through a timestamp cast, so the result is
+    identical regardless of the session timezone the harness runs us with.
+    DuckDB oracle equivalent on its TIMESTAMP view: ``CAST(ts AS DATE)``.
+
+    Goes via whole seconds first — dividing raw µs by 86.4e9 in double can
+    round up for timestamps within ~190 µs of midnight; seconds/86400 has a
+    comfortable safety margin.
+    """
+    days = (us_to_sec(col) / 86_400).cast("int")
+    return F.date_add(F.lit("1970-01-01").cast("date"), days)
+
+
+def date_spine(spark: SparkSession, start: str, end: str, col_name: str = "d") -> DataFrame:
+    """Dense daily date spine [start, end] (operator J10 — the reference's
+    ``CONNECT BY LEVEL <= 7`` calendar, ``src/weekly/data_loader.py:500-536``).
+
+    Built with sequence+explode so it is a single-task generated relation —
+    no driver-side loop, broadcastable into calendar left joins.
+    """
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
+        ).alias(col_name)
+    )

@@ -1,0 +1,187 @@
+"""Event-log queries over the synthetic `events` stream table
+(SURVEY.md §2.3 J2/J4, §2.5 W1-W6 — the sow work-history idioms).
+
+``events.ts`` is nanosecond-precision parquet; the catalog exposes ``ts_us``
+(epoch microseconds, a long) which matches DuckDB's silent nanos→micros
+coercion exactly. All time math is integer arithmetic on ``ts_us`` — both
+engines see identical values and no timezone cast is ever involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.dates import us_to_sec
+from inspig_etl_spark.functions.rounding import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from inspig_etl_spark.operators.events import asof_join, latest_per_key, next_event_after
+from inspig_etl_spark.queries import register
+
+# DuckDB-side expression equal to the catalog's ts_us column.
+SQL_TS_US = "epoch_us(ts)"
+SQL_TS_SEC = "(epoch_us(ts) // 1000000)"
+
+
+@register(
+    "event_gaps_lag_lead",
+    operators="J2,W2 (lag/lead replaces SEQ±1 self-join; ref data_loader.py:299-327)",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         {SQL_TS_SEC} - LAG({SQL_TS_SEC}) OVER (PARTITION BY user_id ORDER BY {SQL_TS_US}, event_id) AS gap_s,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY {SQL_TS_US}, event_id) AS next_type
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS event_cnt,
+       COUNT(gap_s) AS gap_cnt,
+       {sql_dec_avg('gap_s', 0)} AS avg_gap_s,
+       COUNT(CASE WHEN next_type = 'purchase' THEN 1 END) AS next_purchase_cnt
+FROM g
+GROUP BY event_type
+""",
+)
+def event_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("sec", us_to_sec(F.col("ts_us")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.count("gap_s").alias("gap_cnt"),
+        dec_avg(F.col("gap_s"), 0).alias("avg_gap_s"),
+        F.count(F.when(F.col("next_type") == "purchase", 1)).alias("next_purchase_cnt"),
+    )
+
+
+@register(
+    "purchase_asof_last_view",
+    operators="J4 (as-of join: last view strictly before each purchase; ref accident.py:130-173)",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, {SQL_TS_US} AS t_us, event_id, event_type,
+         CASE WHEN event_type = 'view' THEN value END AS view_val
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+filled AS (
+  SELECT *,
+         LAST_VALUE(view_val IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY t_us, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_view_value
+  FROM tagged
+)
+SELECT user_id,
+       COUNT(*) AS purchase_cnt,
+       COUNT(asof_view_value) AS matched_cnt,
+       {sql_dec_sum('asof_view_value', 6)} AS sum_asof_view_value
+FROM filled
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "event_id", F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_vals=["view_value"],
+        strict=True,
+        tiebreak=["event_id"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchase_cnt"),
+        F.count("view_value_asof").alias("matched_cnt"),
+        dec_sum(F.col("view_value_asof"), 6).alias("sum_asof_view_value"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    operators="W1,W6 (latest-per-key row_number; ref data_loader.py:258-261)",
+    oracle=f"""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       {SQL_TS_US} AS last_ts_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {SQL_TS_US} DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    last = latest_per_key(ev, keys=["user_id"], order_by=["ts_us", "event_id"])
+    return last.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts_us").alias("last_ts_us"),
+    )
+
+
+@register(
+    "next_event_after_error",
+    operators="W5,A9 (forward-looking min / MIN KEEP DENSE_RANK; ref weaning.py:145-162)",
+    oracle=f"""
+WITH nxt AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY {SQL_TS_US}, event_id) AS next_event_type
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS error_cnt,
+       COUNT(next_event_type) AS has_next_cnt,
+       COUNT(CASE WHEN next_event_type = 'error' THEN 1 END) AS next_is_error_cnt
+FROM nxt
+WHERE event_type = 'error'
+GROUP BY user_id
+""",
+)
+def next_event_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    nxt = next_event_after(
+        ev, keys=["user_id"], order_by=["ts_us", "event_id"], cols=["event_type"]
+    )
+    return (
+        nxt.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("error_cnt"),
+            F.count(F.when(F.col("next_event_type").isNotNull(), 1)).alias("has_next_cnt"),
+            F.count(F.when(F.col("next_event_type") == "error", 1)).alias("next_is_error_cnt"),
+        )
+    )
+
+
+@register(
+    "user_event_mode",
+    operators="A12 (mode / most-frequent with deterministic tie; ref weather.py:871-888)",
+    oracle="""
+SELECT user_id, event_type AS top_event_type, cnt AS top_cnt
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""",
+)
+def user_event_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), F.col("cnt").alias("top_cnt"))
+    )

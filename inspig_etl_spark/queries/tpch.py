@@ -1,0 +1,170 @@
+"""Headline analytical queries (bench set).
+
+TPC-H-shaped queries over the synthetic star schema. These exercise the
+scan→filter→join→agg spine the reference's weekly report is built from
+(SURVEY.md §2.1 S1, §2.2 F1/F2, §2.3 J3, §2.4 A1/A5/A6) with the physical
+plan we want at 100 TB: filters pushed to the parquet scan, dimensions
+broadcast, aggregation partial map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.rounding import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from inspig_etl_spark.queries import register
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    operators="S1,F1,A1,A5 (scan+filter+grouped agg; ref src/weekly/processors/base.py:319-374)",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum('l_quantity', 2)} AS sum_qty,
+       {sql_dec_sum('l_extendedprice', 2)} AS sum_base_price,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {sql_dec_avg('l_quantity', 2)} AS avg_qty,
+       {sql_dec_avg('l_extendedprice', 2)} AS avg_price,
+       {sql_dec_avg('l_discount', 4)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dec_sum(disc_price, 6).alias("sum_disc_price"),
+            dec_sum(charge, 6).alias("sum_charge"),
+            dec_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            dec_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    operators="J3,T2 (multi-join + top-N; ref src/weekly/processors/weaning.py:124-233, base.py:468-481)",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    # The filtered customer segment is ~1/5 of a dimension table: broadcast it
+    # so the orders scan never shuffles on custkey.
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, li.l_orderkey == orders.o_orderkey
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    operators="J3,F2 (snowflake join through 2 dims; broadcast dims)",
+    oracle=f"""
+SELECT n_name,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@register(
+    "top_customers_by_spend",
+    operators="T2,A1 (top-N with deterministic tiebreak; ref base.py:468-481)",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {sql_dec_sum('o_totalprice', 2)} AS total_spend,
+       COUNT(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dec_sum(F.col("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+The reference runs a hand-threaded single-node Python ETL (4 farm workers,
+``src/weekly/orchestrator.py:544-551``); here all parallelism is Spark task
+parallelism. Defaults are sized so that local[N] testing mirrors the plans a
+real cluster would produce: AQE on (runtime coalesce + skew-join), modest
+shuffle partitions, Arrow enabled for the few Pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Generic-operator correctness work runs at small SF; bench/production
+    # should override via SPARK_GRAFT_SHUFFLE_PARTITIONS or spark-submit conf.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Timestamps in the test tables are NTZ; pin the session zone so
+    # date extraction is stable regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "inspig-etl-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and submit with your cluster manager.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
