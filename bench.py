@@ -1,0 +1,89 @@
+"""Benchmark harness: run the headline queries at a given scale factor and
+emit ONE machine-readable JSON line with per-query wall-times.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Execution is forced with a ``noop`` format write (full pipeline runs on the
+executors, nothing is collected to the driver), so timings measure the real
+plan — scan, shuffle, agg — not driver serialization.
+
+Output (last line on stdout):
+    {"metric": "headline_total", "value": <sum>, "unit": "sec",
+     "queries": {"tpch_q1_pricing_summary": 1.23, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the registry: scan-heavy aggs, multi-way joins,
+# window kernels, the as-of join, and (as they land) the LLM-pipeline ops.
+# Names not present in the registry are skipped, so the bench never breaks
+# while coverage grows.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "top_customers_by_spend",
+    "latest_event_per_user",
+    "purchase_asof_last_view",
+    "weekly_delta_wow",
+    "full_outer_diff_report",
+    "docs_minhash_neardup_pairs",
+    "docs_token_stats",
+    "embeddings_knn_bucketed",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from inspig_etl_spark import queries as reg
+    from inspig_etl_spark.session import get_spark
+
+    spark = get_spark("inspig-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = reg.queries()
+    names = [n for n in HEADLINE if n in qmap]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, SF_DIR)
+        # Full distributed execution, zero driver-side collection.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

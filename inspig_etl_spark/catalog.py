@@ -27,8 +27,10 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions a planner should always broadcast in joins.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+# Dimensions that are genuinely bounded (25/5 rows at every SF) and safe to
+# hard-broadcast. customer/supplier/part all scale with SF — let AQE's
+# threshold-guarded choice decide for those, never a forced hint.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -46,7 +48,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Our session factory sets nanosAsLong up front (session.py), but the
+        # external driver brings a PLAIN SparkSession, so ensure it here too.
+        # Guarded set-if-different: idempotent, never flips an existing value
+        # back and forth mid-session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, "false") != "true":
+            spark.conf.set(key, "true")
         df = spark.read.parquet(path)
         return df.withColumn("ts_us", F.expr("ts div 1000"))
     return spark.read.parquet(path)

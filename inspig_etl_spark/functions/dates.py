@@ -53,15 +53,17 @@ US_PER_DAY = 86_400 * US_PER_SEC
 
 
 def us_to_sec(col: Column) -> Column:
-    """Epoch-microseconds → whole epoch seconds (truncating).
+    """Epoch-microseconds → whole epoch seconds (flooring).
 
-    DuckDB oracle equivalent: ``epoch_us(ts) // 1000000``.
+    DuckDB oracle equivalent: ``epoch_us(ts) // 1000000`` — which FLOORS, so
+    we floor too (a plain cast truncates toward zero and would diverge for
+    pre-1970 timestamps).
 
     The double division is safe here: with integer-µs inputs the fractional
     part is ≤ 1−1e-6 while the rounding error bound at ~1.7e9 s is ~2e-7,
-    so the truncating cast can never flip to the next second.
+    so flooring can never flip to the next second.
     """
-    return (col / US_PER_SEC).cast("long")
+    return F.floor(col / US_PER_SEC).cast("long")
 
 
 def us_to_day(col: Column) -> Column:
@@ -75,7 +77,7 @@ def us_to_day(col: Column) -> Column:
     round up for timestamps within ~190 µs of midnight; seconds/86400 has a
     comfortable safety margin.
     """
-    days = (us_to_sec(col) / 86_400).cast("int")
+    days = F.floor(us_to_sec(col) / 86_400).cast("int")
     return F.date_add(F.lit("1970-01-01").cast("date"), days)
 
 

@@ -94,6 +94,13 @@ def asof_join(
     Ties (equal timestamps) resolve with the right row visible to the left
     row only when strict=False, matching ``gb_dt < sago_dt`` semantics.
     """
+    clashes = (set(right_vals) | {"__t", "__is_left"}) & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clashes)} collide with right_vals/"
+            "internal names; rename them (the tagged union would silently merge "
+            "colliding columns and the final drop would discard left-side data)"
+        )
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     rt_extra = [c for c in tiebreak if c not in keys and c not in right_vals]
     rt = right.select(

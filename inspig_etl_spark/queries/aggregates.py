@@ -240,6 +240,9 @@ def weekly_delta_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = orders.groupBy(
         iso_year(d).alias("iso_yr"), iso_week(d).alias("iso_wk")
     ).agg(F.count(F.lit(1)).alias("order_cnt"))
+    # Global (un-partitioned) window is safe ONLY because the input here is
+    # already the weekly aggregate: <= #ISO-weeks rows (~55), never the fact
+    # table. Do not copy this pattern onto row-scale inputs.
     w = Window.orderBy("iso_yr", "iso_wk")
     return weekly.withColumn("wow_delta", F.col("order_cnt") - F.lag("order_cnt").over(w))
 

@@ -54,9 +54,10 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="J7 (anti-join; ref src/weekly/processors/alert.py:108-118)",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE c_custkey NOT IN (
-  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c.c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
 )
 """,
 )
@@ -121,17 +122,27 @@ def order_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "bucket_id INT, bucket_nm STRING, lo DOUBLE, hi DOUBLE",
     )
-    # Genuine range join, spine side broadcast => BroadcastNestedLoop over 4
-    # rows, then a 4-group aggregate. LEFT from the spine keeps empty buckets
-    # (the reference emits all buckets incl. zeros).
-    joined = F.broadcast(buckets).join(
-        orders,
-        (orders.o_totalprice >= buckets.lo) & (orders.o_totalprice < buckets.hi),
-        "left",
+    # Static, non-overlapping buckets: the scalable plan is a when-chain
+    # bucket expression + groupBy (whole-stage-codegen, map-side partials),
+    # NOT a nested-loop range join that evaluates 4 predicates per fact row.
+    # The spine left join only restores empty buckets (zero-fill). The
+    # genuine range-join form stays available as operators.ranges.range_join
+    # for overlapping/dynamic bands.
+    bucket_id = (
+        F.when(F.col("o_totalprice") < 50_000.0, 1)
+        .when(F.col("o_totalprice") < 150_000.0, 2)
+        .when(F.col("o_totalprice") < 300_000.0, 3)
+        .otherwise(4)
     )
-    return joined.groupBy("bucket_id", "bucket_nm").agg(
+    per_bucket = orders.groupBy(bucket_id.alias("bucket_id")).agg(
         F.count("o_orderkey").alias("order_cnt"),
-        F.coalesce(dec_sum(F.col("o_totalprice"), 2), F.lit(0.0)).alias("total_value"),
+        dec_sum(F.col("o_totalprice"), 2).alias("total_value"),
+    )
+    return buckets.select("bucket_id", "bucket_nm").join(per_bucket, "bucket_id", "left").select(
+        "bucket_id",
+        "bucket_nm",
+        F.coalesce(F.col("order_cnt"), F.lit(0)).alias("order_cnt"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
     )
 
 

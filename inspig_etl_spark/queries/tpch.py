@@ -82,9 +82,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
-    # The filtered customer segment is ~1/5 of a dimension table: broadcast it
-    # so the orders scan never shuffles on custkey.
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+    # customer scales with SF (tens of GB at the 100x target), so no forced
+    # broadcast hint: AQE's threshold-guarded choice broadcasts it while it
+    # fits and falls back to a bounded shuffle join on custkey when it doesn't.
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
         li, li.l_orderkey == orders.o_orderkey
     )
     return (
@@ -129,10 +130,13 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
+        # customer and supplier both scale with SF — leave them unhinted so
+        # AQE picks broadcast only while they fit the 64 MB threshold; nation
+        # and region are bounded (25/5 rows) and always broadcast-safe.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == cust.c_custkey)
+        .join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -158,13 +162,16 @@ LIMIT 10
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # Aggregate the fact table down to <=|customers| rows BEFORE the join so
+    # the join input is already reduced; no broadcast hint on customer (it
+    # scales with SF) — AQE decides.
+    spend = orders.groupBy("o_custkey").agg(
+        dec_sum(F.col("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            dec_sum(F.col("o_totalprice"), 2).alias("total_spend"),
-            F.count(F.lit(1)).alias("order_cnt"),
-        )
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "order_cnt")
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
         .limit(10)
     )

@@ -24,6 +24,9 @@ DEFAULT_CONFS: dict[str, str] = {
     # Timestamps in the test tables are NTZ; pin the session zone so
     # date extraction is stable regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # The events table is written as parquet TIMESTAMP(NANOS); read it as a
+    # long once, globally, instead of mutating conf inside the reader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
 }
