@@ -1,0 +1,113 @@
+"""Text-analysis expression kernel for the LLM-data-pipeline operators.
+
+Everything here is a JVM-side Column expression (no Python UDFs): tokenize,
+n-gram shingles, deterministic 60-bit hashes, token statistics. Each helper
+has a ``sql_*`` twin emitting the equivalent DuckDB SQL so dedup/similarity
+queries stay oracle-checkable — the hash is md5-based, so both engines
+produce bit-identical values.
+
+Scale notes (100 TB): all helpers are per-row expressions — no explode, no
+shuffle, no driver round-trip. Shingling a document produces one array col;
+the only data growth is the array itself (bounded by doc length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Large 31-bit prime for modular hashing; products with 31-bit multipliers
+# stay under 2^62, so all arithmetic fits in a BIGINT on both engines.
+HASH_P = 2_147_483_647
+
+# Tokenizer: lowercase, split on any non-alphanumeric run, drop empties.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased alphanumeric tokens of a text column (array<string>)."""
+    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({expr}), '{_TOKEN_SPLIT}'), x -> x <> '')"
+
+
+def token_ngrams(toks: Column, n: int, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a token array.
+
+    Guarded for short docs: Spark's ``sequence(1, k)`` runs DESCENDING for
+    k < 1, so an unguarded expression would explode on docs with < n tokens.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def sql_token_ngrams(toks_expr: str, n: int, sep: str = " ") -> str:
+    # DuckDB generate_series(1, k) is already empty for k < 1.
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({toks_expr}) - {n - 1}), "
+        f"i -> array_to_string(({toks_expr})[i:i+{n - 1}], '{sep}')))"
+    )
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit positive hash: first 15 hex chars of md5.
+
+    Identical in any engine with md5 — the cross-engine workhorse for
+    MinHash/SimHash parity (DuckDB twin: :func:`sql_md5_long`).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_md5_long(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def hashed(col: Column, mod: int = HASH_P) -> Column:
+    """md5_long reduced mod a 31-bit prime (safe multiplier domain)."""
+    return md5_long(col) % mod
+
+
+def sql_hashed(expr: str, mod: int = HASH_P) -> str:
+    return f"({sql_md5_long(expr)} % {mod})"
+
+
+# --- token statistics (quality-scoring inputs) ---------------------------
+
+# Tiny embedded stopword lists per language for the lang-id heuristic and
+# stopword-ratio quality signal. Deliberately small: the operator semantics
+# (score → argmax with deterministic tie-break) is the point; swap in real
+# lists in production.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "fr": ("le", "la", "les", "et", "est", "des"),
+    "es": ("el", "la", "los", "y", "es", "de"),
+    "zh": ("de", "le", "shi", "zai", "he"),
+}
+
+
+def stopword_count(toks: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def sql_stopword_count(toks_expr: str, lang: str = "en") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks_expr}, t -> t IN ({lst})))"
+
+
+def token_len_sum(toks: Column) -> Column:
+    """Total characters across tokens (exact integer fold)."""
+    return F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+
+
+def sql_token_len_sum(toks_expr: str) -> str:
+    return f"list_sum(list_transform({toks_expr}, t -> CAST(len(t) AS BIGINT)))"

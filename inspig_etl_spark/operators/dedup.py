@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four dedup families over a ``documents(doc_id, text, ...)`` table, all pure
+DataFrame expressions (no Python UDFs, no collect):
+
+- **exact**: md5 content hash → min-id canonical per group (hash groupBy).
+- **fingerprint**: md5 over normalized tokens (whitespace/punct-insensitive)
+  plus a polynomial rolling hash — catches trivially-reformatted copies.
+- **MinHash + LSH**: word-shingle signatures (k independent permutations of
+  a shared md5 base hash), banded into buckets; candidate pairs only ever
+  form INSIDE a bucket — never an all-pairs join — then exact-Jaccard
+  verified. This is the 100 TB path: shuffle volume is O(bands x |docs|),
+  and bucket joins are ordinary equi-joins Catalyst handles with AQE.
+- **SimHash**: 32-bit sign-sum sketch with byte-banded candidate generation
+  and Hamming-distance verification (``bit_count(xor)``).
+
+Every hash is md5-derived, so results are bit-identical in any engine with
+md5 — the query layer (queries/llm_dedup.py) exploits this to keep even the
+LSH internals DuckDB-oracle-checkable.
+
+Reference parity: the reference has no dedup surface (its idempotency is
+key-based MERGE, SURVEY.md §2.1 S6-S10); these operators are the
+brief-mandated LLM-pipeline extension built on the same engine kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.functions.text import HASH_P, hashed, md5_long, tokens
+
+# Deterministic permutation constants for MinHash: sig_k = min over shingles
+# of (A_k * h + B_k) mod P. 31-bit values keep every product under 2^62.
+MINHASH_K = 16
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    return [
+        ((1_000_003 * (i + 1)) % HASH_P, (7_919 * (i + 1) + 12_345) % HASH_P)
+        for i in range(k)
+    ]
+
+
+def with_content_hash(df: DataFrame, text_col: str, out: str = "content_hash") -> DataFrame:
+    """Exact-dedup key: md5 of the raw text."""
+    return df.withColumn(out, F.md5(F.col(text_col)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """Normalization fingerprint + polynomial rolling hash over tokens.
+
+    ``fingerprint``: md5 of the space-joined token stream — invariant to
+    punctuation, case and whitespace. ``rolling_hash``: left fold
+    ``acc*31 + h(tok) mod P`` — order-sensitive, cheap to compare/band.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: hashed(t))
+    rolling = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % HASH_P,
+    )
+    return df.withColumn("fingerprint", F.md5(F.array_join(toks, " "))).withColumn(
+        "rolling_hash", rolling
+    )
+
+
+def canonicalize(df: DataFrame, id_col: str, group_col: str) -> DataFrame:
+    """min-id canonical per duplicate group + is_dup flag.
+
+    One shuffle keyed on the (high-cardinality, uniformly distributed) hash —
+    the balanced-by-construction partitioning exact dedup wants at scale.
+    """
+    w = Window.partitionBy(group_col)
+    return df.withColumn("canonical_id", F.min(id_col).over(w)).withColumn(
+        "is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int")
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
+    """k-wide MinHash signature of a shingle array (array<bigint>).
+
+    One md5 per shingle, then k cheap modular permutations — not k md5
+    passes. Empty shingle sets get sentinel P (so empty docs never collide
+    with real minima).
+    """
+    base = F.transform(shingles, lambda s: hashed(s))
+
+    def perm(a: int, b: int):
+        # Closure factory, NOT a default-arg lambda: PySpark counts lambda
+        # parameters to pick the higher-order-function arity, so defaults
+        # would be misread as the (value, index, ...) variant.
+        return lambda h: (h * a + b) % HASH_P
+
+    mins = [
+        F.coalesce(F.array_min(F.transform(base, perm(a, b))), F.lit(HASH_P))
+        for a, b in minhash_coeffs(k)
+    ]
+    return F.array(*mins)
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of ``bands`` string keys (joined sig slice)."""
+    return F.array(
+        *[
+            F.concat_ws("_", *[sig[b * rows + r].cast("string") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str, band_keys_col: str, bands: int
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+
+    Explode to (band_no, key) — shuffle is O(bands x |docs|) — then a
+    bucket-local self-equi-join. No all-pairs comparison ever happens; a
+    bucket only grows when signatures truly collide.
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        F.posexplode(F.col(band_keys_col)).alias("band_no", "band_key"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("band_no"), F.col("band_key")
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("band_no"), F.col("band_key")
+    )
+    return (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs only.
+
+    Two equi-joins bring the (bounded-size) shingle arrays to the pair rows;
+    intersection/union are integer set ops, ratio rounded for stable output.
+    """
+    da = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter.cast("double") / F.nullif(union, F.lit(0)).cast("double"), scale)
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash of a token array (duplicates weight naturally).
+
+    Per bit: sum over tokens of +-1 by the token-hash bit, sign → bit. All
+    integer arithmetic — exact and engine-independent. One md5 per token
+    (single fold with a 32-wide array accumulator), not one per (token, bit).
+    """
+    zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
+    bitsums = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            # Unrolled: shift amounts must be Python ints for the DSL; the
+            # md5 subtree is shared, and codegen subexpression elimination
+            # computes it once per token.
+            F.array(
+                *[
+                    (F.shiftright(md5_long(t), b).bitwiseAND(F.lit(1))).cast("bigint") * 2 - 1
+                    for b in range(32)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        out = out + F.when(bitsums[b] > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_band_keys(simhash: Column, bytes_: int = 4) -> Column:
+    """Byte-banded keys: docs within small Hamming distance share >= 1 byte
+    band with high probability (pigeonhole: distance < bytes_ guarantees it).
+    """
+    return F.array(
+        *[
+            F.shiftright(simhash, 8 * j).bitwiseAND(F.lit(255)).cast("string")
+            for j in range(bytes_)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -67,6 +67,9 @@ def _load() -> None:
         aggregates,
         event_log,
         joins,
+        llm_dedup,
+        llm_similarity,
+        llm_text,
         tpch,
     )
 

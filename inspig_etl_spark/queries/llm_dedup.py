@@ -1,0 +1,206 @@
+"""Near-duplicate detection queries over ``documents`` (LLM-data-pipeline).
+
+Three detectors, all bucketed — candidate pairs only ever form inside a
+hash bucket, never via an all-pairs join — then exactly verified:
+
+- ``docs_ngram_jaccard_pairs``: shared-shingle blocking + exact Jaccard.
+- ``docs_minhash_neardup_pairs``: MinHash(16) → LSH 4x4 banding → Jaccard.
+- ``docs_simhash_neardup_pairs``: 32-bit SimHash → byte banding → Hamming.
+
+Because every hash is md5-derived (functions/text.md5_long), even the LSH
+internals are bit-reproducible in DuckDB — each query carries a full oracle,
+stronger than the usual rows-only check for sketch-based operators.
+
+Scale: shuffle is O(bands x |docs|) for banding and O(|candidates|) for
+verification. The shared-shingle blocker is the recall=1 baseline (its
+candidate count grows with shingle collisions); MinHash banding is the
+100 TB default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.text import (
+    HASH_P,
+    sql_md5_long,
+    sql_token_ngrams,
+    sql_tokens,
+    token_ngrams,
+    tokens,
+)
+from inspig_etl_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_coeffs,
+    minhash_signature,
+    simhash32,
+    simhash_band_keys,
+)
+from inspig_etl_spark.queries import register
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+HAMMING_MAX = 6
+
+_SQL_SH = sql_token_ngrams(sql_tokens("text"), SHINGLE_N)
+
+# Shared oracle CTE: doc_id + distinct 3-token shingles.
+_SQL_DOCS_SHINGLED = f"t AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents)"
+
+# Exact Jaccard between two shingle-set columns (a.sh, b.sh), both distinct.
+_SQL_JACCARD = (
+    "ROUND(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE"
+    " / NULLIF(len(a.sh) + len(b.sh)"
+    " - len(list_filter(a.sh, x -> list_contains(b.sh, x))), 0), 6)"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # persist(): the shingle/signature subtrees feed SELF-JOINS — without
+    # materialization Spark recomputes the md5-heavy pipeline once per join
+    # branch (measured 10x slower at sf0.1). Same load-once-process-many
+    # pattern as the reference's per-farm cache (data_loader.py:93-100).
+    return docs.select(
+        "doc_id", token_ngrams(tokens(F.col("text")), SHINGLE_N).alias("sh")
+    ).persist()
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    operators="LLM-dedup-jaccard (shared-shingle blocking + exact n-gram Jaccard; brief: 'n-gram Jaccard')",
+    oracle=f"""
+WITH {_SQL_DOCS_SHINGLED},
+x AS (SELECT doc_id, unnest(sh) AS s FROM t),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM x l JOIN x r ON l.s = r.s AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard
+FROM cand JOIN t a ON cand.id_a = a.doc_id JOIN t b ON cand.id_b = b.doc_id
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+""",
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    x = sh.select("doc_id", F.explode("sh").alias("s"))
+    left = x.select(F.col("doc_id").alias("id_a"), "s")
+    right = x.select(F.col("doc_id").alias("id_b"), "s")
+    cand = (
+        left.join(right, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, "doc_id", "sh", JACCARD_THRESHOLD)
+
+
+def _sql_minhash_sig() -> str:
+    """DuckDB expression list for the 16 signature minima over `base`."""
+    parts = []
+    for a, b in minhash_coeffs():
+        parts.append(
+            f"COALESCE(list_min(list_transform(base, h -> (h * {a} + {b}) % {HASH_P})), {HASH_P})"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+@register(
+    "docs_minhash_neardup_pairs",
+    operators="LLM-dedup-minhash (MinHash sigs + LSH banding + Jaccard verify; brief: 'MinHash+LSH (shingle->minhash->band->bucket-join)')",
+    oracle=f"""
+WITH {_SQL_DOCS_SHINGLED},
+h AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {sql_md5_long('s')} % {HASH_P}) AS base
+  FROM t
+),
+sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM h),
+band AS (
+  SELECT doc_id, band_no,
+         array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM band l JOIN band r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard
+FROM cand JOIN t a ON cand.id_a = a.doc_id JOIN t b ON cand.id_b = b.doc_id
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+""",
+)
+def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    signed = sh.withColumn("sig", minhash_signature(F.col("sh")))
+    banded = signed.withColumn(
+        "band_keys", lsh_band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)
+    ).persist()  # consumed twice by the candidate self-join
+    cand = lsh_candidate_pairs(banded, "doc_id", "band_keys", MINHASH_BANDS)
+    return jaccard_verify(cand, sh, "doc_id", "sh", JACCARD_THRESHOLD)
+
+
+_SQL_TOKS = sql_tokens("text")
+
+# 32-bit SimHash in DuckDB: per-bit +-1 sums over token hashes, sign -> bit.
+_SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, 31), b ->
+  CASE WHEN list_sum(list_transform(toks,
+    t -> (({sql_md5_long('t')} >> b) & 1) * 2 - 1)) > 0
+  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))"""
+
+
+@register(
+    "docs_simhash_neardup_pairs",
+    operators="LLM-dedup-simhash (SimHash sketch + byte banding + Hamming verify; brief: 'SimHash')",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM t),
+band AS (
+  SELECT doc_id, simhash, band_no,
+         CAST((simhash >> (8 * band_no)) & 255 AS VARCHAR) AS band_key
+  FROM s, (SELECT unnest(generate_series(0, 3)) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sim_a, r.simhash AS sim_b
+  FROM band l JOIN band r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+""",
+)
+def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # persist(): the simhash sketch feeds a self-join (see _shingled note).
+    s = docs.select("doc_id", simhash32(tokens(F.col("text"))).alias("simhash")).persist()
+    banded = s.withColumn("band_keys", simhash_band_keys(F.col("simhash")))
+    keyed = banded.select(
+        "doc_id", "simhash", F.posexplode("band_keys").alias("band_no", "band_key")
+    )
+    left = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band_no", "band_key"
+    )
+    right = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "band_no", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )

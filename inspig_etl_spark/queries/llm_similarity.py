@@ -1,0 +1,159 @@
+"""Similarity-search queries over ``embeddings`` (LLM-data-pipeline).
+
+- ``embeddings_knn_bruteforce``: cosine top-k for a probe query set against
+  the full corpus — the correctness baseline (broadcast queries, per-row
+  fold, window top-k).
+- ``embeddings_knn_bucketed``: the scale path — deterministic random-
+  hyperplane LSH buckets; candidates only within a bucket.
+- ``embeddings_cosine_neardup_pairs``: threshold pairs (embedding-cosine
+  near-dup dedup from the brief).
+
+The dot-product fold is sequential in both engines (Spark ``aggregate`` ≡
+DuckDB ``list_reduce``), so doubles match bit-for-bit and even the LSH
+bucket ids are oracle-checkable. The synthetic embeddings are near-uniform
+(max pairwise cosine ≈ 0.51 at sf0.01), so the near-dup threshold is set at
+0.45 to exercise the operator with nonzero output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_signs,
+    lsh_bucket,
+    sql_dot,
+    sql_lsh_bucket,
+    sql_norm,
+)
+from inspig_etl_spark.queries import register
+
+DIM = 64
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50th of the corpus is the probe set
+NEARDUP_COS = 0.45
+LSH_PLANES = 4
+
+_SIGNS = hyperplane_signs(LSH_PLANES, DIM)
+
+_SQL_COSINE = f"{sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn)"
+
+
+@register(
+    "embeddings_knn_bruteforce",
+    operators="LLM-ann-bruteforce (cosine top-k baseline; brief: 'brute-force cosine top-k')",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {sql_norm('embedding')} AS qn
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, {sql_norm('embedding')} AS cn
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS sim
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         ROUND(sim, 6) AS cosine_sim
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    return cosine_topk(queries, corpus, TOP_K)
+
+
+@register(
+    "embeddings_knn_bucketed",
+    operators="LLM-ann-lsh (random-hyperplane bucketed ANN, the 100TB path; brief: 'an IVF or LSH-bucketed variant as the scale path')",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+         {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+  FROM b WHERE vec_id % {QUERY_MOD} = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn, bucket FROM b),
+s AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         ROUND(sim, 6) AS cosine_sim
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), _SIGNS)
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "bucket"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "bucket"
+    )
+    return cosine_topk(queries, corpus, TOP_K, join_on=["bucket"])
+
+
+@register(
+    "embeddings_cosine_neardup_pairs",
+    operators="LLM-dedup-cosine (embedding-cosine near-dup pairs; brief: 'embedding-cosine near-dup')",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+FROM s WHERE sim >= {NEARDUP_COS}
+""",
+)
+def embeddings_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    from inspig_etl_spark.operators.similarity import dot, norm
+
+    n = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # All-pairs is intentional here (it IS the baseline definition); the
+    # bucketed detector above is the scale path. a.vec_id < b.vec_id halves
+    # the work; the smaller side is broadcast by AQE.
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn("sim", sim)
+    return pairs.filter(F.col("sim") >= NEARDUP_COS).select(
+        "id_a", "id_b", F.round(F.col("sim"), 6).alias("cosine_sim")
+    )

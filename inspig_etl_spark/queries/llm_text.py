@@ -1,0 +1,212 @@
+"""Text-analysis + exact/fingerprint dedup queries over ``documents``
+(LLM-data-pipeline surface; brief-mandated extension beyond SURVEY.md §2).
+
+All expression-only (no UDFs); every query is DuckDB-oracle-checkable because
+the hashes are md5-derived and the statistics are exact integer folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.text import (
+    HASH_P,
+    sql_stopword_count,
+    sql_token_len_sum,
+    sql_tokens,
+    stopword_count,
+    token_len_sum,
+    tokens,
+)
+from inspig_etl_spark.operators.dedup import canonicalize, with_content_hash, with_fingerprint
+from inspig_etl_spark.queries import register
+
+_SQL_TOKS = sql_tokens("text")
+
+
+@register(
+    "docs_exact_dedup",
+    operators="LLM-dedup-exact (content-hash groupBy; brief: 'exact (hash-groupBy)')",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+FROM documents
+""",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hashed = with_content_hash(docs, "text")
+    return canonicalize(hashed, "doc_id", "content_hash").select(
+        "doc_id", "content_hash", "canonical_id", "is_dup"
+    )
+
+
+@register(
+    "docs_fingerprint",
+    operators="LLM-fingerprint (normalized md5 + polynomial rolling hash; brief: 'document fingerprinting (rolling hash)')",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(toks, ' ')) AS fingerprint,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {HASH_P})),
+           (acc, h) -> (acc * 31 + h) % {HASH_P}) AS rolling_hash
+  FROM t
+)
+SELECT doc_id, fingerprint, rolling_hash,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
+FROM fp
+""",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = with_fingerprint(docs, "text")
+    return canonicalize(fp, "doc_id", "fingerprint").select(
+        "doc_id", "fingerprint", "rolling_hash", "canonical_id", "is_dup"
+    )
+
+
+@register(
+    "docs_token_stats",
+    operators="LLM-text-stats (token counting, char stats, stopword ratio; brief: 'token counting, quality scoring')",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       {sql_token_len_sum('toks')} AS total_token_chars,
+       ROUND({sql_token_len_sum('toks')} / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+       {sql_stopword_count('toks', 'en')} AS stopword_cnt,
+       ROUND({sql_stopword_count('toks', 'en')} / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars
+FROM t
+""",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
+    n = F.size(toks).cast("bigint")
+    chars = token_len_sum(toks)
+    stop = stopword_count(toks, "en").cast("bigint")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        chars.alias("total_token_chars"),
+        F.round(chars / n.cast("double"), 4).alias("avg_token_len"),
+        stop.alias("stopword_cnt"),
+        F.round(stop / n.cast("double"), 4).alias("stopword_ratio"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+        ).alias("punct_chars"),
+    )
+
+
+# Quality score in EXACT integer parts-per-million: bounded linear blend of
+# token count (50%), stopword presence (20%), unique-token diversity (30%).
+# Integer arithmetic end-to-end -> bit-identical across engines, no float
+# round-tie hazards (a per-doc ROUND(double, 4) diverged between Spark's
+# exact-decimal HALF_UP and DuckDB's multiply-then-round).
+_SQL_QUALITY_PPM = (
+    "(LEAST(len(toks), 80) * 6250"
+    f" + LEAST({sql_stopword_count('toks', 'en')}, 8) * 25000"
+    " + CAST(FLOOR(len(list_distinct(toks)) * 300000 / CAST(len(toks) AS DOUBLE)) AS BIGINT))"
+)
+
+
+@register(
+    "docs_quality_by_source",
+    operators="LLM-quality (doc quality scoring + per-source rollup; brief: 'quality scoring (length/punct/stopword ratios)')",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, source, {_SQL_QUALITY_PPM} AS quality_ppm FROM t
+)
+SELECT source,
+       COUNT(*) AS doc_cnt,
+       ROUND(CAST(SUM(quality_ppm) AS DOUBLE) / COUNT(*), 2) AS avg_quality_ppm,
+       COUNT(CASE WHEN quality_ppm >= 750000 THEN 1 END) AS high_quality_cnt,
+       COUNT(CASE WHEN quality_ppm < 500000 THEN 1 END) AS low_quality_cnt
+FROM q
+GROUP BY source
+""",
+)
+def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
+    n = F.size(toks).cast("bigint")
+    quality_ppm = (
+        F.least(n, F.lit(80).cast("bigint")) * 6250
+        + F.least(stopword_count(toks, "en").cast("bigint"), F.lit(8).cast("bigint")) * 25000
+        + F.floor(
+            F.size(F.array_distinct(toks)).cast("bigint") * 300000 / n.cast("double")
+        ).cast("bigint")
+    )
+    q = d.select("doc_id", "source", quality_ppm.alias("quality_ppm"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.round(F.sum("quality_ppm").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_quality_ppm"
+        ),
+        F.count(F.when(F.col("quality_ppm") >= 750000, 1)).alias("high_quality_cnt"),
+        F.count(F.when(F.col("quality_ppm") < 500000, 1)).alias("low_quality_cnt"),
+    )
+
+
+# Language-id heuristic: per-language stopword hit counts → argmax with a
+# fixed tie-break order. On this synthetic corpus (shared vocabulary across
+# langs) most docs tie at zero and fall through to the tie-break — the
+# operator under test is the scoring/argmax plumbing, not model quality.
+_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+@register(
+    "docs_lang_id",
+    operators="LLM-lang-id (n-gram/stopword scoring heuristic; brief: 'language-ID (n-gram heuristic)')",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{sql_stopword_count('toks', lg)} AS score_{lg}" for lg in _LANGS)}
+  FROM t
+)
+SELECT doc_id, lang AS actual_lang,
+       CASE {" ".join(f"WHEN score_{lg} = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN '{lg}'" for lg in _LANGS)}
+       END AS predicted_lang,
+       score_en, score_de, score_es, score_fr, score_zh
+FROM s
+""",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    for lg in _LANGS:
+        d = d.withColumn(f"score_{lg}", stopword_count(F.col("toks"), lg))
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANGS])
+    expr = None
+    for lg in _LANGS:
+        cond = F.col(f"score_{lg}") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        expr.alias("predicted_lang"),
+        *[F.col(f"score_{lg}") for lg in _LANGS],
+    )
