@@ -1,0 +1,97 @@
+"""Schedule expansion (SURVEY.md §2.10 UD2 — ``FN_MD_SCHEDULE_BSE_2020``).
+
+The reference's Oracle table-function expands per-sow planned tasks: take
+each sow's base event, join the plan rules for that event type, offset by
+each rule's ``PASS_DAY``, and keep rows inside the report window. Its
+semantics are re-derived from the reference's own plain-SQL/Python
+re-implementations (``/root/reference/src/weekly/processors/schedule.py:409-552``,
+``src/weekly/data_loader.py:704-798``), including the task-SEQ filter
+protocol (``schedule.py:186-207``): ``None`` → all tasks, a list → only
+those SEQs, empty list → none.
+
+Spark shape: last-event-per-entity (one window shuffle) ⋈ broadcast rules
+(a few dozen rows) → ``date_add`` → range filter. Row growth is bounded by
+|rules-per-event-type| — no explosion, no UDTF needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Farm-default plan rules, modeled after the reference's JOB-DAJANG default
+# schedule (base event code → named task at +PASS_DAY). (task_seq, wk_gubun,
+# wk_nm, std_cd, pass_day).
+DEFAULT_RULES: tuple[tuple[int, str, str, str, int], ...] = (
+    (1, "G", "preg_check_1", "150001", 21),
+    (2, "G", "preg_check_2", "150001", 42),
+    (3, "G", "pre_farrow_move", "150002", 110),
+    (4, "B", "piglet_care", "150003", 3),
+    (5, "B", "wean_plan", "150004", 25),
+    (6, "E", "remate_check", "150005", 7),
+    (7, "F", "recheck", "150005", 10),
+)
+
+RULES_SCHEMA = "task_seq INT, wk_gubun STRING, wk_nm STRING, std_cd STRING, pass_day INT"
+
+
+def rules_df(spark: SparkSession, rules: Sequence[tuple] = DEFAULT_RULES) -> DataFrame:
+    return spark.createDataFrame(list(rules), RULES_SCHEMA)
+
+
+def sql_rules_values(rules: Sequence[tuple] = DEFAULT_RULES) -> str:
+    """The same rules as a DuckDB VALUES list (oracle-side twin)."""
+    rows = ", ".join(
+        f"({seq}, '{g}', '{nm}', '{std}', {pd})" for seq, g, nm, std, pd in rules
+    )
+    return f"(VALUES {rows}) AS rules(task_seq, wk_gubun, wk_nm, std_cd, pass_day)"
+
+
+def expand_schedule(
+    last_events: DataFrame,
+    rules: DataFrame,
+    base_day: str | Column,
+    dt_from: str,
+    dt_to: str,
+    wk_gubun_col: str = "wk_gubun",
+    seq_filter: Sequence[int] | None = None,
+) -> DataFrame:
+    """Expand base events into dated task rows within [dt_from, dt_to].
+
+    ``seq_filter`` implements the reference's ``-1 / '' / '1,2,3'`` protocol:
+    None keeps every task, a (possibly empty) list keeps exactly those SEQs.
+    """
+    if seq_filter is not None:
+        rules = rules.filter(F.col("task_seq").isin(list(seq_filter)))
+    base = F.col(base_day) if isinstance(base_day, str) else base_day
+    expanded = last_events.join(F.broadcast(rules), wk_gubun_col).withColumn(
+        "pass_dt", F.date_add(base, F.col("pass_day"))
+    )
+    return expanded.filter(
+        (F.col("pass_dt") >= F.lit(dt_from).cast("date"))
+        & (F.col("pass_dt") <= F.lit(dt_to).cast("date"))
+    )
+
+
+def day_crosstab(
+    expanded: DataFrame,
+    dt_from: str,
+    days: int = 7,
+    key: str = "wk_nm",
+    pass_dt: str = "pass_dt",
+) -> DataFrame:
+    """J12: per-task counts pivoted into D1..D7 day columns over the window.
+
+    Conditional aggregation (``sum(when(day==i))``) instead of ``pivot`` —
+    the column set is static, so the plan is one groupBy with map-side
+    partials and a fixed schema.
+    """
+    day_no = F.date_diff(F.col(pass_dt), F.lit(dt_from).cast("date")) + 1
+    tagged = expanded.withColumn("__day_no", day_no)
+    aggs = [
+        F.count(F.when(F.col("__day_no") == i, 1)).alias(f"d{i}")
+        for i in range(1, days + 1)
+    ]
+    return tagged.groupBy(key).agg(*aggs, F.count(F.lit(1)).alias("total_cnt"))

@@ -70,6 +70,8 @@ def _load() -> None:
         llm_dedup,
         llm_similarity,
         llm_text,
+        pivots,
+        status_schedule,
         tpch,
     )
 

@@ -1,0 +1,121 @@
+"""Golden unit tests for operators with no SQL oracle: the UD1 status truth
+table, week boundaries, prev/next windows, rounding edges, schedule SEQ
+filtering, and wide-row padding.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.functions.dates import report_week_bounds
+from inspig_etl_spark.functions.rounding import round_half_up
+from inspig_etl_spark.operators.events import with_prev_next
+from inspig_etl_spark.operators.schedule import DEFAULT_RULES, expand_schedule, rules_df
+from inspig_etl_spark.operators.status import status_from_last_event
+
+
+# The 8-state truth table from /root/reference/src/weekly/data_loader.py:28-46
+# (wk_gubun, sago_cd, daeri_yn, entry_status) -> expected status code.
+TRUTH_TABLE = [
+    ("G", None, "N", None, "010002"),  # mated -> pregnant
+    ("B", None, "N", None, "010003"),  # farrowed -> nursing
+    ("B", None, "Y", None, "010004"),  # farrowed + surrogate -> surrogate
+    ("E", None, "N", None, "010005"),  # weaned
+    ("F", "050002", "N", None, "010006"),  # accident: recurrence
+    ("F", "050003", "N", None, "010007"),  # accident: abortion
+    ("F", "050009", "N", "010002", "010002"),  # other accident -> entry status
+    (None, None, "N", None, "010001"),  # no event -> candidate
+    (None, None, "N", "010005", "010005"),  # no event, entry status kept
+]
+
+
+def test_status_truth_table(spark):
+    df = spark.createDataFrame(
+        [(i, *row) for i, row in enumerate(TRUTH_TABLE)],
+        "id INT, wk STRING, sago STRING, daeri STRING, entry STRING, expected STRING",
+    )
+    out = df.withColumn(
+        "got",
+        status_from_last_event(F.col("wk"), F.col("sago"), F.col("daeri"), F.col("entry")),
+    )
+    bad = out.filter(F.col("got") != F.col("expected")).collect()
+    assert not bad, f"truth table mismatches: {bad}"
+
+
+def test_report_week_bounds():
+    # From a Wednesday: previous Mon..Sun week.
+    assert report_week_bounds(dt.date(2024, 1, 10)) == (dt.date(2024, 1, 1), dt.date(2024, 1, 7))
+    # From a Monday.
+    assert report_week_bounds(dt.date(2024, 1, 8)) == (dt.date(2024, 1, 1), dt.date(2024, 1, 7))
+    # From a Sunday: reference semantics back up a FULL week (days=7).
+    assert report_week_bounds(dt.date(2024, 1, 14)) == (dt.date(2024, 1, 1), dt.date(2024, 1, 7))
+    # Year boundary.
+    assert report_week_bounds(dt.date(2025, 1, 1)) == (dt.date(2024, 12, 23), dt.date(2024, 12, 29))
+
+
+def test_with_prev_next(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x")],
+        "k INT, seq INT, v STRING",
+    )
+    out = {
+        (r.k, r.seq): (r.prev_v, r.next_v)
+        for r in with_prev_next(df, keys=["k"], order_by=["seq"], cols=["v"]).collect()
+    }
+    assert out[(1, 1)] == (None, "b")
+    assert out[(1, 2)] == ("a", "c")
+    assert out[(1, 3)] == ("b", None)
+    assert out[(2, 1)] == (None, None)  # windows never cross keys
+
+
+def test_round_half_up_edges(spark):
+    # x.5 at 1 decimal must round AWAY from zero (Oracle ROUND), not banker's.
+    df = spark.createDataFrame(
+        [(0.25,), (0.35,), (1.25,), (2.5,), (-0.25,)], "x DOUBLE"
+    ).select(
+        round_half_up(F.col("x"), 1).alias("r1"),
+        round_half_up(F.col("x"), 0).alias("r0"),
+    )
+    rows = df.collect()
+    # Spark rounds the SHORTEST decimal repr of the double (BigDecimal
+    # .valueOf), so 0.35 -> 0.4 even though the binary value is 0.34999…;
+    # DuckDB's multiply-then-round agrees on these values (parity suite
+    # guards the general case).
+    assert [r.r1 for r in rows] == [0.3, 0.4, 1.3, 2.5, -0.3]
+    assert rows[3].r0 == 3.0  # 2.5 -> 3 (banker's would give 2)
+    assert rows[4].r1 == -0.3  # half away from zero
+
+
+def test_schedule_seq_filter_protocol(spark):
+    last = spark.createDataFrame(
+        [(1, "G", dt.date(2024, 1, 1))], "user_id INT, wk_gubun STRING, event_day DATE"
+    )
+    rules = rules_df(spark)
+
+    def run(seq_filter):
+        return expand_schedule(
+            last, rules, "event_day", "2024-01-01", "2024-12-31", seq_filter=seq_filter
+        ).count()
+
+    g_rules = sum(1 for r in DEFAULT_RULES if r[1] == "G")
+    assert run(None) == g_rules  # -1 protocol: all tasks
+    assert run([]) == 0  # '' protocol: none
+    assert run([1]) == 1  # '1,2,3' protocol: listed only
+
+
+def test_chunked_wide_rows_padding(spark):
+    from inspig_etl_spark.operators.pivots import chunked_wide_rows
+
+    df = spark.createDataFrame(
+        [(f"n{i}", i) for i in range(7)], "nm STRING, cnt INT"
+    )
+    out = chunked_wide_rows(
+        df, order_by=[F.col("cnt").desc()], name_col="nm", value_col="cnt", per_row=5
+    ).collect()
+    by_chunk = {r.chunk_no: r for r in out}
+    assert set(by_chunk) == {0, 1}
+    assert by_chunk[0].str_1 == "n6" and by_chunk[0].cnt_1 == 6
+    assert by_chunk[1].str_2 == "n0" and by_chunk[1].cnt_2 == 0
+    assert by_chunk[1].str_3 is None and by_chunk[1].cnt_3 is None  # NULL tail
