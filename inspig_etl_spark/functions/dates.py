@@ -48,6 +48,63 @@ def report_week_bounds(base_date: dt.date) -> tuple[dt.date, dt.date]:
     return monday, sunday
 
 
+# --- yyyymmdd string-date kernel (X1/X2/X5, F4/F5) ------------------------
+#
+# The reference stores most business dates as VARCHAR2(8) 'YYYYMMDD' and
+# compares them LEXICOGRAPHICALLY (safe: lexicographic == chronological for
+# fixed-width yyyymmdd), with the sentinel '99991231' meaning "still alive"
+# (``src/weekly/data_loader.py:834-863``). We keep the same convention: stay
+# string-typed for filters, convert only where real date arithmetic happens.
+
+ALIVE_SENTINEL = "99991231"
+
+
+def to_yyyymmdd(col: Column) -> Column:
+    """DATE/TIMESTAMP → 'yyyyMMdd' string (X5). DuckDB: strftime(d, '%Y%m%d')."""
+    return F.date_format(col, "yyyyMMdd")
+
+
+def from_yyyymmdd(col: Column) -> Column:
+    """'yyyyMMdd' string → DATE. DuckDB: strptime(s, '%Y%m%d')::DATE."""
+    return F.to_date(col, "yyyyMMdd")
+
+
+def parse_date_tolerant(col: Column) -> Column:
+    """X1's tolerant parser: accepts 'yyyyMMdd' OR 'yyyy-MM-dd', NULL for
+    junk (the reference returns 0 from its diff on bad input — callers
+    coalesce). The reference mixes both formats across tables
+    (``TM_LPD_DATA.DOCHUK_DT`` vs everything else)."""
+    return F.coalesce(
+        F.try_to_timestamp(col, F.lit("yyyyMMdd")).cast("date"),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd")).cast("date"),
+    )
+
+
+def date_diff_tolerant(d1: Column, d2: Column) -> Column:
+    """Days between two string dates in either format; 0 on bad input (X1,
+    ref ``base.py:376-398``)."""
+    return F.coalesce(
+        F.date_diff(parse_date_tolerant(d2), parse_date_tolerant(d1)), F.lit(0)
+    )
+
+
+def add_days_str(col: Column, n: int | Column) -> Column:
+    """'yyyyMMdd' + n days → 'yyyyMMdd' (X2, ref ``base.py:400-419``)."""
+    return to_yyyymmdd(F.date_add(from_yyyymmdd(col), n))
+
+
+def is_alive(out_dt: Column, base_yyyymmdd: str) -> Column:
+    """F4: alive-entity predicate — sentinel date or outs after base.
+    Pure string comparison, exactly the reference's
+    ``OUT_DT == '99991231' or OUT_DT > base_date``."""
+    return (out_dt == ALIVE_SENTINEL) | (out_dt > base_yyyymmdd)
+
+
+def is_culled(out_dt: Column, base_yyyymmdd: str) -> Column:
+    """F5: culled-entity predicate — left before/on the base date."""
+    return (out_dt != ALIVE_SENTINEL) & (out_dt <= base_yyyymmdd)
+
+
 US_PER_SEC = 1_000_000
 US_PER_DAY = 86_400 * US_PER_SEC
 

@@ -65,12 +65,16 @@ def _load() -> None:
         return
     from inspig_etl_spark.queries import (  # noqa: F401
         aggregates,
+        domain_aggs,
         event_log,
+        geo,
         joins,
         llm_dedup,
         llm_similarity,
         llm_text,
         pivots,
+        scalar_funcs,
+        sinks_merge,
         status_schedule,
         tpch,
     )

@@ -1,0 +1,118 @@
+"""Geo queries (SURVEY.md §2.3 J11, §2.8 X15/X16).
+
+Synthetic coordinates: farms (customers) and weather stations (suppliers)
+get deterministic lat/lon inside the Korean peninsula's bounding box,
+derived from their keys — the same formula in Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.geo import (
+    haversine_km,
+    lambert_grid,
+    sql_haversine_km,
+    sql_lambert_grid,
+)
+from inspig_etl_spark.queries import register
+
+# Deterministic coordinate synthesis (lat 33..38, lon 126..129.5).
+_SQL_FARM = """
+farms AS (
+  SELECT c_custkey AS farm_no,
+         33.0 + (c_custkey % 500) / 100.0 AS lat,
+         126.0 + ((c_custkey * 7) % 350) / 100.0 AS lon
+  FROM customer
+)"""
+_SQL_STATION = """
+stations AS (
+  SELECT s_suppkey AS stn_id,
+         33.0 + (s_suppkey * 13 % 500) / 100.0 AS lat,
+         126.0 + (s_suppkey * 31 % 350) / 100.0 AS lon
+  FROM supplier
+)"""
+
+
+def _farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("farm_no"),
+        (33.0 + (F.col("c_custkey") % 500) / 100.0).alias("lat"),
+        (126.0 + ((F.col("c_custkey") * 7) % 350) / 100.0).alias("lon"),
+    )
+
+
+def _stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("stn_id"),
+        (33.0 + (F.col("s_suppkey") * 13 % 500) / 100.0).alias("lat"),
+        (126.0 + (F.col("s_suppkey") * 31 % 350) / 100.0).alias("lon"),
+    )
+
+
+@register(
+    "nearest_station_haversine",
+    operators="J11,X15 (broadcast cross join + Haversine + row_number nearest; ref weather.py:142-148,213-276)",
+    oracle=f"""
+WITH {_SQL_FARM}, {_SQL_STATION},
+d AS (
+  SELECT farm_no, stn_id,
+         ROUND({sql_haversine_km('farms.lat', 'farms.lon', 'stations.lat', 'stations.lon')}, 4) AS dist_km
+  FROM farms CROSS JOIN stations
+),
+r AS (
+  SELECT farm_no, stn_id, dist_km,
+         ROW_NUMBER() OVER (PARTITION BY farm_no ORDER BY dist_km, stn_id) AS rn
+  FROM d
+)
+SELECT farm_no, stn_id AS nearest_stn, dist_km FROM r WHERE rn = 1
+""",
+)
+def nearest_station_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each farm's nearest ASOS station. Ranking uses the ROUNDED distance
+    with the station id as tiebreak: sub-ulp libm differences between
+    engines can never flip the order."""
+    farms = _farms(spark, sf_dir)
+    stations = _stations(spark, sf_dir)
+    d = farms.crossJoin(F.broadcast(stations.select(
+        "stn_id", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
+    ))).select(
+        "farm_no",
+        "stn_id",
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")), 4
+        ).alias("dist_km"),
+    )
+    w = Window.partitionBy("farm_no").orderBy("dist_km", "stn_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("farm_no", F.col("stn_id").alias("nearest_stn"), "dist_km")
+    )
+
+
+_NX, _NY = sql_lambert_grid("lat", "lon")
+
+
+@register(
+    "lambert_grid_cells",
+    operators="X16,A19 (Lambert lat/lon->KMA grid + distinct-grid dedup; ref weather.py:279-326,1239-1282)",
+    oracle=f"""
+WITH {_SQL_FARM}
+SELECT {_NX} AS nx, {_NY} AS ny, COUNT(*) AS farm_cnt
+FROM farms
+GROUP BY 1, 2
+""",
+)
+def lambert_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farms mapped onto the KMA 5 km grid and deduped to cells — the
+    reference's many-farms-one-grid fan-in before its weather API calls."""
+    farms = _farms(spark, sf_dir)
+    nx, ny = lambert_grid(F.col("lat"), F.col("lon"))
+    return farms.groupBy(nx.alias("nx"), ny.alias("ny")).agg(
+        F.count(F.lit(1)).alias("farm_cnt")
+    )

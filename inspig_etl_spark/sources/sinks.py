@@ -1,0 +1,171 @@
+"""Write-path operators: MERGE semantics + idempotent parquet sinks
+(SURVEY.md §2.1 S6-S14, §2.9 ST3/ST4).
+
+The reference's sinks are Oracle MERGE statements and delete-then-insert
+blocks; here the MERGE *logic* is a pure DataFrame transform (testable,
+oracle-checkable) and the *physical* write is parquet with partition
+overwrite or staged atomic swap. On Delta/Iceberg the logical kernels map
+1:1 onto ``MERGE INTO`` — nothing else changes.
+
+Kernels vs reference:
+
+- :func:`merge_upsert` — update-or-insert keyed MERGE with optional
+  partial-update (``RAIN_PROB = NVL(:new, old)``) semantics
+  (``/root/reference/src/collectors/weather.py:1697-1732``, S6/S7/S8).
+- :func:`insert_if_absent` — ``WHEN NOT MATCHED`` only: mid-term forecast
+  must never clobber short-term (``weather.py:2406-2443``, S9).
+- :func:`delete_matching` / :func:`delete_then_insert` — idempotent re-run
+  cleanup (``src/collectors/productivity.py:375-451``, S10;
+  per-section delete ``src/weekly/processors/modon.py:97-105``, S12/S13).
+- :func:`with_surrogate_key` — deterministic surrogate ids replacing
+  ``SEQ_*.NEXTVAL`` (``orchestrator.py:969-970``, S14).
+- :func:`overwrite_partitions` / :func:`staged_overwrite` — the physical
+  layer: dynamic partition overwrite for scoped rewrites; staged write +
+  atomic rename for the weather pipeline's all-or-nothing commit
+  (``weather.py:1646-1660``, ST3).
+
+Scale: every kernel is a single keyed join or union — one shuffle on the
+MERGE key, map-side pruned columns, no collect. Partition overwrite touches
+only the partitions present in the new data (dynamic mode), so a re-run of
+one (master, farm) slice never rewrites the table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _val_cols(df: DataFrame, keys: Sequence[str]) -> list[str]:
+    return [c for c in df.columns if c not in keys]
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partial: bool | Sequence[str] = False,
+) -> DataFrame:
+    """Keyed MERGE: update matched rows from ``updates``, insert unmatched.
+
+    ``partial`` selects NVL(:new, old) column semantics — a NULL in the
+    update row keeps the target's value (the reference's RAIN_PROB partial
+    update): ``True`` applies it to every value column, a list applies it to
+    just those columns (the reference mixes both styles in one MERGE).
+
+    Requires both sides to share the schema. One full-outer join on the
+    keys; updates must be unique per key (enforce upstream — the reference's
+    MERGE has the same precondition).
+    """
+    keys = list(keys)
+    vals = _val_cols(target, keys)
+    if set(vals) != set(_val_cols(updates, keys)):
+        raise ValueError("merge_upsert: target/updates value columns differ")
+    partial_cols = set(vals) if partial is True else set(partial or ())
+    t = target.select(*keys, *vals, F.lit(1).alias("__in_t"))
+    u = updates.select(
+        *keys, *[F.col(c).alias(f"__u_{c}") for c in vals], F.lit(1).alias("__in_u")
+    )
+    j = t.join(u, keys, "full_outer")
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for c in vals:
+        new, old = F.col(f"__u_{c}"), F.col(c)
+        if c in partial_cols:
+            merged = F.coalesce(new, old)
+        else:
+            merged = F.when(F.col("__in_u").isNotNull(), new).otherwise(old)
+        out_cols.append(merged.alias(c))
+    return j.select(*out_cols)
+
+
+def insert_if_absent(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE with only WHEN NOT MATCHED: existing keys win, new keys append.
+
+    left-anti + union — the exact plan the reference's comment asks for.
+    """
+    keys = list(keys)
+    fresh = updates.join(target.select(*keys), keys, "left_anti")
+    return target.unionByName(fresh)
+
+
+def delete_matching(target: DataFrame, pred: Column) -> DataFrame:
+    """Idempotent section delete: drop rows matching the section predicate
+    (the DELETE every processor runs before re-inserting its GUBUN slice)."""
+    return target.filter(~pred | pred.isNull())
+
+
+def delete_then_insert(
+    target: DataFrame, replacement: DataFrame, pred: Column
+) -> DataFrame:
+    """Delete-by-predicate then bulk insert — idempotent re-run of a scope.
+
+    The caller guarantees ``replacement`` rows all satisfy ``pred`` (same
+    contract as the reference's delete-by-UK-then-insert saver).
+    """
+    return delete_matching(target, pred).unionByName(replacement)
+
+
+def with_surrogate_key(
+    df: DataFrame, name: str, order_by: Sequence[str], start: int = 1
+) -> DataFrame:
+    """Deterministic dense surrogate ids (replaces SEQ_*.NEXTVAL).
+
+    ``row_number`` over an explicit total order: reproducible across runs —
+    unlike ``monotonically_increasing_id`` whose values depend on partition
+    layout. The global window is acceptable for output-row id assignment
+    (bounded report rows); for fact-scale keys prefer composite natural keys.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(name, F.row_number().over(w) + F.lit(start - 1))
+
+
+# --- physical parquet sinks ------------------------------------------------
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: Sequence[str]
+) -> None:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present in
+    ``df``, leave every other partition untouched (the parquet equivalent of
+    ``replaceWhere`` / the reference's delete-by-UK-then-insert)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """All-or-nothing table replace (ST3): materialize to a staging dir,
+    then atomically swap. If the job fails mid-write the live table is
+    untouched — the reference refuses to save partial weather batches for
+    the same reason (``weather.py:1646-1660``).
+    """
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+    finally:
+        # A failed job must leave neither a partial staging dir nor a
+        # stranded backup — only the untouched live table.
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet dir, or an empty frame with the given schema if the
+    sink doesn't exist yet (first run of an incremental pipeline)."""
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)

@@ -1,0 +1,96 @@
+"""Round-trip tests for the physical write path: dynamic partition
+overwrite, staged atomic swap, read-or-empty bootstrap, surrogate keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.sources.sinks import (
+    merge_upsert,
+    overwrite_partitions,
+    read_or_empty,
+    staged_overwrite,
+    with_surrogate_key,
+)
+
+SCHEMA = "day STRING, k INT, v DOUBLE"
+
+
+def _rows(df):
+    return sorted((r.day, r.k, r.v) for r in df.collect())
+
+
+def test_overwrite_partitions_touches_only_new_partitions(spark, tmp_path):
+    path = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [("d1", 1, 1.0), ("d1", 2, 2.0), ("d2", 3, 3.0)], SCHEMA
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    # Re-run of the d1 slice only: d2 must survive untouched.
+    redo = spark.createDataFrame([("d1", 9, 9.0)], SCHEMA)
+    overwrite_partitions(redo, path, ["day"])
+    got = spark.read.parquet(path).select("day", "k", "v")
+    assert _rows(got) == [("d1", 9, 9.0), ("d2", 3, 3.0)]
+
+    # Idempotent: same write again -> same state.
+    overwrite_partitions(redo, path, ["day"])
+    assert _rows(spark.read.parquet(path).select("day", "k", "v")) == [
+        ("d1", 9, 9.0),
+        ("d2", 3, 3.0),
+    ]
+
+
+def test_staged_overwrite_all_or_nothing(spark, tmp_path):
+    path = str(tmp_path / "table")
+    v1 = spark.createDataFrame([("d1", 1, 1.0)], SCHEMA)
+    staged_overwrite(spark, v1, path)
+    assert _rows(spark.read.parquet(path)) == [("d1", 1, 1.0)]
+
+    # Successful replace swaps atomically.
+    v2 = spark.createDataFrame([("d2", 2, 2.0)], SCHEMA)
+    staged_overwrite(spark, v2, path)
+    assert _rows(spark.read.parquet(path)) == [("d2", 2, 2.0)]
+
+    # Failing job leaves the live table untouched (ST3: refuse partial).
+    bad = spark.createDataFrame([("d3", 3, 3.0)], SCHEMA).withColumn(
+        "v", F.raise_error(F.lit("boom")).cast("double")
+    )
+    with pytest.raises(Exception, match="boom"):
+        staged_overwrite(spark, bad.select("day", "k", "v"), path)
+    assert _rows(spark.read.parquet(path)) == [("d2", 2, 2.0)]
+    # No staging/backup garbage left behind.
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__staging" in d or "__old" in d] == []
+
+
+def test_read_or_empty_bootstrap_and_merge_cycle(spark, tmp_path):
+    """First-run bootstrap -> merge -> write -> merge again (ST1 shape)."""
+    path = str(tmp_path / "incr")
+    state = read_or_empty(spark, path, SCHEMA)
+    assert state.count() == 0
+
+    batch1 = spark.createDataFrame([("d1", 1, 1.0), ("d1", 2, 2.0)], SCHEMA)
+    staged_overwrite(spark, merge_upsert(state, batch1, ["day", "k"]), path)
+
+    batch2 = spark.createDataFrame([("d1", 2, 20.0), ("d2", 3, 3.0)], SCHEMA)
+    state = read_or_empty(spark, path, SCHEMA)
+    staged_overwrite(spark, merge_upsert(state, batch2, ["day", "k"]), path)
+
+    assert _rows(spark.read.parquet(path)) == [
+        ("d1", 1, 1.0),
+        ("d1", 2, 20.0),
+        ("d2", 3, 3.0),
+    ]
+
+
+def test_with_surrogate_key_deterministic(spark):
+    df = spark.createDataFrame([("b", 2), ("a", 1), ("c", 3)], "nm STRING, x INT")
+    out1 = {r.nm: r.sk for r in with_surrogate_key(df, "sk", ["nm"]).collect()}
+    out2 = {r.nm: r.sk for r in with_surrogate_key(df, "sk", ["nm"], start=100).collect()}
+    assert out1 == {"a": 1, "b": 2, "c": 3}
+    assert out2 == {"a": 100, "b": 101, "c": 102}
