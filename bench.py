@@ -43,6 +43,10 @@ HEADLINE = [
     "docs_minhash_neardup_pairs",
     "docs_token_stats",
     "embeddings_knn_bucketed",
+    "user_sessions_gap30",
+    "nearest_station_haversine",
+    "merge_upsert_partial",
+    "pivot_crosstab_zero_fill",
 ]
 
 

@@ -105,6 +105,23 @@ def is_culled(out_dt: Column, base_yyyymmdd: str) -> Column:
     return (out_dt != ALIVE_SENTINEL) & (out_dt <= base_yyyymmdd)
 
 
+# --- KST business clock (X19) ---------------------------------------------
+# The reference pins business time to UTC+9 regardless of server timezone
+# (``src/common/timezone.py:14-29``). Driver-side helpers — the Spark
+# session zone stays UTC for deterministic distributed date math, and these
+# provide the wall-clock the orchestration layer reasons in.
+
+KST = dt.timezone(dt.timedelta(hours=9), name="Asia/Seoul")
+
+
+def kst_now() -> dt.datetime:
+    return dt.datetime.now(KST)
+
+
+def kst_today() -> dt.date:
+    return kst_now().date()
+
+
 US_PER_SEC = 1_000_000
 US_PER_DAY = 86_400 * US_PER_SEC
 

@@ -72,8 +72,10 @@ def _load() -> None:
         llm_dedup,
         llm_similarity,
         llm_text,
+        multimodal,
         pivots,
         scalar_funcs,
+        sessions,
         sinks_merge,
         status_schedule,
         tpch,

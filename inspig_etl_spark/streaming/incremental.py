@@ -1,0 +1,166 @@
+"""Incremental ingestion kernel (ST1-ST4, ST6).
+
+Mapping from the reference's batch-incremental semantics:
+
+- **ST1 hourly micro-batch upsert** — ``foreach_batch_upsert`` merges every
+  micro-batch into a keyed parquet sink through the same
+  ``sources.sinks.merge_upsert`` kernel the batch path uses (on Delta this
+  becomes MERGE INTO; nothing else changes).
+- **ST2 late/corrected data** — the upsert is keyed, so a re-read of a
+  trailing window simply overwrites the stale rows; with true streams,
+  ``windowed_counts`` bounds state with a watermark instead.
+- **ST3 all-or-nothing commit** — each micro-batch write goes through
+  ``staged_overwrite`` (atomic swap): a failed batch leaves the sink
+  untouched, exactly like the reference refusing partial weather saves
+  (``/root/reference/src/collectors/weather.py:1646-1660``).
+- **ST4 forecast layering** — ``layered_merge`` applies ordered passes:
+  upsert (short-term) → overwrite (observed) → insert-if-absent (mid-term)
+  (``weather.py:1697-1732,1879-1918,2406-2443``).
+- **ST6 run manifest** — ``RunManifest`` mirrors the master/job-log rows
+  (RUNNING → COMPLETE/ERROR with counts and elapsed ms,
+  ``orchestrator.py:946-990``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from inspig_etl_spark.sources.sinks import (
+    insert_if_absent,
+    merge_upsert,
+    read_or_empty,
+    staged_overwrite,
+)
+
+
+def stream_parquet(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """File-source stream over a parquet directory (schema required — a
+    streaming source must never infer)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the late-data-safe rollup.
+
+    The watermark bounds state: events later than it are dropped, which is
+    the streaming analogue of the reference's bounded 7-day ASOS re-read
+    window (beyond it, corrections are not applied).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "event_cnt",
+        )
+    )
+
+
+def foreach_batch_upsert(
+    sink_path: str,
+    keys: Sequence[str],
+    schema: str,
+    partial: bool | Sequence[str] = False,
+) -> Callable[[DataFrame, int], None]:
+    """ForeachBatch hook: MERGE each micro-batch into a keyed parquet sink.
+
+    Deduplicates the batch per key first (last writer wins within a batch,
+    like MERGE's precondition), then merge + atomic swap.
+    """
+    keys = list(keys)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = batch.dropDuplicates(keys)
+        state = read_or_empty(spark, sink_path, schema)
+        merged = merge_upsert(state, deduped, keys, partial=partial)
+        staged_overwrite(spark, merged, sink_path)
+
+    return apply
+
+
+def start_upsert_stream(
+    events: DataFrame,
+    sink_path: str,
+    keys: Sequence[str],
+    schema: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> DataStreamWriter:
+    """Wire a stream into the upsert sink (availableNow drains the backlog
+    then stops — the cron-batch execution mode the reference uses)."""
+    writer = (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(foreach_batch_upsert(sink_path, keys, schema))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def layered_merge(
+    target: DataFrame,
+    short_term: DataFrame | None,
+    observed: DataFrame | None,
+    mid_term: DataFrame | None,
+    keys: Sequence[str],
+) -> DataFrame:
+    """ST4 precedence: short-term upsert, then observed overwrite (wins over
+    forecasts), then mid-term fills only absent keys."""
+    out = target
+    if short_term is not None:
+        out = merge_upsert(out, short_term, keys)
+    if observed is not None:
+        out = merge_upsert(out, observed, keys)
+    if mid_term is not None:
+        out = insert_if_absent(out, mid_term, keys)
+    return out
+
+
+@dataclass
+class RunManifest:
+    """Master/job-log bookkeeping (ST6): one manifest per run, one entry per
+    step, written as a JSON file next to the sink."""
+
+    run_id: str
+    path: str
+    status: str = "RUNNING"
+    started_at: float = field(default_factory=time.time)
+    steps: list[dict] = field(default_factory=list)
+
+    def record_step(self, name: str, status: str, rows: int, elapsed_ms: int) -> None:
+        self.steps.append(
+            {"step": name, "status": status, "rows": rows, "elapsed_ms": elapsed_ms}
+        )
+
+    def finish(self, status: str = "COMPLETE") -> None:
+        self.status = status
+        payload = {
+            "run_id": self.run_id,
+            "status": self.status,
+            "elapsed_sec": round(time.time() - self.started_at, 3),
+            "steps": self.steps,
+        }
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self.path)  # atomic, like the master-row final update

@@ -1,0 +1,97 @@
+"""Gap-based sessionization — the custom stateful streaming operator.
+
+Two implementations with identical semantics:
+
+- :func:`sessionize_batch` — pure window functions (lag → gap flag →
+  running sum), used BOTH as a registered oracle-checked query and as the
+  correctness baseline for the stateful path.
+- :func:`sessionize_stream` — ``applyInPandasWithState`` keeping per-user
+  (last_ts, session_no) state with an event-time timeout; the pattern the
+  brief names for "custom stateful operators" that built-in streaming
+  aggregations can't express.
+
+A session breaks when the gap since the user's previous event exceeds
+``gap``. Session ids are 1-based per user in event order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SECONDS = 1800  # 30 minutes
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_id BIGINT, ts_sec BIGINT, session_no INT"
+)
+SESSION_STATE_SCHEMA = "last_ts BIGINT, session_no INT"
+
+
+def sessionize_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_sec_col: str = "ts_sec",
+    id_col: str = "event_id",
+    gap: int = GAP_SECONDS,
+) -> DataFrame:
+    """Window-function sessionization: one shuffle on the user key."""
+    w = Window.partitionBy(user_col).orderBy(ts_sec_col, id_col)
+    gap_flag = F.when(
+        F.col(ts_sec_col) - F.lag(ts_sec_col).over(w) > gap, 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_sec_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("__brk", gap_flag).withColumn(
+        "session_no", (F.sum("__brk").over(run) + 1).cast("int")
+    ).drop("__brk")
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user state function: carries (last_ts, session_no) across
+    micro-batches; events within a batch are sorted by (ts, id)."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, session_no = state.get
+    else:
+        last_ts, session_no = None, 1
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_sec", "event_id"])
+        for _, row in pdf.iterrows():
+            ts = int(row["ts_sec"])
+            if last_ts is not None and ts - last_ts > GAP_SECONDS:
+                session_no += 1
+            last_ts = ts
+            out_rows.append((user_id, int(row["event_id"]), ts, session_no))
+    state.update((last_ts, session_no))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "event_id", "ts_sec", "session_no"]
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming sessionization over (user_id, event_id, ts_sec).
+
+    NoTimeout keeps state for the lifetime of the query — acceptable for
+    availableNow backfills; a production always-on stream should use
+    EventTimeTimeout with a watermark to expire idle users.
+    """
+    from inspig_etl_spark.pyfiles import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

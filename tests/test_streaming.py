@@ -1,0 +1,160 @@
+"""Structured-Streaming tests (ST1-ST6): watermarked windows, foreachBatch
+MERGE sink, layered precedence, stateful sessionization vs its batch oracle,
+and the run manifest.
+
+All streams run with trigger(availableNow) over parquet file sources — the
+cron-batch execution mode the reference uses, drained to completion inside
+the test.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.streaming.incremental import (
+    RunManifest,
+    layered_merge,
+    start_upsert_stream,
+    stream_parquet,
+    windowed_counts,
+)
+from inspig_etl_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+from tests.conftest import SF_SMOKE
+
+EVENT_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
+
+
+def _events_with_ts(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.col("ts_us") / 1_000_000).alias("ts"),
+    )
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    _events_with_ts(spark).write.parquet(src)
+
+    stream = stream_parquet(spark, src, EVENT_SCHEMA)
+    agg = windowed_counts(stream, "ts", window="6 hours", watermark="1 hour", keys=["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.event_cnt
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected = {
+        (r.win.start, r.event_type): r.cnt
+        for r in _events_with_ts(spark)
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # availableNow emits only windows closed by the final watermark; every
+    # emitted window must match the batch rollup exactly.
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_foreach_batch_upsert_incremental(spark, tmp_path):
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k BIGINT, v DOUBLE, ts TIMESTAMP"
+
+    b1 = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00"), (2, 2.0, "2024-01-01 00:01:00")],
+        "k BIGINT, v DOUBLE, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.write.mode("append").parquet(src)
+
+    stream = stream_parquet(spark, src, schema)
+    q = start_upsert_stream(stream, sink, ["k"], schema, ckpt).start()
+    q.awaitTermination(120)
+    state = {r.k: r.v for r in spark.read.parquet(sink).collect()}
+    assert state == {1: 1.0, 2: 2.0}
+
+    # Late/corrected batch (ST2): same key 2 with a new value + a new key.
+    b2 = spark.createDataFrame(
+        [(2, 20.0, "2024-01-01 01:00:00"), (3, 3.0, "2024-01-01 01:01:00")],
+        "k BIGINT, v DOUBLE, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2.write.mode("append").parquet(src)
+
+    stream = stream_parquet(spark, src, schema)
+    q = start_upsert_stream(stream, sink, ["k"], schema, ckpt).start()
+    q.awaitTermination(120)
+    state = {r.k: r.v for r in spark.read.parquet(sink).collect()}
+    assert state == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_layered_merge_precedence(spark):
+    schema = "k INT, v STRING"
+    target = spark.createDataFrame([(1, "old"), (2, "old")], schema)
+    short_term = spark.createDataFrame([(1, "forecast"), (3, "forecast")], schema)
+    observed = spark.createDataFrame([(1, "observed")], schema)
+    mid_term = spark.createDataFrame([(1, "mid"), (4, "mid")], schema)
+
+    out = {
+        r.k: r.v
+        for r in layered_merge(target, short_term, observed, mid_term, ["k"]).collect()
+    }
+    # observed beats forecast beats old; mid-term only fills absent keys.
+    assert out == {1: "observed", 2: "old", 3: "forecast", 4: "mid"}
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ev = _events_with_ts(spark).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    ev.write.parquet(src)
+
+    batch = {
+        (r.user_id, r.event_id): r.session_no
+        for r in sessionize_batch(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema("user_id BIGINT, event_id BIGINT, ts_sec BIGINT").parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.event_id): r.session_no
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert streamed == batch
+    assert max(batch.values()) > 1  # the data actually breaks sessions
+
+
+def test_run_manifest(tmp_path):
+    path = str(tmp_path / "manifests" / "run_1.json")
+    m = RunManifest(run_id="r1", path=path)
+    assert m.status == "RUNNING"
+    m.record_step("collect", "SUCCESS", rows=100, elapsed_ms=12)
+    m.record_step("report", "ERROR", rows=0, elapsed_ms=5)
+    m.finish("ERROR")
+    with open(path) as f:
+        payload = json.load(f)
+    assert payload["status"] == "ERROR"
+    assert [s["step"] for s in payload["steps"]] == ["collect", "report"]
