@@ -69,6 +69,12 @@ def main() -> None:
 
     qmap = reg.queries()
     names = [n for n in HEADLINE if n in qmap]
+
+    # Warm up the JVM (codegen, shuffle service, parquet footer reads) so
+    # per-query timings measure the PLAN, not one-time session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).limit(1).count()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

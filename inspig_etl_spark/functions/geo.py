@@ -36,6 +36,34 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
 
 
+def haversine_a(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """The haversine PARAMETER a in [0, 1] — strictly monotone in distance.
+
+    Rank/minimize on this instead of the full distance: it skips the
+    asin/sqrt/2R per candidate pair, which at |farms| x |stations| pairs is
+    the bulk of the trig budget. Convert only the winner via
+    ``a_to_km``.
+    """
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    return (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+
+
+def a_to_km(a: Column) -> Column:
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def sql_haversine_a(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"(sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2))"
+    )
+
+
 def sql_haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return (
         f"2 * {EARTH_RADIUS_KM} * asin(sqrt("

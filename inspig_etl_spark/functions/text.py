@@ -56,6 +56,67 @@ def sql_token_ngrams(toks_expr: str, n: int, sep: str = " ") -> str:
     )
 
 
+ROLL_A = 1_000_003  # positional multiplier for combined shingle hashes
+
+
+def token_hashes(toks: Column) -> Column:
+    """Per-token 31-bit hashes (array<bigint>) — bind this as its OWN
+    projected column before deriving shingles: a shared expensive array
+    subtree referenced element-wise gets re-evaluated per access otherwise.
+    """
+    return F.transform(toks, lambda t: hashed(t))
+
+
+def token_ngram_hashes_from(hashes: Column, n: int) -> Column:
+    """Distinct hashed word n-gram shingles from a bound hash-array column,
+    built ARITHMETICALLY: ``((h_i*A + h_{i+1})*A + h_{i+2}) mod P``.
+
+    Cheaper than materializing shingle strings and hashing each (no
+    per-position string concat, set ops on longs, one text hash per TOKEN
+    not per shingle). Implementation is zip_with over shifted slices —
+    never per-element ``element_at`` (which re-evaluates the array subtree
+    per access, measured 5x slower). The 2^31 hash space makes per-doc
+    shingle collisions negligible, and both engines compute identical
+    values.
+    """
+    cnt = F.size(hashes) - (n - 1)
+    acc = F.slice(hashes, F.lit(1), cnt)
+    for k in range(1, n):
+        nxt = F.slice(hashes, F.lit(k + 1), cnt)
+        acc = F.zip_with(acc, nxt, lambda x, y: (x * ROLL_A + y) % HASH_P)
+    return F.array_distinct(
+        F.when(F.size(hashes) >= n, acc).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def token_ngram_hashes(toks: Column, n: int) -> Column:
+    """Convenience composition; prefer binding :func:`token_hashes` as a
+    column first when the result feeds multiple consumers."""
+    return token_ngram_hashes_from(token_hashes(toks), n)
+
+
+def sql_token_hashes(toks_expr: str) -> str:
+    """BIGINT[] of per-token hashes — bind as a named column, then feed
+    :func:`sql_token_ngram_hashes_from`."""
+    return f"list_transform({toks_expr}, t -> {sql_hashed('t')})"
+
+
+def sql_token_ngram_hashes_from(hashes_col: str, n: int) -> str:
+    """The shingle combination over an already-bound hash-array column.
+
+    DuckDB's list indexing on a bound column is cheap, so the
+    list_transform-with-index form is fine here (unlike Spark, where the
+    slice/zip_with form avoids subtree re-evaluation).
+    """
+    inner = f"{hashes_col}[i]"
+    for k in range(1, n):
+        inner = f"(({inner}) * {ROLL_A} + {hashes_col}[i+{k}]) % {HASH_P}"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len({hashes_col}) - {n - 1}), i -> {inner}))"
+    )
+
+
 def md5_long(col: Column) -> Column:
     """Deterministic 60-bit positive hash: first 15 hex chars of md5.
 

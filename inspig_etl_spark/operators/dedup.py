@@ -78,14 +78,14 @@ def canonicalize(df: DataFrame, id_col: str, group_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """k-wide MinHash signature of a shingle array (array<bigint>).
+def minhash_signature(shingle_hashes: Column, k: int = MINHASH_K) -> Column:
+    """k-wide MinHash signature over ALREADY-HASHED shingles (array<bigint>,
+    e.g. functions.text.token_ngram_hashes).
 
-    One md5 per shingle, then k cheap modular permutations — not k md5
-    passes. Empty shingle sets get sentinel P (so empty docs never collide
-    with real minima).
+    k cheap modular permutations of the shared base hash — never k hash
+    passes over the text. Empty shingle sets get sentinel P (so empty docs
+    never collide with real minima).
     """
-    base = F.transform(shingles, lambda s: hashed(s))
 
     def perm(a: int, b: int):
         # Closure factory, NOT a default-arg lambda: PySpark counts lambda
@@ -94,7 +94,7 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
         return lambda h: (h * a + b) % HASH_P
 
     mins = [
-        F.coalesce(F.array_min(F.transform(base, perm(a, b))), F.lit(HASH_P))
+        F.coalesce(F.array_min(F.transform(shingle_hashes, perm(a, b))), F.lit(HASH_P))
         for a, b in minhash_coeffs(k)
     ]
     return F.array(*mins)

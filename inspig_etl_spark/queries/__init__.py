@@ -79,6 +79,7 @@ def _load() -> None:
         sinks_merge,
         status_schedule,
         tpch,
+        weekly_report,
     )
 
     _LOADED = True

@@ -307,6 +307,64 @@ def monthly_ratio_then_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intersect_except_nations",
+    operators="U3 (INTERSECT/EXCEPT set ops — available natively, unused by the reference)",
+    oracle="""
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500),
+s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_suppkey % 2 = 0)
+SELECT 'both' AS membership, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'rich_customers_only', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+""",
+)
+def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 2 == 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = c.intersect(s).select(F.lit("both").alias("membership"), "nationkey")
+    only = c.exceptAll(s).select(
+        F.lit("rich_customers_only").alias("membership"), "nationkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "newline_template_block",
+    operators="X10,X11 (LISTAGG + newline-joined template text; ref schedule.py:1055-1130)",
+    oracle="""
+SELECT p_brand,
+       'brand: ' || p_brand || chr(10) ||
+       string_agg(p_type || '(' || cnt || ')', chr(10) ORDER BY p_type) AS summary_block
+FROM (SELECT p_brand, p_type, COUNT(*) AS cnt FROM part GROUP BY 1, 2)
+GROUP BY p_brand
+""",
+)
+def newline_template_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The settings-snapshot text block: 'name(N)' lines joined with CHR(10)
+    under a header — template assembly as expressions."""
+    part = table(spark, sf_dir, "part")
+    per_type = part.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("cnt"))
+    line = F.concat(F.col("p_type"), F.lit("("), F.col("cnt"), F.lit(")"))
+    return per_type.groupBy("p_brand").agg(
+        F.concat(
+            F.lit("brand: "),
+            F.col("p_brand"),
+            F.lit("\n"),
+            F.concat_ws("\n", F.sort_array(F.collect_list(line))),
+        ).alias("summary_block")
+    )
+
+
+@register(
     "running_max_so_far",
     operators="W3 (running max-so-far reduce; ref data_loader.py:625-649)",
     oracle="""

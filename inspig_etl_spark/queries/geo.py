@@ -7,14 +7,16 @@ derived from their keys — the same formula in Spark and the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inspig_etl_spark.catalog import table
 from inspig_etl_spark.functions.geo import (
-    haversine_km,
+    EARTH_RADIUS_KM,
+    a_to_km,
+    haversine_a,
     lambert_grid,
-    sql_haversine_km,
+    sql_haversine_a,
     sql_lambert_grid,
 )
 from inspig_etl_spark.queries import register
@@ -56,42 +58,47 @@ def _stations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nearest_station_haversine",
-    operators="J11,X15 (broadcast cross join + Haversine + row_number nearest; ref weather.py:142-148,213-276)",
+    operators="J11,X15 (broadcast cross join + Haversine + min-struct nearest; ref weather.py:142-148,213-276)",
     oracle=f"""
 WITH {_SQL_FARM}, {_SQL_STATION},
 d AS (
   SELECT farm_no, stn_id,
-         ROUND({sql_haversine_km('farms.lat', 'farms.lon', 'stations.lat', 'stations.lon')}, 4) AS dist_km
+         CAST(FLOOR({sql_haversine_a('farms.lat', 'farms.lon', 'stations.lat', 'stations.lon')} * 1e12) AS BIGINT) AS a
   FROM farms CROSS JOIN stations
 ),
-r AS (
-  SELECT farm_no, stn_id, dist_km,
-         ROW_NUMBER() OVER (PARTITION BY farm_no ORDER BY dist_km, stn_id) AS rn
-  FROM d
+best AS (
+  SELECT farm_no, MIN({{'a': a, 'stn': stn_id}}) AS b FROM d GROUP BY farm_no
 )
-SELECT farm_no, stn_id AS nearest_stn, dist_km FROM r WHERE rn = 1
+SELECT farm_no, b.stn AS nearest_stn,
+       ROUND(2 * {EARTH_RADIUS_KM} * asin(sqrt(b.a / 1e12)), 4) AS dist_km
+FROM best
 """,
 )
 def nearest_station_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each farm's nearest ASOS station. Ranking uses the ROUNDED distance
-    with the station id as tiebreak: sub-ulp libm differences between
-    engines can never flip the order."""
+    """Each farm's nearest ASOS station.
+
+    Three scale/parity choices: (1) candidates are ranked on the monotone
+    haversine PARAMETER (no asin/sqrt per pair; only the winner converts to
+    km); (2) the rank key is integer-quantized (floor(a*1e12), pure double
+    math — a per-pair decimal ROUND measured 3x slower) with station-id
+    tiebreak so sub-ulp libm differences between engines can't flip the
+    order on symmetric exact-tie layouts; (3) the nearest pick is a
+    ``min(struct)`` AGGREGATE, not a row_number window — partial
+    aggregation collapses the |farms| x |stations| pairs map-side, so the
+    shuffle carries one row per farm instead of one per pair."""
     farms = _farms(spark, sf_dir)
     stations = _stations(spark, sf_dir)
+    a = F.floor(
+        haversine_a(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")) * 1e12
+    ).cast("long")
     d = farms.crossJoin(F.broadcast(stations.select(
         "stn_id", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
-    ))).select(
+    ))).select("farm_no", a.alias("a"), "stn_id")
+    best = d.groupBy("farm_no").agg(F.min(F.struct("a", "stn_id")).alias("b"))
+    return best.select(
         "farm_no",
-        "stn_id",
-        F.round(
-            haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")), 4
-        ).alias("dist_km"),
-    )
-    w = Window.partitionBy("farm_no").orderBy("dist_km", "stn_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("farm_no", F.col("stn_id").alias("nearest_stn"), "dist_km")
+        F.col("b.stn_id").alias("nearest_stn"),
+        F.round(a_to_km(F.col("b.a") / 1e12), 4).alias("dist_km"),
     )
 
 

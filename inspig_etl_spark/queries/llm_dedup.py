@@ -26,9 +26,11 @@ from inspig_etl_spark.catalog import table
 from inspig_etl_spark.functions.text import (
     HASH_P,
     sql_md5_long,
-    sql_token_ngrams,
+    sql_token_hashes,
+    sql_token_ngram_hashes_from,
     sql_tokens,
-    token_ngrams,
+    token_hashes,
+    token_ngram_hashes_from,
     tokens,
 )
 from inspig_etl_spark.operators.dedup import (
@@ -48,10 +50,12 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = 4
 HAMMING_MAX = 6
 
-_SQL_SH = sql_token_ngrams(sql_tokens("text"), SHINGLE_N)
-
-# Shared oracle CTE: doc_id + distinct 3-token shingles.
-_SQL_DOCS_SHINGLED = f"t AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents)"
+# Shared oracle CTEs: per-token hashes, then distinct hashed 3-token
+# shingles (array<bigint> — the same arithmetic combination Spark uses).
+_SQL_DOCS_SHINGLED = (
+    f"th AS (SELECT doc_id, {sql_token_hashes(sql_tokens('text'))} AS hs FROM documents),\n"
+    f"t AS (SELECT doc_id, {sql_token_ngram_hashes_from('hs', SHINGLE_N)} AS sh FROM th)"
+)
 
 # Exact Jaccard between two shingle-set columns (a.sh, b.sh), both distinct.
 _SQL_JACCARD = (
@@ -67,8 +71,13 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization Spark recomputes the md5-heavy pipeline once per join
     # branch (measured 10x slower at sf0.1). Same load-once-process-many
     # pattern as the reference's per-farm cache (data_loader.py:93-100).
-    return docs.select(
-        "doc_id", token_ngrams(tokens(F.col("text")), SHINGLE_N).alias("sh")
+    # Two projections: token hashes bound as a column FIRST, shingles
+    # derived from it — one md5 pass per token total.
+    hashed_toks = docs.select(
+        "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
+    )
+    return hashed_toks.select(
+        "doc_id", token_ngram_hashes_from(F.col("hs"), SHINGLE_N).alias("sh")
     ).persist()
 
 
@@ -102,11 +111,11 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_sig() -> str:
-    """DuckDB expression list for the 16 signature minima over `base`."""
+    """DuckDB expression list for the 16 signature minima over `sh`."""
     parts = []
     for a, b in minhash_coeffs():
         parts.append(
-            f"COALESCE(list_min(list_transform(base, h -> (h * {a} + {b}) % {HASH_P})), {HASH_P})"
+            f"COALESCE(list_min(list_transform(sh, h -> (h * {a} + {b}) % {HASH_P})), {HASH_P})"
         )
     return "[" + ", ".join(parts) + "]"
 
@@ -116,12 +125,7 @@ def _sql_minhash_sig() -> str:
     operators="LLM-dedup-minhash (MinHash sigs + LSH banding + Jaccard verify; brief: 'MinHash+LSH (shingle->minhash->band->bucket-join)')",
     oracle=f"""
 WITH {_SQL_DOCS_SHINGLED},
-h AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> {sql_md5_long('s')} % {HASH_P}) AS base
-  FROM t
-),
-sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM h),
+sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM t),
 band AS (
   SELECT doc_id, band_no,
          array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key
