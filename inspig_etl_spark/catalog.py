@@ -69,3 +69,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for spark.sql() use."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before CPU-heavy per-row
+    work (hash pipelines, trig kernels, cross-join fan-outs).
+
+    A parquet scan yields O(file-bytes / maxPartitionBytes) tasks — correct
+    for IO, but a row that is cheap to READ can be expensive to PROCESS
+    (md5-per-token shingling, |stations|-fold fan-out). Spreading costs one
+    tiny shuffle of the raw rows and buys cluster-wide parallelism for the
+    expensive stage; at 100 TB the scan already yields thousands of tasks
+    and this becomes a cheap no-op-sized rebalance (AQE coalesces it).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

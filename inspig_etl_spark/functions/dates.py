@@ -125,6 +125,33 @@ def kst_today() -> dt.date:
 US_PER_SEC = 1_000_000
 US_PER_DAY = 86_400 * US_PER_SEC
 
+# --- UD3: UTC → locale view time ------------------------------------------
+# The reference stores UTC and converts for display/comparison with
+# ``SF_GET_LOCALE_VW_DATE_2022(LOCALE, SYSDATE)`` — KOR +09:00, VNM +07:00
+# (``/root/reference/docs/db/ins/02_TABLE.md:94-99``). Fixed offsets (no
+# DST in either zone), so the conversion is pure integer µs arithmetic —
+# session-timezone-proof, unlike from_utc_timestamp which renders through
+# the JVM zone rules.
+
+LOCALE_OFFSET_HOURS = {"KOR": 9, "VNM": 7}
+
+
+def locale_offset_us(locale: Column) -> Column:
+    """Per-row UTC offset in microseconds for a locale code column.
+
+    Unknown locales fall back to 0 (UTC) — the reference function raises for
+    unknown codes, but a distributed filter should degrade, not abort.
+    """
+    expr = F.lit(0)
+    for code, hours in LOCALE_OFFSET_HOURS.items():
+        expr = F.when(locale == code, F.lit(hours * 3600 * 1_000_000)).otherwise(expr)
+    return expr
+
+
+def to_locale_us(ts_us: Column, locale: Column) -> Column:
+    """Epoch-µs UTC → epoch-µs shifted to the locale's wall clock (UD3)."""
+    return ts_us + locale_offset_us(locale)
+
 
 def us_to_sec(col: Column) -> Column:
     """Epoch-microseconds → whole epoch seconds (flooring).

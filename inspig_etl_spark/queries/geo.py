@@ -86,7 +86,12 @@ def nearest_station_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min(struct)`` AGGREGATE, not a row_number window — partial
     aggregation collapses the |farms| x |stations| pairs map-side, so the
     shuffle carries one row per farm instead of one per pair."""
-    farms = _farms(spark, sf_dir)
+    # The farm table arrives in O(file-size) partitions, but the cross join
+    # fans each row out |stations|-fold — without a repartition the whole
+    # |farms|x|stations| evaluation lands on the handful of scan tasks.
+    # Spreading the SMALL side before the fan-out costs a tiny shuffle and
+    # buys full-cluster parallelism at any scale.
+    farms = _farms(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     stations = _stations(spark, sf_dir)
     a = F.floor(
         haversine_a(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")) * 1e12

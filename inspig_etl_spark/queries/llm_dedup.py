@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inspig_etl_spark.catalog import table
+from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.functions.text import (
     HASH_P,
     sql_md5_long,
@@ -73,7 +73,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern as the reference's per-farm cache (data_loader.py:93-100).
     # Two projections: token hashes bound as a column FIRST, shingles
     # derived from it — one md5 pass per token total.
-    hashed_toks = docs.select(
+    hashed_toks = spread(docs).select(
         "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
     )
     return hashed_toks.select(
@@ -185,7 +185,7 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
 def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # persist(): the simhash sketch feeds a self-join (see _shingled note).
-    s = docs.select("doc_id", simhash32(tokens(F.col("text"))).alias("simhash")).persist()
+    s = spread(docs).select("doc_id", simhash32(tokens(F.col("text"))).alias("simhash")).persist()
     banded = s.withColumn("band_keys", simhash_band_keys(F.col("simhash")))
     keyed = banded.select(
         "doc_id", "simhash", F.posexplode("band_keys").alias("band_no", "band_key")

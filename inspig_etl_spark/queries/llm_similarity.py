@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from inspig_etl_spark.catalog import table
+from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.operators.similarity import (
     cosine_topk,
     hyperplane_signs,
@@ -68,7 +68,7 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
 """,
 )
 def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
@@ -106,7 +106,7 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
 """,
 )
 def embeddings_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _SIGNS)
     )
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -135,7 +135,7 @@ FROM s WHERE sim >= {NEARDUP_COS}
 """,
 )
 def embeddings_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     from inspig_etl_spark.operators.similarity import dot, norm
 
     n = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))

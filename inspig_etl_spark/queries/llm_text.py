@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inspig_etl_spark.catalog import table
+from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.functions.text import (
     HASH_P,
     sql_stopword_count,
@@ -38,7 +38,7 @@ FROM documents
 """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     hashed = with_content_hash(docs, "text")
     return canonicalize(hashed, "doc_id", "content_hash").select(
         "doc_id", "content_hash", "canonical_id", "is_dup"
@@ -68,7 +68,7 @@ FROM fp
 """,
 )
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     fp = with_fingerprint(docs, "text")
     return canonicalize(fp, "doc_id", "fingerprint").select(
         "doc_id", "fingerprint", "rolling_hash", "canonical_id", "is_dup"
@@ -94,7 +94,7 @@ FROM t
 """,
 )
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     toks = F.col("toks")
     n = F.size(toks).cast("bigint")
@@ -146,7 +146,7 @@ GROUP BY source
 """,
 )
 def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     toks = F.col("toks")
     n = F.size(toks).cast("bigint")
@@ -195,7 +195,7 @@ FROM s
 """,
 )
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     for lg in _LANGS:
         d = d.withColumn(f"score_{lg}", stopword_count(F.col("toks"), lg))

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inspig_etl_spark.catalog import table
+from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.operators.multimodal import decode_media, synthetic_media
 from inspig_etl_spark.queries import register
 
@@ -29,7 +29,7 @@ FROM documents
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The metadata contract of the media table, derivable in pure SQL:
     expected blob size from the typed metadata + a payload-source hash."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -52,7 +52,7 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # the decode stub is Python-side; invariants pinned in tests/test_multimodal.py
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     media = synthetic_media(docs)
     decoded = decode_media(media)
     return decoded.select(

@@ -194,3 +194,53 @@ def safe_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count(parsed)).alias("junk_cnt"),
         F.sum(F.coalesce(parsed, F.lit(0))).alias("size_sum"),
     )
+
+
+@register(
+    "locale_view_date",
+    operators="UD3,X19 (UTC→locale view time, KOR +9 / VNM +7; ref docs/db/ins/02_TABLE.md:94-99)",
+    oracle="""
+WITH e AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'KOR' ELSE 'VNM' END AS locale,
+         ts + CASE WHEN user_id % 2 = 0 THEN INTERVAL 9 HOUR
+                   ELSE INTERVAL 7 HOUR END AS lts
+  FROM events
+)
+SELECT locale,
+       CAST(lts AS DATE) AS local_day,
+       COUNT(*) AS n_events,
+       CAST(MIN(EXTRACT(hour FROM lts)) AS INT) AS first_hour,
+       CAST(MAX(EXTRACT(hour FROM lts)) AS INT) AS last_hour
+FROM e
+GROUP BY locale, CAST(lts AS DATE)
+""",
+)
+def locale_view_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD3: events stored in UTC, viewed on each locale's business clock.
+
+    The locale is derived deterministically from user_id parity (the synthetic
+    stand-in for the reference's per-farm LOCALE column); all arithmetic is
+    integer epoch-µs so the result is identical under any session timezone.
+    """
+    from inspig_etl_spark.functions.dates import US_PER_DAY, to_locale_us, us_to_day
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "KOR").otherwise("VNM").alias("locale"),
+        "ts_us",
+        F.col("user_id"),
+    )
+    local_us = to_locale_us(F.col("ts_us"), F.col("locale"))
+    local_hour = F.floor((local_us % US_PER_DAY) / (3600 * 1_000_000)).cast("int")
+    return (
+        ev.select(
+            "locale",
+            us_to_day(local_us).alias("local_day"),
+            local_hour.alias("lh"),
+        )
+        .groupBy("locale", "local_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lh").alias("first_hour"),
+            F.max("lh").alias("last_hour"),
+        )
+    )

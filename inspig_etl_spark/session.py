@@ -29,6 +29,16 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # local[N] runs driver+executors in ONE JVM whose default heap is 1g —
+    # far too small for 32 concurrent task threads. Only honored when the
+    # session factory actually launches the JVM (i.e. our own test/bench
+    # processes); a cluster submit sets executor memory its own way.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Whole-stage codegen emits one compiled class per pipeline; a session
+    # running the full registry overflows the JVM's default 240 MB code
+    # cache, after which hot loops run INTERPRETED (observed: the trig-heavy
+    # nearest-station kernel 3-5x slower when executed late in a session).
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
 }
 
 
