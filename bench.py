@@ -47,6 +47,9 @@ HEADLINE = [
     "nearest_station_haversine",
     "merge_upsert_partial",
     "pivot_crosstab_zero_fill",
+    "salted_brand_volume",
+    "distinct_users_per_type_skewsafe",
+    "weekly_report_sections",
 ]
 
 

@@ -35,7 +35,7 @@ SQL_ISO_WEEK = "CAST(weekofyear({col}) AS INT)"
 
 
 def report_week_bounds(base_date: dt.date) -> tuple[dt.date, dt.date]:
-    """Last full Mon..Sun week before ``base_date``.
+    """X4: last full Mon..Sun week before ``base_date``.
 
     Mirrors the reference's ``days_to_last_sunday = (weekday+1) % 7 or 7``
     (``src/weekly/orchestrator.py:148-160``): from any base date, back up to

@@ -1,4 +1,6 @@
-"""Geo kernel (SURVEY.md §2.3 J11, §2.8 X15/X16).
+"""Geo kernel (SURVEY.md §2.3 J11, §2.8 X15/X16, §2.10 UD4 — the
+reference's client-side Haversine/Lambert Python functions re-expressed as
+column expressions).
 
 - Haversine great-circle distance as a pure column expression (the
   reference computes it per farm x station in Python,

@@ -1,4 +1,4 @@
-"""Numeric parity helpers.
+"""Numeric parity helpers (SURVEY.md §2.8 X8/X9, §2.10 UD4).
 
 Two concerns, both correctness-critical (SURVEY.md §4 "needs custom work"):
 

@@ -1,4 +1,5 @@
-"""Entity-status truth table (SURVEY.md §2.10 UD1 — ``SF_GET_MODONGB_STATUS``).
+"""Entity-status truth table (SURVEY.md §2.10 UD1/UD4 —
+``SF_GET_MODONGB_STATUS`` and its client-side Python fallback).
 
 The reference derives each sow's status from her LAST work-history event via
 an Oracle server-side UDF, documented as an 8-state truth table at

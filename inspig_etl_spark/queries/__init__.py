@@ -77,6 +77,7 @@ def _load() -> None:
         scalar_funcs,
         sessions,
         sinks_merge,
+        skew,
         status_schedule,
         tpch,
         weekly_report,

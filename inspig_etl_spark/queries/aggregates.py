@@ -279,7 +279,7 @@ def sorted_pinned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "union_all_branches",
-    operators="U1 (UNION ALL of typed branches; ref alert.py:181-187)",
+    operators="U1,A3 (UNION ALL of typed branches + count/sum-by-code; ref alert.py:181-187)",
     oracle=f"""
 WITH branches AS (
   SELECT 'big_order' AS alert_type, o_custkey AS entity_id, o_totalprice AS metric

@@ -132,7 +132,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "next_event_after_error",
-    operators="W5,A9 (forward-looking min / MIN KEEP DENSE_RANK; ref weaning.py:145-162)",
+    operators="W5,A9,F3 (event-type filter + forward-looking min / MIN KEEP DENSE_RANK; ref weaning.py:145-162)",
     oracle=f"""
 WITH nxt AS (
   SELECT user_id, event_type,

@@ -84,7 +84,7 @@ def weekly_report_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weekly_report_summary",
-    operators="pipeline: per-farm summary row assembly (ref TS_INS_WEEK, farm_processor.py:245-316)",
+    operators="pipeline,A20 (per-farm summary row assembly + count gates; ref TS_INS_WEEK, farm_processor.py:245-316)",
     oracle=f"""
 WITH {_SQL_LAST_EVENT}, {_SQL_STATUS}, {_SQL_WEEK_PURCHASES},
 herd AS (

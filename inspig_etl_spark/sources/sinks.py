@@ -20,9 +20,11 @@ Kernels vs reference:
 - :func:`with_surrogate_key` — deterministic surrogate ids replacing
   ``SEQ_*.NEXTVAL`` (``orchestrator.py:969-970``, S14).
 - :func:`overwrite_partitions` / :func:`staged_overwrite` — the physical
-  layer: dynamic partition overwrite for scoped rewrites; staged write +
-  atomic rename for the weather pipeline's all-or-nothing commit
-  (``weather.py:1646-1660``, ST3).
+  layer (S11 batch write): dynamic partition overwrite for scoped rewrites;
+  staged write + atomic rename for the weather pipeline's all-or-nothing
+  commit (``weather.py:1646-1660``, ST3). The reference's ``executemany``
+  bulk insert (``src/common/database.py:123-127``) is a single
+  ``df.write.parquet`` here — no row-at-a-time path exists.
 
 Scale: every kernel is a single keyed join or union — one shuffle on the
 MERGE key, map-side pruned columns, no collect. Partition overwrite touches

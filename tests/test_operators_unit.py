@@ -119,3 +119,33 @@ def test_chunked_wide_rows_padding(spark):
     assert by_chunk[0].str_1 == "n6" and by_chunk[0].cnt_1 == 6
     assert by_chunk[1].str_2 == "n0" and by_chunk[1].cnt_2 == 0
     assert by_chunk[1].str_3 is None and by_chunk[1].cnt_3 is None  # NULL tail
+
+
+def test_salted_join_matches_plain_join(spark):
+    from inspig_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, v) for k in ("hot", "warm", "cold") for v in range(40 if k == "hot" else 3)],
+        "k STRING, v INT",
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2), ("absent", 3)], "k STRING, d INT")
+    plain = sorted(big.join(small, "k").collect())
+    salted = sorted(salted_join(big, small, on=["k"], n_salts=4).collect())
+    assert salted == plain
+    left_plain = sorted(big.join(small, "k", "left").collect())
+    left_salted = sorted(salted_join(big, small, on=["k"], n_salts=4, how="left").collect())
+    assert left_salted == left_plain
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(big, small, on=["k"], how="full")
+
+
+def test_two_stage_count_distinct(spark):
+    from inspig_etl_spark.operators.skew import two_stage_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 9)], "k STRING, u INT"
+    )
+    got = {r.k: r.n_distinct for r in two_stage_count_distinct(df, ["k"], "u").collect()}
+    assert got == {"a": 2, "b": 1}
