@@ -1,0 +1,106 @@
+"""Physical-plan linter: mechanical checks for 100 TB anti-patterns.
+
+Correctness gates prove a query RIGHT at sf0.01; this gate proves the PLAN
+survives a 1000x scale-up. ``lint_plan`` inspects the optimized/physical
+plan strings Spark already exposes and flags:
+
+- ``cartesian``        CartesianProduct — all-pairs blowup.
+- ``nested-loop``      BroadcastNestedLoopJoin — per-row predicate scan; only
+                       acceptable when one side is provably tiny AND the
+                       query declares it (allowlist).
+- ``python-udf``       row-at-a-time Python UDF (BatchEvalPython) in the hot
+                       path; Arrow-batched pandas UDFs (ArrowEvalPython) pass.
+- ``global-window``    a window function with an empty partition spec — every
+                       row funnels through ONE task at any scale.
+- ``global-sort-agg``  a final single-partition Exchange (SinglePartition)
+                       feeding anything but a small ordered output (Sort/
+                       TakeOrderedAndProject are exempt: top-k bounds rows).
+
+Every query in the registry runs through this in tests/test_plan_lint.py;
+intentional exceptions must be declared per-query with a reason, so a new
+anti-pattern can never land silently.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    code: str
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - repr convenience
+        return f"[{self.code}] {self.detail}"
+
+
+def _plan_strings(df: DataFrame) -> tuple[str, str]:
+    qe = df._jdf.queryExecution()
+    return str(qe.optimizedPlan()), str(qe.executedPlan())
+
+
+def lint_plan(df: DataFrame) -> list[Finding]:
+    """Return scale-safety findings for a DataFrame's query plan."""
+    optimized, physical = _plan_strings(df)
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in physical:
+        findings.append(Finding("cartesian", "CartesianProduct in physical plan"))
+
+    if "BroadcastNestedLoopJoin" in physical:
+        findings.append(
+            Finding("nested-loop", "BroadcastNestedLoopJoin in physical plan")
+        )
+
+    # Row-at-a-time Python UDF. Arrow-batched variants show as
+    # ArrowEvalPython / FlatMapGroupsInPandas etc. and are acceptable.
+    if "BatchEvalPython" in physical:
+        findings.append(
+            Finding("python-udf", "row-at-a-time Python UDF (BatchEvalPython)")
+        )
+
+    # Window with empty partition spec: `windowspecdefinition(<sort>, ...)`
+    # with no partition columns before the first sort spec renders in the
+    # optimized plan as `Window [...], [order...]` with only two bracket
+    # groups (cols, order) instead of three (cols, partition, order).
+    for line in optimized.splitlines():
+        s = line.strip()
+        if s.startswith("Window "):
+            groups = re.findall(r"\[[^\[\]]*\]", s)
+            if len(groups) == 2:
+                findings.append(
+                    Finding("global-window", f"window with no PARTITION BY: {s[:120]}")
+                )
+
+    # A SinglePartition exchange pins the job on one task — EXCEPT when its
+    # parent is the final step of a global scalar aggregate: partial
+    # aggregation upstream means the exchange carries one row per partition,
+    # bounded at any data size. Walk the plan tree by indentation to find
+    # each exchange's parent operator.
+    lines = physical.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" +-:"))
+        parent = ""
+        for j in range(i - 1, -1, -1):
+            pdepth = len(lines[j]) - len(lines[j].lstrip(" +-:"))
+            if pdepth < depth:
+                parent = lines[j].strip(" +-:")
+                break
+        if any(a in parent for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
+            continue  # global scalar agg: input already partial-aggregated
+        if "TakeOrderedAndProject" in parent or "GlobalLimit" in parent:
+            continue  # bounded top-k
+        findings.append(
+            Finding(
+                "single-partition",
+                f"Exchange SinglePartition feeding {parent[:80] or 'root'}",
+            )
+        )
+
+    return findings

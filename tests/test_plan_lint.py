@@ -1,0 +1,66 @@
+"""Scale-safety gate: every registry query's physical plan is linted for
+100 TB anti-patterns (plans/lint.py). Intentional exceptions are declared
+here WITH a reason — a new cartesian/global-window/Python-UDF can never land
+silently.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from inspig_etl_spark import queries as reg
+from inspig_etl_spark.plans.lint import lint_plan
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query name -> {finding code -> justification}
+ALLOWED: dict[str, dict[str, str]] = {
+    "weekly_delta_wow": {
+        "global-window": "input is the per-ISO-week aggregate (<=105 rows for the "
+        "2-year scan window) — bounded BEFORE the window, documented invariant",
+        "single-partition": "the exchange feeds that same bounded window's sort",
+    },
+    "ytd_accumulation": {
+        "global-window": "running total over one year of daily aggregates "
+        "(<=366 rows post-agg)",
+    },
+    "chunked_wide_rows": {
+        "global-window": "global SORT_NO pagination is the operator's contract "
+        "(reference culling.py:264-312); input is one report section (<=100s of rows)",
+        "single-partition": "the exchange feeds that same bounded section sort",
+    },
+    "sorted_pinned_tail_topk": {
+        "single-partition": "final ordered report slice, bounded by upstream agg",
+    },
+    "nearest_station_haversine": {
+        "nested-loop": "broadcast cross join against the station dim is the "
+        "reference design (weather.py:142-148) — the ASOS network is a fixed "
+        "~100-station list that does not scale with data volume",
+    },
+    "weekly_report_sections": {
+        "nested-loop": "zero-fill cross joins against broadcast LITERAL spines "
+        "(9 status codes, 7 week days) — constant-size broadcast side at any SF",
+    },
+    "embeddings_knn_bruteforce": {
+        "nested-loop": "brute-force all-pairs IS this operator's definition (the "
+        "correctness baseline the brief asks for); embeddings_knn_bucketed is the "
+        "LSH scale path and lints clean",
+    },
+    "embeddings_cosine_neardup_pairs": {
+        "nested-loop": "threshold pairs over id_a < id_b theta join — the exact "
+        "baseline; MinHash-LSH banding (docs_minhash_neardup_groups) is the "
+        "bucketed scale path and lints clean",
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(reg.queries()))
+def test_plan_is_scale_safe(spark, name):
+    df = reg.queries()[name](spark, SF_DIR)
+    findings = lint_plan(df)
+    allowed = ALLOWED.get(name, {})
+    unexplained = [f for f in findings if f.code not in allowed]
+    assert not unexplained, (
+        f"{name}: scale anti-patterns {[str(f) for f in unexplained]} — fix the plan "
+        "or declare an exception with a reason in tests/test_plan_lint.py"
+    )
