@@ -43,6 +43,7 @@ HEADLINE = [
     "docs_minhash_neardup_pairs",
     "docs_token_stats",
     "embeddings_knn_bucketed",
+    "embeddings_knn_ivf",
     "user_sessions_gap30",
     "nearest_station_haversine",
     "merge_upsert_partial",

@@ -1,6 +1,6 @@
 """Vector similarity search over an embedding column (array<float>).
 
-Two strategies over ``embeddings(vec_id, embedding, ...)``:
+Three strategies over ``embeddings(vec_id, embedding, ...)``:
 
 - **Brute-force cosine top-k** — the correctness baseline. The (small) query
   set is broadcast against the corpus; the dot product is a per-row
@@ -15,6 +15,14 @@ Two strategies over ``embeddings(vec_id, embedding, ...)``:
   Shuffle is O(|corpus|), never O(|corpus|^2). Recall is tunable with
   ``planes`` (fewer planes → bigger buckets → higher recall, more work).
 
+- **IVF-partitioned ANN** — the other classic scale path (inverted-file
+  index): a fixed coarse quantizer of deterministic unit centroids assigns
+  every vector to its argmax-cosine cell; queries probe only their own cell
+  via an equi-join on the cell id. At 100 TB the corpus would additionally
+  be WRITTEN partitioned by cell (partition pruning turns a probe into a
+  single-partition scan); recall is tuned by probing the top-P cells
+  instead of 1 (union of P equi-joins, still O(P x |corpus|/cells)).
+
 No Python UDFs: the fold runs in whole-stage codegen. For very high dims a
 vectorized Pandas-UDF dot product can win — measure before switching.
 """
@@ -22,6 +30,7 @@ vectorized Pandas-UDF dot product can win — measure before switching.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,6 +49,59 @@ def hyperplane_signs(planes: int, dim: int) -> list[list[int]]:
         ]
         for p in range(planes)
     ]
+
+
+def ivf_centroids(cells: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm centroids from md5(cell_dim) draws in [-1, 1].
+
+    A real deployment would k-means these on a sample; for an
+    oracle-checkable IVF the coarse quantizer just has to be a FIXED set of
+    unit vectors shared by both engines, so they are derived (like the LSH
+    hyperplanes) from md5 parity and embedded as literals on both sides.
+    """
+    cents = []
+    for c in range(cells):
+        raw = [
+            (int(hashlib.md5(f"c{c}_d{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        cents.append([x / nrm for x in raw])
+    return cents
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add the coarse-quantizer cell id: argmax dot(vec, unit centroid).
+
+    Centroids are unit vectors, so argmax dot == argmax cosine (the vector's
+    own norm is a common positive factor); ties break to the lowest index.
+    Each score is projected ONCE into a column before the argmax CASE, so the
+    plan holds |cells| folds per row — not |cells|^2 from re-inlining the
+    fold under every comparison — and stays in whole-stage codegen.
+    """
+    scores = [F.col(f"__ivf_s{i}") for i in range(len(centroids))]
+    for i, cent in enumerate(centroids):
+        df = df.withColumn(
+            f"__ivf_s{i}", dot(F.col(vec_col), F.array(*[F.lit(x) for x in cent]))
+        )
+    best = F.greatest(*scores)
+    cell = F.when(scores[0] == best, F.lit(0))
+    for i in range(1, len(scores)):
+        cell = cell.when(scores[i] == best, F.lit(i))
+    return df.withColumn(out_col, cell.cast("int")).drop(
+        *[f"__ivf_s{i}" for i in range(len(centroids))]
+    )
+
+
+def sql_centroid(cent: list[float]) -> str:
+    """DuckDB list literal for one centroid, full-precision floats."""
+    return "[" + ", ".join(repr(x) for x in cent) + "]"
 
 
 def dot(a: Column, b: Column) -> Column:

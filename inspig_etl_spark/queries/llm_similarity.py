@@ -5,6 +5,8 @@
   fold, window top-k).
 - ``embeddings_knn_bucketed``: the scale path — deterministic random-
   hyperplane LSH buckets; candidates only within a bucket.
+- ``embeddings_knn_ivf``: the other scale path — IVF coarse quantizer
+  (deterministic unit centroids), candidates only within a cell.
 - ``embeddings_cosine_neardup_pairs``: threshold pairs (embedding-cosine
   near-dup dedup from the brief).
 
@@ -24,10 +26,13 @@ from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.operators.similarity import (
     cosine_topk,
     hyperplane_signs,
+    ivf_centroids,
     lsh_bucket,
+    sql_centroid,
     sql_dot,
     sql_lsh_bucket,
     sql_norm,
+    with_ivf_cell,
 )
 from inspig_etl_spark.queries import register
 
@@ -36,8 +41,10 @@ TOP_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> 1/50th of the corpus is the probe set
 NEARDUP_COS = 0.45
 LSH_PLANES = 4
+IVF_CELLS = 8
 
 _SIGNS = hyperplane_signs(LSH_PLANES, DIM)
+_CENTROIDS = ivf_centroids(IVF_CELLS, DIM)
 
 _SQL_COSINE = f"{sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn)"
 
@@ -116,6 +123,71 @@ def embeddings_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "bucket"
     )
     return cosine_topk(queries, corpus, TOP_K, join_on=["bucket"])
+
+
+_SQL_IVF_SCORES = ",\n         ".join(
+    f"{sql_dot('embedding', sql_centroid(c))} AS s{i}"
+    for i, c in enumerate(_CENTROIDS)
+)
+_SQL_IVF_BEST = "greatest(" + ", ".join(f"s{i}" for i in range(IVF_CELLS)) + ")"
+_SQL_IVF_CASE = (
+    "(CASE "
+    + " ".join(f"WHEN s{i} = best THEN {i}" for i in range(IVF_CELLS))
+    + " END)"
+)
+
+
+@register(
+    "embeddings_knn_ivf",
+    operators="LLM-ann-ivf (inverted-file partitioned ANN, nprobe=1; brief: 'an IVF or LSH-bucketed variant as the scale path')",
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+         {_SQL_IVF_SCORES}
+  FROM embeddings
+),
+cl AS (
+  SELECT vec_id, embedding, nrm, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell
+  FROM cl WHERE vec_id % {QUERY_MOD} = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn, cell FROM cl),
+s AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS sim
+  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         ROUND(sim, 6) AS cosine_sim
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: fixed coarse quantizer -> cell equi-join -> per-query top-k.
+
+    The scale story vs LSH bucketing: cells come from a trained/derived
+    quantizer (here deterministic unit centroids, md5-seeded) rather than
+    hyperplane sign bits, so cell population tracks the data distribution.
+    At 100 TB the corpus is written ``partitionBy(cell)`` and a probe prunes
+    to one partition; here both sides compute the cell inline and the join
+    shuffles O(|corpus|) rows on the cell key — never all-pairs.
+    """
+    emb = with_ivf_cell(
+        spread(table(spark, sf_dir, "embeddings")), "embedding", _CENTROIDS
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "cell"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
+    )
+    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"])
 
 
 @register(
