@@ -80,23 +80,27 @@ def with_ivf_cell(
     """Add the coarse-quantizer cell id: argmax dot(vec, unit centroid).
 
     Centroids are unit vectors, so argmax dot == argmax cosine (the vector's
-    own norm is a common positive factor); ties break to the lowest index.
-    Each score is projected ONCE into a column before the argmax CASE, so the
-    plan holds |cells| folds per row — not |cells|^2 from re-inlining the
-    fold under every comparison — and stays in whole-stage codegen.
+    own norm is a common positive factor); ties break to the lowest index
+    (``array_position`` returns the FIRST index of the max).
+
+    The quantizer is ONE nested array<array<double>> literal folded by a
+    single ``transform`` — not |cells| separate projected fold columns. The
+    per-column form made Catalyst re-analyze a tree that duplicated every
+    64-literal fold under a greatest + when-chain (and again per join
+    branch): ~3.5 s of driver-side analysis per query build on top of ~5 s
+    per execution, independent of data size. The compact form is one
+    expression node per row regardless of |cells|.
     """
-    scores = [F.col(f"__ivf_s{i}") for i in range(len(centroids))]
-    for i, cent in enumerate(centroids):
-        df = df.withColumn(
-            f"__ivf_s{i}", dot(F.col(vec_col), F.array(*[F.lit(x) for x in cent]))
-        )
-    best = F.greatest(*scores)
-    cell = F.when(scores[0] == best, F.lit(0))
-    for i in range(1, len(scores)):
-        cell = cell.when(scores[i] == best, F.lit(i))
-    return df.withColumn(out_col, cell.cast("int")).drop(
-        *[f"__ivf_s{i}" for i in range(len(centroids))]
-    )
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    scores = F.transform(cents, lambda c: dot(F.col(vec_col), c))
+    df = df.withColumn("__ivf_scores", scores)
+    return df.withColumn(
+        out_col,
+        (
+            F.array_position(F.col("__ivf_scores"), F.array_max(F.col("__ivf_scores")))
+            - 1
+        ).cast("int"),
+    ).drop("__ivf_scores")
 
 
 def sql_centroid(cent: list[float]) -> str:
