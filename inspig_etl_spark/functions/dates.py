@@ -48,6 +48,27 @@ def report_week_bounds(base_date: dt.date) -> tuple[dt.date, dt.date]:
     return monday, sunday
 
 
+def report_week_end_col(col: Column) -> Column:
+    """X4 as a column: the Sunday ending the last full Mon..Sun week strictly
+    before ``col`` (Sunday input backs up a full 7 days, like the driver-side
+    ``report_week_bounds``). ``dayofweek`` is Sun=1..Sat=7, so the step back
+    is Sun→7, Mon→1, ... Sat→6 = ((dow+5) % 7) + 1."""
+    return F.date_sub(col, ((F.dayofweek(col) + 5) % 7) + 1)
+
+
+def report_week_start_col(col: Column) -> Column:
+    """X4: the Monday opening that same report week."""
+    return F.date_sub(report_week_end_col(col), 6)
+
+
+# DuckDB dayofweek is Sun=0..Sat=6 → step back = dow==0 ? 7 : dow.
+# DATE - INTEGER stays DATE (to_days/INTERVAL would widen to TIMESTAMP).
+SQL_REPORT_WEEK_END = (
+    "({col} - CASE WHEN dayofweek({col}) = 0 THEN 7 ELSE dayofweek({col}) END)"
+)
+SQL_REPORT_WEEK_START = f"({SQL_REPORT_WEEK_END} - 6)"
+
+
 # --- yyyymmdd string-date kernel (X1/X2/X5, F4/F5) ------------------------
 #
 # The reference stores most business dates as VARCHAR2(8) 'YYYYMMDD' and

@@ -244,3 +244,51 @@ def locale_view_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lh").alias("last_hour"),
         )
     )
+
+
+_RW_END = "(od - CAST(CASE WHEN dayofweek(od) = 0 THEN 7 ELSE dayofweek(od) END AS INTEGER))"
+
+
+@register(
+    "report_week_rollup",
+    operators="X4,A2,A13 (report-week Mon..Sun boundary per row, rolled up; ref orchestrator.py:148-160)",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS od, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-05-01'
+)
+SELECT {_RW_END} - 6 AS rw_start,
+       {_RW_END}     AS rw_end,
+       COUNT(*)       AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM o
+GROUP BY 1, 2
+""",
+)
+def report_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 as a distributed column expression: each order is assigned the last
+    full Mon..Sun week strictly before its own date (the reference computes
+    this once per run driver-side; here it is per-row and rolls up), then
+    orders per report week. Groups are bounded by #weeks — tiny at any SF."""
+    from inspig_etl_spark.functions.dates import (
+        report_week_end_col,
+        report_week_start_col,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-05-01").cast("timestamp_ntz"))
+    )
+    od = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            report_week_start_col(od).alias("rw_start"),
+            report_week_end_col(od).alias("rw_end"),
+            "o_custkey",
+        )
+        .groupBy("rw_start", "rw_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )

@@ -147,3 +147,24 @@ def merge_delete_then_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     replacement = upd.filter(F.col("event_day") < F.lit(CUTOFF).cast("date"))
     return delete_then_insert(tgt, replacement, scope)
+
+
+@register(
+    "surrogate_keys_dim",
+    operators="S14,T1 (deterministic surrogate ids replacing SEQ_*.NEXTVAL; ref orchestrator.py:969-970)",
+    oracle="""
+SELECT n_name, n_regionkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_name) + 99 AS BIGINT) AS nation_sk
+FROM nation
+""",
+)
+def surrogate_keys_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: reproducible dense ids over an explicit total order, seeded at
+    100 — unlike a sequence, re-running yields identical keys. Applied to a
+    bounded dim (25 nations); for fact-scale keys the helper's contract says
+    use composite natural keys instead of a global row_number."""
+    from inspig_etl_spark.sources.sinks import with_surrogate_key
+
+    nat = table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    out = with_surrogate_key(nat, "nation_sk", ["n_name"], start=100)
+    return out.withColumn("nation_sk", F.col("nation_sk").cast("long"))

@@ -46,6 +46,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "correctness baseline the brief asks for); embeddings_knn_bucketed is the "
         "LSH scale path and lints clean",
     },
+    "surrogate_keys_dim": {
+        "global-window": "surrogate ids over an explicit total order are only "
+        "assigned to bounded dim/report rows (25 nations here) — the helper's "
+        "documented contract; fact-scale keys use composite natural keys",
+        "single-partition": "the exchange feeds that same bounded id window",
+    },
     "embeddings_cosine_neardup_pairs": {
         "nested-loop": "threshold pairs over id_a < id_b theta join — the exact "
         "baseline; MinHash-LSH banding (docs_minhash_neardup_groups) is the "
