@@ -1,5 +1,5 @@
 """Scalar-function + sentinel-date queries (SURVEY.md §2.2 F4/F5/F7, §2.8
-X1/X2/X5/X6/X12/X17/X18).
+X1/X2/X4/X5/X6/X12/X17/X18).
 
 The reference's most pervasive idiom: business dates as 'yyyyMMdd' strings
 compared lexicographically with the '99991231' alive sentinel. These queries

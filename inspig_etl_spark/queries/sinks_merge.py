@@ -1,4 +1,4 @@
-"""MERGE-semantics queries (SURVEY.md §2.1 S6/S9/S10/S12).
+"""MERGE-semantics queries (SURVEY.md §2.1 S6/S9/S10/S12/S14).
 
 Each query computes the POST-MERGE logical state of a sink as a DataFrame,
 with the DuckDB oracle deriving the same state in SQL — the strongest
