@@ -86,14 +86,22 @@ SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_unique,
        {sql_token_len_sum('toks')} AS total_token_chars,
-       ROUND({sql_token_len_sum('toks')} / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+       CAST(FLOOR({sql_token_len_sum('toks')} * 10000 / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS avg_token_len_e4,
        {sql_stopword_count('toks', 'en')} AS stopword_cnt,
-       ROUND({sql_stopword_count('toks', 'en')} / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       CAST(FLOOR({sql_stopword_count('toks', 'en')} * 10000 / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS stopword_ratio_e4,
        len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars
 FROM t
 """,
 )
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char/stopword statistics, exact-integer end-to-end.
+
+    The ratio columns are fixed-point 1e-4 BIGINTs (``FLOOR(x * 10000 / n)``),
+    not ``ROUND(double, 4)``: per-doc float rounding diverged between Spark's
+    exact-decimal HALF_UP and DuckDB's multiply-then-round (r02 hash_match
+    failure). FLOOR over one double division is safe — the quotient is ≥ 1/n
+    away from the next integer, far beyond double ulp at this magnitude.
+    """
     docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     toks = F.col("toks")
@@ -105,9 +113,9 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         chars.alias("total_token_chars"),
-        F.round(chars / n.cast("double"), 4).alias("avg_token_len"),
+        F.floor(chars * 10000 / n.cast("double")).cast("bigint").alias("avg_token_len_e4"),
         stop.alias("stopword_cnt"),
-        F.round(stop / n.cast("double"), 4).alias("stopword_ratio"),
+        F.floor(stop * 10000 / n.cast("double")).cast("bigint").alias("stopword_ratio_e4"),
         (
             F.length("text") - F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
         ).alias("punct_chars"),
