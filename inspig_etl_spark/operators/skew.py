@@ -74,8 +74,14 @@ def two_stage_count_distinct(
     Stage 1 (dedup on key+value) partial-aggregates map-side, so a key with
     10^9 occurrences of 10^3 distinct values ships ~10^3 rows per mapper,
     not 10^9 rows to one reducer. Stage 2 is a plain count over unique rows.
+
+    NULL-exact: the (key, NULL) row survives ``.distinct()``, but stage 2
+    counts the value column itself — ``count(col)`` skips NULLs — so NULL is
+    never counted as a distinct value (COUNT(DISTINCT) semantics) while a key
+    whose values are ALL NULL still appears with count 0 (GROUP BY semantics;
+    a NULL pre-filter would silently drop that key).
     """
     keys = list(keys)
     col = F.col(distinct_col) if isinstance(distinct_col, str) else distinct_col
     uniq = df.select(*keys, col.alias("__v")).distinct()
-    return uniq.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+    return uniq.groupBy(*keys).agg(F.count(F.col("__v")).alias(alias))

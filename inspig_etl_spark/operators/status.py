@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Domain codes, verbatim from the reference's docstring table.
+# STATUS_CD codes, verbatim from ``data_loader.py:28-35``.
 STATUS_CANDIDATE = "010001"  # 후보 (gilt / candidate)
 STATUS_PREGNANT = "010002"
 STATUS_NURSING = "010003"
@@ -35,8 +35,15 @@ STATUS_WEANED = "010005"
 STATUS_RECURRED = "010006"
 STATUS_ABORTED = "010007"
 
-ACCIDENT_RECURRENCE = "050002"  # 재발
-ACCIDENT_ABORTION = "050003"  # 유산
+# SAGO_GUBUN_CD accident codes: the live domain is the 8-code 050xxx set
+# documented at ``/root/reference/src/weekly/processors/accident.py:20-37``
+# (재발/recurrence=050008, 유산/abortion=050002, 도태/culling=050003, ...).
+# NOTE: ``data_loader.py:45-46`` declares SAGO_JAEBAL='020001'/
+# SAGO_YUSAN='020002' for the same concepts, but those constants are never
+# consumed anywhere in the reference — the processors all match on 050xxx.
+ACCIDENT_RECURRENCE = "050008"  # 재발
+ACCIDENT_ABORTION = "050002"  # 유산
+ACCIDENT_CULLING = "050003"  # 도태 (neither recurred nor aborted → entry status)
 
 
 def status_from_last_event(

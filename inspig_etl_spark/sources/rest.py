@@ -27,6 +27,7 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType, _parse_datatype_string
 
 # Signals that exhaust a key (reference: HTTP statuses + provider codes).
 EXHAUST_HTTP = frozenset({401, 403, 429})
@@ -119,10 +120,15 @@ class RestSource:
 
 
 def to_dataframe(
-    spark: SparkSession, records: list[dict], schema: str
+    spark: SparkSession, records: list[dict], schema: str | StructType
 ) -> DataFrame:
     """Land parsed records with an EXPLICIT schema (never inference — the
-    API's stringly-typed payloads go through X18 try-casts downstream)."""
-    cols = [f.split()[0] for f in schema.split(",")]
-    rows = [tuple(r.get(c) for c in cols) for r in records]
-    return spark.createDataFrame(rows, schema)
+    API's stringly-typed payloads go through X18 try-casts downstream).
+
+    The DDL string is parsed properly (not comma-split), so types whose
+    spelling contains commas — ``DECIMAL(10,2)``, ``MAP<STRING,INT>``,
+    nested structs — yield the right column names.
+    """
+    struct = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    rows = [tuple(r.get(f.name) for f in struct.fields) for r in records]
+    return spark.createDataFrame(rows, struct)

@@ -155,14 +155,25 @@ def staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     try:
         df.write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    live_moved = False
+    try:
         if os.path.exists(path):
             os.rename(path, backup)
+            live_moved = True
         os.rename(staging, path)
-    finally:
-        # A failed job must leave neither a partial staging dir nor a
-        # stranded backup — only the untouched live table.
-        shutil.rmtree(backup, ignore_errors=True)
+    except BaseException:
+        # The backup may be the ONLY copy of the live table here — put it
+        # back before cleaning up; never delete it while the swap is unmade.
+        if live_moved and not os.path.exists(path):
+            os.rename(backup, path)
         shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # Swap verifiably succeeded — only now is the old copy redundant.
+    if live_moved:
+        shutil.rmtree(backup, ignore_errors=True)
 
 
 def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:

@@ -30,6 +30,8 @@ SESSION_OUTPUT_SCHEMA = (
 )
 SESSION_STATE_SCHEMA = "last_ts BIGINT, session_no INT"
 
+_OUT_COLS = ["user_id", "event_id", "ts_sec", "session_no"]
+
 
 def sessionize_batch(
     events: DataFrame,
@@ -51,14 +53,34 @@ def sessionize_batch(
     ).drop("__brk")
 
 
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "event_id": pd.Series([], dtype="int64"),
+            "ts_sec": pd.Series([], dtype="int64"),
+            "session_no": pd.Series([], dtype="int32"),
+        }
+    )
+
+
 def _sessionize_group(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-user state function: carries (last_ts, session_no) across
-    micro-batches; events within a batch are sorted by (ts, id)."""
+    micro-batches; events within a batch are sorted by (ts, id).
+
+    Timed-out invocation (watermark passed last_ts + gap): every row that
+    could still extend the session is now below the watermark, so the state
+    is dropped. Rows were already emitted eagerly — nothing to flush.
+    """
     (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield _empty_out()
+        return
     if state.exists:
         last_ts, session_no = state.get
     else:
@@ -73,25 +95,33 @@ def _sessionize_group(
             last_ts = ts
             out_rows.append((user_id, int(row["event_id"]), ts, session_no))
     state.update((last_ts, session_no))
-    yield pd.DataFrame(
-        out_rows, columns=["user_id", "event_id", "ts_sec", "session_no"]
-    )
+    # Expire the state once no in-order event can continue this session.
+    # Spark requires the timeout timestamp to be ahead of the watermark.
+    timeout_at_ms = (int(last_ts) + GAP_SECONDS) * 1000
+    state.setTimeoutTimestamp(max(timeout_at_ms, state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(out_rows, columns=_OUT_COLS) if out_rows else _empty_out()
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Stateful streaming sessionization over (user_id, event_id, ts_sec).
 
-    NoTimeout keeps state for the lifetime of the query — acceptable for
-    availableNow backfills; a production always-on stream should use
-    EventTimeTimeout with a watermark to expire idle users.
+    EventTimeTimeout + a watermark on the event time bound per-user state for
+    always-on streams: a user's state is dropped once the watermark passes
+    ``last_ts + gap`` (no in-order event can extend the session after that).
+    If the user later returns, their session numbering restarts at 1 — pair
+    session_no with its first ts_sec when a globally unique session identity
+    is needed across expiry.
     """
     from inspig_etl_spark.pyfiles import ensure_shipped
 
     ensure_shipped(events.sparkSession)
-    return events.groupBy("user_id").applyInPandasWithState(
+    watermarked = events.withColumn(
+        "__event_time", F.timestamp_seconds(F.col("ts_sec"))
+    ).withWatermark("__event_time", watermark_delay)
+    return watermarked.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -16,15 +16,18 @@ from inspig_etl_spark.operators.schedule import DEFAULT_RULES, expand_schedule, 
 from inspig_etl_spark.operators.status import status_from_last_event
 
 
-# The 8-state truth table from /root/reference/src/weekly/data_loader.py:28-46
+# The 8-state truth table from /root/reference/src/weekly/data_loader.py:28-46,
+# with accident codes from the live SAGO_GUBUN_CD domain
+# (/root/reference/src/weekly/processors/accident.py:20-37):
 # (wk_gubun, sago_cd, daeri_yn, entry_status) -> expected status code.
 TRUTH_TABLE = [
     ("G", None, "N", None, "010002"),  # mated -> pregnant
     ("B", None, "N", None, "010003"),  # farrowed -> nursing
     ("B", None, "Y", None, "010004"),  # farrowed + surrogate -> surrogate
     ("E", None, "N", None, "010005"),  # weaned
-    ("F", "050002", "N", None, "010006"),  # accident: recurrence
-    ("F", "050003", "N", None, "010007"),  # accident: abortion
+    ("F", "050008", "N", None, "010006"),  # accident: recurrence (재발)
+    ("F", "050002", "N", None, "010007"),  # accident: abortion (유산)
+    ("F", "050003", "N", "010002", "010002"),  # culling (도태) -> entry status
     ("F", "050009", "N", "010002", "010002"),  # other accident -> entry status
     (None, None, "N", None, "010001"),  # no event -> candidate
     (None, None, "N", "010005", "010005"),  # no event, entry status kept
@@ -149,3 +152,19 @@ def test_two_stage_count_distinct(spark):
     )
     got = {r.k: r.n_distinct for r in two_stage_count_distinct(df, ["k"], "u").collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_two_stage_count_distinct_null_semantics(spark):
+    """COUNT(DISTINCT x) never counts NULL; an all-NULL key still groups."""
+    from inspig_etl_spark.operators.skew import two_stage_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None), ("b", None)],
+        "k STRING, u INT",
+    )
+    got = {r.k: r.n_distinct for r in two_stage_count_distinct(df, ["k"], "u").collect()}
+    sql = {
+        r.k: r.n_distinct
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("n_distinct")).collect()
+    }
+    assert got == sql == {"a": 2, "b": 0}

@@ -68,3 +68,17 @@ def test_rest_source_single_item_envelope_and_landing(spark):
     df = to_dataframe(spark, records, "nx INT, ny INT, t1h STRING")
     rows = df.collect()
     assert [(r.nx, r.ny, r.t1h) for r in rows] == [(9, 8, "x")]
+
+
+def test_to_dataframe_handles_comma_bearing_ddl_types(spark):
+    """Column names must come from a real DDL parse — DECIMAL(10,2) and map
+    types contain commas that a split(',') mangles into bogus columns."""
+    from decimal import Decimal
+
+    records = [{"id": 1, "amount": Decimal("12.34"), "tags": {"a": 1}}]
+    df = to_dataframe(
+        spark, records, "id INT, amount DECIMAL(10,2), tags MAP<STRING,INT>"
+    )
+    assert df.columns == ["id", "amount", "tags"]
+    r = df.collect()[0]
+    assert (r.id, r.amount, dict(r.tags)) == (1, Decimal("12.34"), {"a": 1})

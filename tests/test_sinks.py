@@ -68,6 +68,35 @@ def test_staged_overwrite_all_or_nothing(spark, tmp_path):
     assert [d for d in os.listdir(parent) if "__staging" in d or "__old" in d] == []
 
 
+def test_staged_overwrite_restores_live_table_on_failed_swap(
+    spark, tmp_path, monkeypatch
+):
+    """If the staging→live rename fails AFTER the live table was moved to
+    backup, the backup (then the only copy) must be restored, not deleted."""
+    import inspig_etl_spark.sources.sinks as sinks_mod
+
+    path = str(tmp_path / "table")
+    v1 = spark.createDataFrame([("d1", 1, 1.0)], SCHEMA)
+    staged_overwrite(spark, v1, path)
+
+    real_rename = os.rename
+
+    def failing_swap(src, dst):
+        if dst == path and "__staging" in src:
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks_mod.os, "rename", failing_swap)
+    v2 = spark.createDataFrame([("d2", 2, 2.0)], SCHEMA)
+    with pytest.raises(OSError, match="simulated swap failure"):
+        staged_overwrite(spark, v2, path)
+    monkeypatch.undo()
+
+    assert _rows(spark.read.parquet(path)) == [("d1", 1, 1.0)]
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__staging" in d or "__old" in d] == []
+
+
 def test_read_or_empty_bootstrap_and_merge_cycle(spark, tmp_path):
     """First-run bootstrap -> merge -> write -> merge again (ST1 shape)."""
     path = str(tmp_path / "incr")
