@@ -49,6 +49,22 @@ def sql_rules_values(rules: Sequence[tuple] = DEFAULT_RULES) -> str:
     return f"(VALUES {rows}) AS rules(task_seq, wk_gubun, wk_nm, std_cd, pass_day)"
 
 
+def parse_seq_filter(spec: str | None) -> list[int] | None:
+    """The reference's TB_PLAN_MODON.SEQ filter string protocol
+    (``schedule.py:186-207,332-350``):
+
+    - ``'-1'`` (or None) → all tasks (farm mode / no restriction);
+    - ``''`` → no tasks selected (the reference skips the count entirely —
+      zero rows);
+    - ``'1,2,3'`` → exactly those task SEQs.
+    """
+    if spec is None or spec == "-1":
+        return None
+    if spec == "":
+        return []
+    return [int(t) for t in spec.split(",") if t.strip()]
+
+
 def expand_schedule(
     last_events: DataFrame,
     rules: DataFrame,
@@ -56,13 +72,16 @@ def expand_schedule(
     dt_from: str,
     dt_to: str,
     wk_gubun_col: str = "wk_gubun",
-    seq_filter: Sequence[int] | None = None,
+    seq_filter: str | Sequence[int] | None = None,
 ) -> DataFrame:
     """Expand base events into dated task rows within [dt_from, dt_to].
 
-    ``seq_filter`` implements the reference's ``-1 / '' / '1,2,3'`` protocol:
-    None keeps every task, a (possibly empty) list keeps exactly those SEQs.
+    ``seq_filter`` accepts the reference's string protocol (``'-1'`` all /
+    ``''`` none / ``'1,2,3'`` subset — see :func:`parse_seq_filter`) or an
+    explicit list of task SEQs; None keeps every task.
     """
+    if isinstance(seq_filter, str):
+        seq_filter = parse_seq_filter(seq_filter)
     if seq_filter is not None:
         rules = rules.filter(F.col("task_seq").isin(list(seq_filter)))
     base = F.col(base_day) if isinstance(base_day, str) else base_day
@@ -72,6 +91,59 @@ def expand_schedule(
     return expanded.filter(
         (F.col("pass_dt") >= F.lit(dt_from).cast("date"))
         & (F.col("pass_dt") <= F.lit(dt_to).cast("date"))
+    )
+
+
+def farm_default_schedule(
+    last_events: DataFrame,
+    dt_from: str,
+    dt_to: str,
+    base_day: str = "event_day",
+    wk_gubun_col: str = "wk_gubun",
+    daeri_col: str = "daeri_yn",
+    avg_return_day: int = 7,
+    preg_period: int = 115,
+    wean_period: int = 21,
+) -> DataFrame:
+    """The farm-default schedule variant (``schedule.py:388-552``,
+    ``_count_schedule_by_farm``): when a farm has no per-task plan rules,
+    expected dates come from the farm config periods applied to the last
+    work event —
+
+    - mating: last wean (E, not surrogate) + ``avg_return_day``; last
+      accident (F) + 1 day (immediately re-matable);
+    - farrowing: last mate (G) + ``preg_period``;
+    - weaning: last farrow (B) + ``wean_period``.
+
+    Window semantics mirror the reference: farrowing/weaning are strict
+    BETWEEN; mating has no lower bound — earlier-than-window dates count
+    into the FIRST day (``add_early_to_first``, ``schedule.py:374-380,508``),
+    so the mating pass_dt is clamped up to ``dt_from``.
+
+    One scan, when-chain expressions, no join — whole-stage-codegen'd.
+    """
+    wk = F.col(wk_gubun_col)
+    base = F.col(base_day)
+    stype = (
+        F.when((wk == "E") & (F.col(daeri_col) == "N"), "mating")
+        .when(wk == "F", "mating")
+        .when(wk == "G", "farrowing")
+        .when(wk == "B", "weaning")
+    )
+    offset = (
+        F.when((wk == "E") & (F.col(daeri_col) == "N"), avg_return_day)
+        .when(wk == "F", 1)
+        .when(wk == "G", preg_period)
+        .when(wk == "B", wean_period)
+    )
+    lo, hi = F.lit(dt_from).cast("date"), F.lit(dt_to).cast("date")
+    raw = F.date_add(base, offset)
+    clamped = F.when(stype == "mating", F.greatest(raw, lo)).otherwise(raw)
+    return (
+        last_events.withColumn("schedule_type", stype)
+        .filter(F.col("schedule_type").isNotNull())
+        .withColumn("pass_dt", clamped)
+        .filter((F.col("pass_dt") >= lo) & (F.col("pass_dt") <= hi))
     )
 
 

@@ -144,6 +144,57 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(big, small, on=["k"], how="full")
 
 
+def test_parse_seq_filter_protocol():
+    """The reference's '-1' / '' / '1,2,3' TB_PLAN_MODON.SEQ filter protocol
+    (schedule.py:186-207): -1 = all tasks, '' = none, csv = that subset."""
+    from inspig_etl_spark.operators.schedule import parse_seq_filter
+
+    assert parse_seq_filter("-1") is None
+    assert parse_seq_filter(None) is None
+    assert parse_seq_filter("") == []
+    assert parse_seq_filter("1,2,3") == [1, 2, 3]
+    assert parse_seq_filter("5") == [5]
+
+
+def test_expand_schedule_seq_filter_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "G", dt.date(2024, 1, 20))], "user_id INT, wk_gubun STRING, event_day DATE"
+    )
+    rules = rules_df(spark)
+    full = expand_schedule(df, rules, "event_day", "2024-01-01", "2024-12-31")
+    sub = expand_schedule(
+        df, rules, "event_day", "2024-01-01", "2024-12-31", seq_filter="1,2"
+    )
+    none = expand_schedule(
+        df, rules, "event_day", "2024-01-01", "2024-12-31", seq_filter=""
+    )
+    assert full.count() == 3  # G has rules 1, 2, 3
+    assert sorted(r.task_seq for r in sub.collect()) == [1, 2]
+    assert none.count() == 0
+
+
+def test_farm_default_schedule_mating_clamps_early_to_first_day(spark):
+    from inspig_etl_spark.operators.schedule import farm_default_schedule
+
+    df = spark.createDataFrame(
+        [
+            (1, "E", "N", dt.date(2024, 1, 1)),   # +7 = Jan 8, early -> clamp to Jan 22
+            (2, "F", "N", dt.date(2024, 1, 23)),  # +1 = Jan 24, in window
+            (3, "G", "N", dt.date(2024, 1, 1)),   # farrowing +115 = Apr 25, OUT (no clamp)
+            (4, "B", "Y", dt.date(2024, 1, 10)),  # weaning +21 = Jan 31, OUT of window
+        ],
+        "user_id INT, wk_gubun STRING, daeri_yn STRING, event_day DATE",
+    )
+    out = {
+        r.user_id: (r.schedule_type, str(r.pass_dt))
+        for r in farm_default_schedule(df, "2024-01-22", "2024-01-28").collect()
+    }
+    assert out == {
+        1: ("mating", "2024-01-22"),
+        2: ("mating", "2024-01-24"),
+    }
+
+
 def test_two_stage_count_distinct(spark):
     from inspig_etl_spark.operators.skew import two_stage_count_distinct
 
