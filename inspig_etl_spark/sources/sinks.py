@@ -85,6 +85,48 @@ def merge_upsert(
     return j.select(*out_cols)
 
 
+def merge_upsert_scoped(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    partial: bool | Sequence[str] = False,
+) -> DataFrame:
+    """Partition-pruned MERGE: the target is filtered to ONLY the partitions
+    present in ``updates`` before the full-outer join, and the returned
+    frame is the merged content of those partitions alone.
+
+    This is the 100 TB upsert path: a one-day update batch joins one day of
+    the target, not the whole table — pair with :func:`overwrite_partitions`
+    so the physical write is equally scoped. The partition values are
+    collected to the driver (a micro-batch touches a bounded set of
+    partitions) and pushed into the scan as a literal predicate, so parquet
+    partition pruning applies.
+
+    Precondition: ``partition_by ⊆ keys`` — a MERGE key must not be able to
+    move between partitions, else its old row would be left stale outside
+    the merge scope. Enforced here.
+    """
+    partition_by = list(partition_by)
+    missing = [p for p in partition_by if p not in keys]
+    if missing:
+        raise ValueError(
+            f"merge_upsert_scoped: partition columns {missing} must be part of "
+            f"the merge keys, else rows could move partitions and go stale"
+        )
+    parts = updates.select(*partition_by).distinct().collect()
+    if not parts:
+        return updates  # empty batch: nothing to merge
+    pred = None
+    for row in parts:
+        clause = None
+        for p in partition_by:
+            c = F.col(p) == F.lit(row[p])
+            clause = c if clause is None else (clause & c)
+        pred = clause if pred is None else (pred | clause)
+    return merge_upsert(target.filter(pred), updates, keys, partial=partial)
+
+
 def insert_if_absent(
     target: DataFrame, updates: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

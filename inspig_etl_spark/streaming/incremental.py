@@ -36,6 +36,8 @@ from pyspark.sql.streaming import DataStreamWriter
 from inspig_etl_spark.sources.sinks import (
     insert_if_absent,
     merge_upsert,
+    merge_upsert_scoped,
+    overwrite_partitions,
     read_or_empty,
     staged_overwrite,
 )
@@ -78,11 +80,20 @@ def foreach_batch_upsert(
     keys: Sequence[str],
     schema: str,
     partial: bool | Sequence[str] = False,
+    partition_by: Sequence[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """ForeachBatch hook: MERGE each micro-batch into a keyed parquet sink.
 
     Deduplicates the batch per key first (last writer wins within a batch,
-    like MERGE's precondition), then merge + atomic swap.
+    like MERGE's precondition), then merges and writes.
+
+    ``partition_by`` (must be ⊆ keys) selects the SCALE path: the merge
+    joins only the sink partitions present in the batch
+    (:func:`merge_upsert_scoped`) and the write dynamically overwrites only
+    those partitions — per-batch work is O(touched partitions), never
+    O(|sink|). Without it, the whole sink is re-merged and atomically
+    swapped each batch — correct, but only acceptable for small dimension
+    sinks. On Delta/Iceberg both paths collapse into ``MERGE INTO``.
     """
     keys = list(keys)
 
@@ -90,8 +101,14 @@ def foreach_batch_upsert(
         spark = batch.sparkSession
         deduped = batch.dropDuplicates(keys)
         state = read_or_empty(spark, sink_path, schema)
-        merged = merge_upsert(state, deduped, keys, partial=partial)
-        staged_overwrite(spark, merged, sink_path)
+        if partition_by:
+            merged = merge_upsert_scoped(
+                state, deduped, keys, partition_by, partial=partial
+            )
+            overwrite_partitions(merged, sink_path, partition_by)
+        else:
+            merged = merge_upsert(state, deduped, keys, partial=partial)
+            staged_overwrite(spark, merged, sink_path)
 
     return apply
 
@@ -103,13 +120,18 @@ def start_upsert_stream(
     schema: str,
     checkpoint: str,
     available_now: bool = True,
+    partition_by: Sequence[str] | None = None,
 ) -> DataStreamWriter:
     """Wire a stream into the upsert sink (availableNow drains the backlog
-    then stops — the cron-batch execution mode the reference uses)."""
+    then stops — the cron-batch execution mode the reference uses).
+    ``partition_by`` selects the partition-scoped merge path — see
+    :func:`foreach_batch_upsert`."""
     writer = (
         events.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(foreach_batch_upsert(sink_path, keys, schema))
+        .foreachBatch(
+            foreach_batch_upsert(sink_path, keys, schema, partition_by=partition_by)
+        )
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

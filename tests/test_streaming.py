@@ -102,6 +102,64 @@ def test_foreach_batch_upsert_incremental(spark, tmp_path):
     assert state == {1: 1.0, 2: 20.0, 3: 3.0}
 
 
+def test_partition_scoped_upsert_leaves_other_partitions_untouched(spark, tmp_path):
+    """The scale path: a batch touching day d2 must not rewrite day d1 —
+    its parquet files stay byte-identical (same names, same bytes)."""
+    import hashlib
+    import os
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "day STRING, k BIGINT, v DOUBLE"
+
+    def drain():
+        stream = stream_parquet(spark, src, schema)
+        q = start_upsert_stream(
+            stream, sink, ["day", "k"], schema, ckpt, partition_by=["day"]
+        ).start()
+        q.awaitTermination(120)
+
+    def snapshot(day):
+        part_dir = os.path.join(sink, f"day={day}")
+        return {
+            f: hashlib.sha256(open(os.path.join(part_dir, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        }
+
+    b1 = spark.createDataFrame([("d1", 1, 1.0), ("d2", 2, 2.0)], schema)
+    b1.write.mode("append").parquet(src)
+    drain()
+    assert {(r.day, r.k, r.v) for r in spark.read.parquet(sink).collect()} == {
+        ("d1", 1, 1.0),
+        ("d2", 2, 2.0),
+    }
+    d1_before = snapshot("d1")
+    assert d1_before  # the partition exists and has files
+
+    # Second batch touches ONLY d2: update k=2, insert k=3.
+    b2 = spark.createDataFrame([("d2", 2, 20.0), ("d2", 3, 3.0)], schema)
+    b2.write.mode("append").parquet(src)
+    drain()
+    assert {(r.day, r.k, r.v) for r in spark.read.parquet(sink).collect()} == {
+        ("d1", 1, 1.0),
+        ("d2", 2, 20.0),
+        ("d2", 3, 3.0),
+    }
+    assert snapshot("d1") == d1_before
+
+
+def test_merge_upsert_scoped_rejects_non_key_partition(spark):
+    from inspig_etl_spark.sources.sinks import merge_upsert_scoped
+
+    df = spark.createDataFrame([("d1", 1, 1.0)], "day STRING, k BIGINT, v DOUBLE")
+    import pytest
+
+    with pytest.raises(ValueError, match="partition columns"):
+        merge_upsert_scoped(df, df, keys=["k"], partition_by=["day"])
+
+
 def test_layered_merge_precedence(spark):
     schema = "k INT, v STRING"
     target = spark.createDataFrame([(1, "old"), (2, "old")], schema)
