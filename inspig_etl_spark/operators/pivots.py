@@ -44,6 +44,32 @@ def pivot_counts(
     return out
 
 
+def pivot_agg(
+    df: DataFrame,
+    row_keys: Sequence[str],
+    col_key: str,
+    col_values: Sequence[str],
+    value_col: str,
+    agg: str = "max",
+    rename: Sequence[str] | None = None,
+) -> DataFrame:
+    """Value pivot: one row per row-key tuple, one aggregated value column
+    per ``col_values`` entry (``pivot_data(..., agg=<fn>)`` with a value
+    column; the productivity collector's STATCD→C### reshape,
+    ``/root/reference/src/collectors/productivity.py:337-372``).
+
+    ``col_values`` is explicit for the same single-pass/static-schema
+    reasons as :func:`pivot_counts`; ``rename`` (parallel to
+    ``col_values``) sets the output column names.
+    """
+    out = df.groupBy(*row_keys).pivot(col_key, list(col_values)).agg(
+        getattr(F, agg)(value_col)
+    )
+    for v, name in zip(col_values, rename or col_values):
+        out = out.withColumnRenamed(str(v), str(name))
+    return out
+
+
 def zero_fill(
     pivoted: DataFrame,
     spine: DataFrame,

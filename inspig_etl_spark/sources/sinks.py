@@ -156,6 +156,24 @@ def delete_then_insert(
     return delete_matching(target, pred).unionByName(replacement)
 
 
+def replace_by_key(
+    target: DataFrame, replacement: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """DELETE-by-each-row's-UK then bulk INSERT, set form (S10 — the
+    productivity saver's per-row ``DELETE WHERE FARM_NO=... AND PCODE=...``
+    loop, ``/root/reference/src/collectors/productivity.py:375-451``): every
+    target row whose key tuple appears in ``replacement`` is dropped
+    (left-anti on the keys), then the replacement is appended.
+
+    Unlike :func:`delete_then_insert` the scope is the replacement's OWN
+    key set, not a static predicate — the idempotent re-run form when the
+    batch decides what it covers. One anti-join shuffle on the UK.
+    """
+    keys = list(keys)
+    kept = target.join(replacement.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(replacement)
+
+
 def with_surrogate_key(
     df: DataFrame, name: str, order_by: Sequence[str], start: int = 1
 ) -> DataFrame:
