@@ -168,3 +168,55 @@ def surrogate_keys_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
     out = with_surrogate_key(nat, "nation_sk", ["n_name"], start=100)
     return out.withColumn("nation_sk", F.col("nation_sk").cast("long"))
+
+
+@register(
+    "cascade_delete_gate",
+    operators="S13,S12 (scoped cascading delete; master deleted only when its week rows are all gone; ref orchestrator.py:828-881)",
+    oracle="""
+WITH detail AS (
+  SELECT n_nationkey % 5 AS master_seq, n_nationkey AS farm_no FROM nation
+),
+masters AS (SELECT DISTINCT master_seq FROM detail),
+kept AS (
+  SELECT * FROM detail
+  WHERE NOT (master_seq = 0 OR (master_seq = 1 AND farm_no < 10))
+),
+touched AS (
+  SELECT DISTINCT master_seq FROM detail
+  WHERE master_seq = 0 OR (master_seq = 1 AND farm_no < 10)
+),
+emptied AS (
+  SELECT master_seq FROM touched t
+  WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.master_seq = t.master_seq)
+)
+SELECT 'master' AS kind, master_seq, CAST(NULL AS BIGINT) AS farm_no
+FROM masters m
+WHERE NOT EXISTS (SELECT 1 FROM emptied e WHERE e.master_seq = m.master_seq)
+UNION ALL
+SELECT 'week' AS kind, master_seq, farm_no FROM kept
+""",
+)
+def cascade_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 with the emptiness gate: the scope clears ALL of master 0's farm
+    rows (master row cascades away) but only part of master 1's (master row
+    survives). Masters outside the scope are untouched even if examined."""
+    from inspig_etl_spark.sources.sinks import cascade_delete
+
+    nat = table(spark, sf_dir, "nation")
+    detail = nat.select(
+        (F.col("n_nationkey") % 5).alias("master_seq"),
+        F.col("n_nationkey").alias("farm_no"),
+    )
+    master = detail.select("master_seq").distinct()
+    scope = (F.col("master_seq") == 0) | (
+        (F.col("master_seq") == 1) & (F.col("farm_no") < 10)
+    )
+    m_after, d_after = cascade_delete(master, detail, ["master_seq"], scope)
+    return m_after.select(
+        F.lit("master").alias("kind"),
+        "master_seq",
+        F.lit(None).cast("bigint").alias("farm_no"),
+    ).unionByName(
+        d_after.select(F.lit("week").alias("kind"), "master_seq", "farm_no")
+    )

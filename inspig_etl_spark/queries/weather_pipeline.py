@@ -160,3 +160,77 @@ def weather_pipeline_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S9: WHEN NOT MATCHED only — today's short-term row survives, only
     # tomorrow's mid-term rows are new.
     return insert_if_absent(daily_short, mid, keys=["nx", "ny", "wk_date"])
+
+
+_MID_TEXTS = ("맑음", "구름많음", "흐리고 비", "흐림", "비/눈", "눈", "소나기", "구름 많음")
+
+from inspig_etl_spark.functions.weather_codes import (  # noqa: E402
+    sql_parse_mid_weather_cd,
+    sql_pty_label,
+    sql_sky_label,
+    sql_weather_cd_to_sky_cd,
+    sql_weather_name,
+)
+
+_SQL_DECODE = f"""
+WITH raw AS (
+  SELECT event_id,
+         (ARRAY[{", ".join(f"'{t}'" for t in _MID_TEXTS)}])[CAST(event_id % 8 AS INT) + 1] AS mid_txt,
+         (ARRAY['1', '3', '4'])[CAST(event_id % 3 AS INT) + 1] AS sky_cd,
+         CAST(event_id % 5 AS VARCHAR) AS pty_cd
+  FROM events
+),
+parsed AS (
+  SELECT event_id, mid_txt, sky_cd, pty_cd,
+         {sql_parse_mid_weather_cd('mid_txt')} AS weather_cd
+  FROM raw
+)
+SELECT event_id, mid_txt, weather_cd,
+       {sql_weather_name('weather_cd')} AS weather_nm,
+       {sql_weather_cd_to_sky_cd('weather_cd')} AS derived_sky_cd,
+       {sql_sky_label('sky_cd')} AS sky_label,
+       {sql_pty_label('pty_cd')} AS pty_label
+FROM parsed
+"""
+
+
+@register(
+    "weather_code_decode",
+    operators="X17 (SKY/PTY code->label maps + mid-forecast Korean text parse + weather_cd->SKY reverse map; ref weather.py:354-393,2332-2382)",
+    oracle=_SQL_DECODE,
+)
+def weather_code_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 full decode surface: every SKY/PTY code labeled, every mid-term
+    forecast text ('흐리고 비', '비/눈', ...) parsed to a weather_cd with
+    precipitation priority, and the reverse weather_cd->SKY map."""
+    from inspig_etl_spark.functions.weather_codes import (
+        parse_mid_weather_cd,
+        pty_label,
+        sky_label,
+        weather_cd_to_sky_cd,
+        weather_name,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MID_TEXTS]),
+            (F.col("event_id") % 8 + 1).cast("int"),
+        ).alias("mid_txt"),
+        F.element_at(
+            F.array(F.lit("1"), F.lit("3"), F.lit("4")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("sky_cd"),
+        (F.col("event_id") % 5).cast("string").alias("pty_cd"),
+    )
+    parsed = raw.withColumn("weather_cd", parse_mid_weather_cd(F.col("mid_txt")))
+    return parsed.select(
+        "event_id",
+        "mid_txt",
+        "weather_cd",
+        weather_name(F.col("weather_cd")).alias("weather_nm"),
+        weather_cd_to_sky_cd(F.col("weather_cd")).alias("derived_sky_cd"),
+        sky_label(F.col("sky_cd")).alias("sky_label"),
+        pty_label(F.col("pty_cd")).alias("pty_label"),
+    )

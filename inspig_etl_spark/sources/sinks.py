@@ -156,6 +156,31 @@ def delete_then_insert(
     return delete_matching(target, pred).unionByName(replacement)
 
 
+def cascade_delete(
+    master: DataFrame,
+    detail: DataFrame,
+    keys: Sequence[str],
+    scope_pred: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """S13 scoped cascading delete with the emptiness gate
+    (``/root/reference/src/weekly/orchestrator.py:828-881``): detail rows in
+    scope are deleted; a master row is deleted ONLY when it was touched by
+    the scope AND has no detail rows left. Masters outside the scope are
+    never examined (the reference iterates only the masters being cleared),
+    so a pre-orphaned master is not swept up as a side effect.
+
+    Returns (master_after, detail_after). Two key-shuffles on the master
+    key, both over the (small) distinct key sets.
+    """
+    keys = list(keys)
+    touched = detail.filter(scope_pred).select(*keys).distinct()
+    detail_after = delete_matching(detail, scope_pred)
+    remaining = detail_after.select(*keys).distinct()
+    emptied = touched.join(remaining, keys, "left_anti")
+    master_after = master.join(emptied, keys, "left_anti")
+    return master_after, detail_after
+
+
 def replace_by_key(
     target: DataFrame, replacement: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -219,3 +219,31 @@ def test_two_stage_count_distinct_null_semantics(spark):
         for r in df.groupBy("k").agg(F.countDistinct("u").alias("n_distinct")).collect()
     }
     assert got == sql == {"a": 2, "b": 0}
+
+
+def test_parse_mid_weather_truth_table(spark):
+    """_parse_mid_weather (weather.py:2332-2362): precipitation words beat
+    sky words; empty/unknown fall back to cloudy."""
+    from inspig_etl_spark.functions.weather_codes import parse_mid_weather_cd
+
+    CASES = [
+        ("맑음", "sunny"),
+        ("구름많음", "cloudy"),
+        ("구름 많음", "cloudy"),
+        ("흐림", "overcast"),
+        ("흐리고 비", "rainy"),      # rain beats overcast
+        ("비/눈", "rain_snow"),
+        ("눈", "snow"),
+        ("소나기", "rainy"),
+        ("흐리고 눈", "snow"),
+        ("", "cloudy"),
+        (None, "cloudy"),
+        ("안개", "cloudy"),          # unknown -> default
+    ]
+    df = spark.createDataFrame(
+        [(i, txt, want) for i, (txt, want) in enumerate(CASES)],
+        "id INT, txt STRING, want STRING",
+    )
+    out = df.withColumn("got", parse_mid_weather_cd(F.col("txt")))
+    bad = out.filter(F.col("got") != F.col("want")).collect()
+    assert not bad, f"parse mismatches: {bad}"
