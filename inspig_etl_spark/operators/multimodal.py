@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -97,15 +98,17 @@ def _fake_decode(blob: bytes) -> dict:
     width = int.from_bytes(blob[2:4], "big")
     height = int.from_bytes(blob[4:6], "big")
     channels = int.from_bytes(blob[6:8], "big")
-    payload = blob[8 : 8 + width * height * channels]
-    n = len(payload)
-    mean = round(sum(payload) / n, 6) if n else 0.0
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=8)[
+        : width * height * channels
+    ]
+    n = payload.size
+    mean = float(np.round(payload.sum() / n, 6)) if n else 0.0
     # 4-bucket byte-mean "feature vector" — the shape a real embedding
     # extractor would produce, computed deterministically.
     feats = []
     for i in range(4):
         chunk = payload[i * n // 4 : (i + 1) * n // 4]
-        feats.append(round(sum(chunk) / len(chunk), 6) if chunk else 0.0)
+        feats.append(float(np.round(chunk.sum() / chunk.size, 6)) if chunk.size else 0.0)
     return {
         "width": width,
         "height": height,
@@ -119,9 +122,12 @@ def _fake_decode(blob: bytes) -> dict:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched, no shuffle).
 
-    Tries a real decoder first when the blob isn't our synthetic format;
-    PIL et al. are absent here, so foreign blobs surface the
-    NotImplementedError from the stub — by design.
+    The batch body is numpy end-to-end: one concatenated uint8 view of every
+    payload in the Arrow batch, header fields and per-row/per-chunk byte
+    sums via ``np.add.reduceat`` — no per-row Python touches the bytes.
+    Output is bit-identical to :func:`_fake_decode` (tested), which remains
+    the scalar spec and the foreign-format guard; PIL et al. are absent
+    here, so foreign blobs surface the NotImplementedError — by design.
     """
 
     from inspig_etl_spark.pyfiles import ensure_shipped
@@ -129,18 +135,71 @@ def decode_media(media: DataFrame) -> DataFrame:
     ensure_shipped(media.sparkSession)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "media_type", "width", "height", "channels",
+                "n_bytes", "mean_byte", "features"]
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                d = _fake_decode(bytes(row["blob"]))
-                out.append(
-                    {
-                        "id": row["id"],
-                        "media_type": row["media_type"],
-                        **{k: d[k] for k in ("width", "height", "channels", "n_bytes", "mean_byte", "features")},
-                    }
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            views = [np.frombuffer(b, dtype=np.uint8) for b in pdf["blob"]]
+            hdr = np.stack([v[:8] for v in views]).astype(np.int64)
+            if ((hdr[:, 0] != MAGIC[0]) | (hdr[:, 1] != MAGIC[1])).any():
+                raise NotImplementedError(
+                    "real media decoding requires an image/audio library not "
+                    "present in this environment; only the synthetic IM "
+                    "format is supported"
                 )
-            yield pd.DataFrame(out)
+            width = (hdr[:, 2] << 8) | hdr[:, 3]
+            height = (hdr[:, 4] << 8) | hdr[:, 5]
+            channels = (hdr[:, 6] << 8) | hdr[:, 7]
+            # Payload may be shorter than width*height*channels for foreign
+            # producers; clamp exactly like the scalar slice does.
+            lens = np.minimum(
+                width * height * channels,
+                np.fromiter((v.size for v in views), np.int64, len(views)) - 8,
+            ).clip(min=0)
+            flat = (
+                np.concatenate([v[8 : 8 + n] for v, n in zip(views, lens)])
+                if lens.any()
+                else np.zeros(0, np.uint8)
+            )
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # 4 quarter-chunk boundaries per row; segments tile `flat`
+            # exactly, so each segment ends at the next boundary (or total).
+            bounds = (starts[:, None] + (lens[:, None] * np.arange(4)) // 4).ravel()
+            seg_lens = np.diff(bounds, append=lens.sum())
+            if flat.size:
+                # reduceat yields flat[i] for empty segments — mask those.
+                sums = np.add.reduceat(flat.astype(np.int64),
+                                       np.minimum(bounds, flat.size - 1))
+                sums[seg_lens == 0] = 0
+            else:
+                sums = np.zeros(bounds.size, np.int64)
+            chunk_sums = sums.reshape(-1, 4)
+            chunk_lens = seg_lens.reshape(-1, 4)
+            feats = np.where(
+                chunk_lens > 0,
+                np.round(chunk_sums / np.maximum(chunk_lens, 1), 6),
+                0.0,
+            )
+            means = np.where(
+                lens > 0,
+                np.round(chunk_sums.sum(axis=1) / np.maximum(lens, 1), 6),
+                0.0,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "width": width.astype(np.int32),
+                    "height": height.astype(np.int32),
+                    "channels": channels.astype(np.int32),
+                    "n_bytes": lens.astype(np.int32),
+                    "mean_byte": means,
+                    "features": feats.tolist(),
+                }
+            )
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 

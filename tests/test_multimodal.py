@@ -52,6 +52,37 @@ def test_decode_rejects_foreign_blob():
         _fake_decode(b"\x89PNG1234567890")
 
 
+def test_decode_media_matches_scalar_spec(spark):
+    """The vectorized batch body must be bit-identical to _fake_decode."""
+    media = _media(spark).limit(50)
+    got = {r.id: r for r in decode_media(media).collect()}
+    for src in media.collect():
+        want = _fake_decode(bytes(src.blob))
+        r = got[src.id]
+        assert (r.width, r.height, r.channels, r.n_bytes) == (
+            want["width"], want["height"], want["channels"], want["n_bytes"]
+        )
+        assert r.mean_byte == want["mean_byte"]
+        assert list(r.features) == want["features"]
+
+
+def test_decode_media_short_payload_clamps(spark):
+    """A payload shorter than width*height*channels clamps n_bytes (both
+    paths slice, never pad) — and an empty payload yields zeroed stats."""
+    full = b"IM" + (1).to_bytes(2, "big") * 2 + (8).to_bytes(2, "big")  # wants 8
+    rows = [
+        (1, "image", full + b"abc"),  # only 3 payload bytes present
+        (2, "image", full),           # zero payload bytes
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, media_type STRING, blob BINARY")
+    got = {r.id: r for r in decode_media(df).collect()}
+    for rid, blob in [(1, full + b"abc"), (2, full)]:
+        want = _fake_decode(blob)
+        assert got[rid].n_bytes == want["n_bytes"]
+        assert got[rid].mean_byte == want["mean_byte"]
+        assert list(got[rid].features) == want["features"]
+
+
 def test_frame_sample_shape(spark):
     media = _media(spark)
     frames = frame_sample(media, n_frames=4)
