@@ -51,6 +51,12 @@ HEADLINE = [
     "salted_brand_volume",
     "distinct_users_per_type_skewsafe",
     "weekly_report_sections",
+    # round-3 additions: composed collector pipelines + S4 decode kernels
+    "weather_pipeline_day",
+    "productivity_pivot_save",
+    "schedule_seq_filter_modes",
+    "ncst_pivot_decode",
+    "mid_forecast_expand",
 ]
 
 
@@ -106,17 +112,38 @@ def main() -> None:
         for name in names:
             el = run_once(name)
             timings[name] = min(timings.get(name, el), el)
+
+    # Tracked baseline (committed from the last judged round) → per-query
+    # delta, so a plan regression is visible in this run's output without
+    # cross-round archaeology. Only comparable at the baseline's SF.
+    base_queries: dict[str, float] = {}
+    base_path = Path(_REPO) / "BENCH_BASELINE.json"
+    sf = _sf_from_dir(SF_DIR)
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        if base.get("sf") == sf:
+            base_queries = base.get("queries", {})
+
+    deltas: dict[str, float] = {}
     for name in names:
         timings[name] = round(timings[name], 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        line = f"# {name}: {timings[name]:.3f}s"
+        if name in base_queries:
+            d = round(timings[name] - base_queries[name], 3)
+            deltas[name] = d
+            line += f" ({'+' if d >= 0 else ''}{d:.3f}s vs baseline {base_queries[name]:.3f}s)"
+        print(line, file=sys.stderr)
 
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": sf,
     }
+    if base_queries:
+        out["baseline_total"] = round(sum(base_queries.values()), 3)
+        out["delta_vs_baseline"] = deltas
     print(json.dumps(out))
     spark.stop()
 

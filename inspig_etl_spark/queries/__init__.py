@@ -81,6 +81,7 @@ def _load() -> None:
         schedule_ext,
         weather_pipeline,
         productivity,
+        weather_ingest,
         llm_text,
         multimodal,
         llm_dedup,

@@ -1,0 +1,315 @@
+"""Oracle-checked queries for the S4 endpoint parsers
+(``sources/weather_api.py`` — ref ``/root/reference/src/collectors/weather.py``
+:984-1063 nowcast, :2193-2330 mid-term).
+
+The raw API item tables are synthesized DETERMINISTICALLY from the test
+tables with the same formulas on both engines (the pattern every composed
+pipeline query here uses), so the decode kernels themselves — the nowcast
+category pivot and the mid-term +3..+10-day expansion — are hash-checked
+end-to-end. ASOS hourly/daily share the same per-row try_cast decode shape
+and are unit-tested (tests/test_weather_api.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.weather_codes import (
+    PTY_CODES,
+    SKY_CODES,
+    _sql_chain,
+    sql_parse_mid_weather_cd,
+    sql_weather_cd_to_sky_cd,
+    sql_weather_name,
+)
+from inspig_etl_spark.queries import register
+from inspig_etl_spark.sources.weather_api import (
+    NCST_CATEGORIES,
+    expand_mid_forecast,
+    mid_land_reg_id,
+    mid_ta_reg_id,
+    parse_ncst_items,
+    sql_mid_land_reg_id,
+    sql_mid_ta_reg_id,
+)
+
+BASE_DATE = "20240110"
+BASE_TIME = "1200"
+
+_RN1_VALUES = ("강수없음", "0.5mm", "2.25", "", "7.5mm")
+
+_SQL_PTY_CD = _sql_chain("pty_eff", {k: v[0] for k, v in PTY_CODES.items() if k != "0"}, "unknown")
+_SQL_PTY_NM = _sql_chain("pty_eff", {k: v[1] for k, v in PTY_CODES.items() if k != "0"}, "알수없음")
+_SQL_SKY_CD = _sql_chain("sky_eff", {k: v[0] for k, v in SKY_CODES.items()}, "sunny")
+_SQL_SKY_NM = _sql_chain("sky_eff", {k: v[1] for k, v in SKY_CODES.items()}, "맑음")
+
+_SQL_NCST = f"""
+WITH raw AS (
+  SELECT CAST(event_id % 15 AS INT) AS nx,
+         CAST(FLOOR(event_id / 7) % 15 AS INT) AS ny,
+         (ARRAY[{", ".join(f"'{c}'" for c in NCST_CATEGORIES)}])[CAST(event_id % 7 AS INT) + 1] AS category
+  FROM events
+),
+items AS (
+  SELECT nx, ny, category,
+         CASE category
+           WHEN 'T1H' THEN CAST(nx % 35 - 5 AS VARCHAR)
+           WHEN 'RN1' THEN (ARRAY[{", ".join(f"'{v}'" for v in _RN1_VALUES)}])[(nx + ny) % 5 + 1]
+           WHEN 'REH' THEN CAST(30 + (nx * 3 + ny) % 70 AS VARCHAR)
+           WHEN 'WSD' THEN CAST((nx + 2 * ny) % 12 AS VARCHAR) || '.5'
+           WHEN 'VEC' THEN CAST((nx * 37 + ny * 11) % 360 AS VARCHAR)
+           WHEN 'SKY' THEN (ARRAY['1', '3', '4'])[(nx + ny) % 3 + 1]
+           WHEN 'PTY' THEN CAST((nx * 2 + ny) % 5 AS VARCHAR)
+         END AS obsr_value
+  FROM raw
+),
+wide AS (
+  SELECT nx, ny,
+         MAX(CASE WHEN category = 'T1H' THEN obsr_value END) AS t1h,
+         MAX(CASE WHEN category = 'RN1' THEN obsr_value END) AS rn1,
+         MAX(CASE WHEN category = 'REH' THEN obsr_value END) AS reh,
+         MAX(CASE WHEN category = 'WSD' THEN obsr_value END) AS wsd,
+         MAX(CASE WHEN category = 'VEC' THEN obsr_value END) AS vec,
+         MAX(CASE WHEN category = 'SKY' THEN obsr_value END) AS sky,
+         MAX(CASE WHEN category = 'PTY' THEN obsr_value END) AS pty
+  FROM items GROUP BY nx, ny
+),
+eff AS (
+  SELECT *,
+         CASE WHEN pty IS NULL OR pty = '' THEN '0' ELSE pty END AS pty_eff,
+         CASE WHEN sky IS NULL OR sky = '' THEN '1' ELSE sky END AS sky_eff
+  FROM wide
+)
+SELECT nx, ny,
+       '{BASE_DATE}' AS wk_date, '{BASE_TIME}' AS wk_time,
+       TRY_CAST(t1h AS DOUBLE) AS temp,
+       CAST(NULL AS INT) AS rain_prob,
+       COALESCE(CASE WHEN rn1 IN ('강수없음', '') THEN 0.0
+                     ELSE TRY_CAST(TRIM(REPLACE(rn1, 'mm', '')) AS DOUBLE) END,
+                0.0) AS rain_amt,
+       TRY_CAST(reh AS INT) AS humidity,
+       TRY_CAST(wsd AS DOUBLE) AS wind_speed,
+       TRY_CAST(vec AS INT) AS wind_dir,
+       sky AS sky_cd,
+       pty AS pty_cd,
+       CASE WHEN pty_eff <> '0' THEN {_SQL_PTY_CD} ELSE {_SQL_SKY_CD} END AS weather_cd,
+       CASE WHEN pty_eff <> '0' THEN {_SQL_PTY_NM} ELSE {_SQL_SKY_NM} END AS weather_nm,
+       'N' AS is_forecast
+FROM eff
+"""
+
+
+@register(
+    "ncst_pivot_decode",
+    operators="S4 (ultra-short nowcast: long category/obsrValue items -> wide typed record via fixed-list pivot + PTY-over-SKY weather decode; ref weather.py:423-491,984-1063)",
+    oracle=_SQL_NCST,
+)
+def ncst_pivot_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    nx = (F.col("event_id") % 15).cast("int")
+    ny = (F.floor(F.col("event_id") / 7) % 15).cast("int")
+    raw = ev.select(
+        nx.alias("nx"),
+        ny.alias("ny"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in NCST_CATEGORIES]),
+            (F.col("event_id") % 7 + 1).cast("int"),
+        ).alias("category"),
+    )
+    items = raw.select(
+        "nx",
+        "ny",
+        F.lit(BASE_DATE).alias("base_date"),
+        F.lit(BASE_TIME).alias("base_time"),
+        "category",
+        F.when(F.col("category") == "T1H", (F.col("nx") % 35 - 5).cast("string"))
+        .when(
+            F.col("category") == "RN1",
+            F.element_at(
+                F.array(*[F.lit(v) for v in _RN1_VALUES]),
+                ((F.col("nx") + F.col("ny")) % 5 + 1).cast("int"),
+            ),
+        )
+        .when(
+            F.col("category") == "REH",
+            (30 + (F.col("nx") * 3 + F.col("ny")) % 70).cast("string"),
+        )
+        .when(
+            F.col("category") == "WSD",
+            F.concat(((F.col("nx") + 2 * F.col("ny")) % 12).cast("string"), F.lit(".5")),
+        )
+        .when(
+            F.col("category") == "VEC",
+            ((F.col("nx") * 37 + F.col("ny") * 11) % 360).cast("string"),
+        )
+        .when(
+            F.col("category") == "SKY",
+            F.element_at(
+                F.array(F.lit("1"), F.lit("3"), F.lit("4")),
+                ((F.col("nx") + F.col("ny")) % 3 + 1).cast("int"),
+            ),
+        )
+        .when(
+            F.col("category") == "PTY",
+            ((F.col("nx") * 2 + F.col("ny")) % 5).cast("string"),
+        )
+        .alias("obsr_value"),
+    )
+    return parse_ncst_items(items)
+
+
+# --------------------------------------------------------------------------
+# Mid-term expansion: grids from customer sigun codes, one synthetic ta and
+# land response per regId, expanded to +3..+10-day rows.
+# --------------------------------------------------------------------------
+
+_MID_TEXTS = ("맑음", "구름많음", "흐리고 비", "흐림", "비/눈", "눈", "소나기", "구름 많음")
+
+_SQL_GRIDS = f"""
+  SELECT DISTINCT
+         CAST(c_custkey % 12 AS INT) AS nx,
+         CAST((c_custkey * 3) % 12 AS INT) AS ny,
+         {sql_mid_ta_reg_id('sigun_cd')} AS ta_reg_id,
+         {sql_mid_land_reg_id('sigun_cd')} AS land_reg_id
+  FROM (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 97 = 0 THEN ''
+                ELSE CAST(11 + (c_custkey % 45) AS VARCHAR) || '130' END AS sigun_cd
+    FROM customer
+  )
+"""
+
+# Per-day synthetic response fields are keyed only by the regId's bytes so
+# the joined value is identical however many grids share the reg.
+def _sql_mid_expand() -> str:
+    """Build the 8-offset expansion as a UNION ALL mirroring inline()."""
+    texts = ", ".join(f"'{t}'" for t in _MID_TEXTS)
+    branches = []
+    for d in range(3, 11):
+        lo = f"CASE WHEN ({d} + t.a1) % 7 = 0 THEN NULL ELSE CAST(t.a1 * {d} % 15 AS INT) END"
+        hi = f"CAST(t.a1 * {d} % 15 + 5 + {d} % 3 AS INT)"
+        wf = f"(ARRAY[{texts}])[(l.a2 + {d}) % 8 + 1]"
+        if d <= 7:
+            am = f"CASE WHEN (l.a2 * {d}) % 11 = 3 THEN NULL ELSE CAST((l.a2 * {d}) % 101 AS INT) END"
+            pm = f"CASE WHEN (l.a2 + {d} * 13) % 9 = 2 THEN NULL ELSE CAST((l.a2 + {d} * 13) % 101 AS INT) END"
+            rain = (
+                f"CASE WHEN ({am}) IS NULL AND ({pm}) IS NULL THEN CAST(NULL AS INT) "
+                f"ELSE GREATEST(COALESCE({am}, 0), COALESCE({pm}, 0)) END"
+            )
+        else:
+            rain = f"CAST((l.a2 * 7 + {d}) % 101 AS INT)"
+        branches.append(
+            f"""
+  SELECT g.nx, g.ny, {d} AS day_offset,
+         {lo} AS temp_low, {hi} AS temp_high,
+         {wf} AS wf, {rain} AS rain_prob,
+         l.a2 IS NOT NULL AS land_present
+  FROM grids g
+  LEFT JOIN ta t ON t.ta_reg_id = g.ta_reg_id
+  LEFT JOIN land l ON l.land_reg_id = g.land_reg_id"""
+        )
+    return " UNION ALL ".join(branches)
+
+
+_SQL_MID = f"""
+WITH grids AS ({_SQL_GRIDS}),
+ta AS (
+  SELECT ta_reg_id, ASCII(SUBSTRING(ta_reg_id, 4, 1)) + ASCII(SUBSTRING(ta_reg_id, 8, 1)) AS a1
+  FROM (SELECT DISTINCT ta_reg_id FROM grids)
+  WHERE ASCII(SUBSTRING(ta_reg_id, 5, 1)) % 5 <> 0
+),
+land AS (
+  SELECT land_reg_id, ASCII(SUBSTRING(land_reg_id, 3, 1)) + ASCII(SUBSTRING(land_reg_id, 4, 1)) AS a2
+  FROM (SELECT DISTINCT land_reg_id FROM grids)
+  WHERE ASCII(SUBSTRING(land_reg_id, 4, 1)) % 4 <> 1
+),
+expanded AS ({_sql_mid_expand()})
+SELECT nx, ny,
+       STRFTIME(DATE '2024-01-10' + day_offset, '%Y%m%d') AS wk_date,
+       temp_low, temp_high,
+       ROUND((temp_low + temp_high) / 2.0, 1) AS temp_avg,
+       CASE WHEN land_present THEN rain_prob END AS rain_prob,
+       CASE WHEN land_present THEN {sql_parse_mid_weather_cd('wf')} END AS weather_cd,
+       CASE WHEN land_present THEN {sql_weather_name(sql_parse_mid_weather_cd('wf'))} END AS weather_nm,
+       CASE WHEN land_present THEN {sql_weather_cd_to_sky_cd(sql_parse_mid_weather_cd('wf'))} END AS sky_cd,
+       'Y' AS is_forecast
+FROM expanded
+WHERE temp_low IS NOT NULL OR temp_high IS NOT NULL
+"""
+
+
+@register(
+    "mid_forecast_expand",
+    operators="S4 (getMidTa + getMidLandFcst responses -> +3..+10-day grid rows: sigun->regId broadcast dims, array-of-structs inline expansion, AM/PM rain-prob max, X17 text parse; ref weather.py:2026-2162,2193-2330)",
+    oracle=_SQL_MID,
+)
+def mid_forecast_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    sigun = F.when(F.col("c_custkey") % 97 == 0, F.lit("")).otherwise(
+        F.concat((11 + F.col("c_custkey") % 45).cast("string"), F.lit("130"))
+    )
+    grids = (
+        c.select(
+            (F.col("c_custkey") % 12).cast("int").alias("nx"),
+            ((F.col("c_custkey") * 3) % 12).cast("int").alias("ny"),
+            mid_ta_reg_id(sigun).alias("ta_reg_id"),
+            mid_land_reg_id(sigun).alias("land_reg_id"),
+        )
+        .distinct()
+    )
+
+    a1 = (
+        F.ascii(F.substring(F.col("ta_reg_id"), 4, 1))
+        + F.ascii(F.substring(F.col("ta_reg_id"), 8, 1))
+    ).alias("a1")
+    ta_regs = (
+        grids.select("ta_reg_id")
+        .distinct()
+        .where(F.ascii(F.substring(F.col("ta_reg_id"), 5, 1)) % 5 != 0)
+        .select("ta_reg_id", a1)
+    )
+    ta_cols = [F.col("ta_reg_id")]
+    for d in range(3, 11):
+        lo = F.when((d + F.col("a1")) % 7 == 0, F.lit(None)).otherwise(
+            (F.col("a1") * d % 15).cast("int")
+        )
+        hi = (F.col("a1") * d % 15 + 5 + d % 3).cast("int")
+        ta_cols += [lo.alias(f"taMin{d}"), hi.alias(f"taMax{d}")]
+    ta = ta_regs.select(*ta_cols)
+
+    a2 = (
+        F.ascii(F.substring(F.col("land_reg_id"), 3, 1))
+        + F.ascii(F.substring(F.col("land_reg_id"), 4, 1))
+    ).alias("a2")
+    land_regs = (
+        grids.select("land_reg_id")
+        .distinct()
+        .where(F.ascii(F.substring(F.col("land_reg_id"), 4, 1)) % 4 != 1)
+        .select("land_reg_id", a2)
+    )
+    texts = F.array(*[F.lit(t) for t in _MID_TEXTS])
+    land_cols = [F.col("land_reg_id")]
+    for d in range(3, 11):
+        wf = F.element_at(texts, ((F.col("a2") + d) % 8 + 1).cast("int"))
+        if d <= 7:
+            am = F.when((F.col("a2") * d) % 11 == 3, F.lit(None)).otherwise(
+                ((F.col("a2") * d) % 101).cast("int")
+            )
+            pm = F.when((F.col("a2") + d * 13) % 9 == 2, F.lit(None)).otherwise(
+                ((F.col("a2") + d * 13) % 101).cast("int")
+            )
+            land_cols += [
+                wf.alias(f"wf{d}Am"),
+                am.alias(f"rnSt{d}Am"),
+                pm.alias(f"rnSt{d}Pm"),
+            ]
+        else:
+            land_cols += [
+                wf.alias(f"wf{d}"),
+                ((F.col("a2") * 7 + d) % 101).cast("int").alias(f"rnSt{d}"),
+            ]
+    land = land_regs.select(*land_cols)
+
+    return expand_mid_forecast(grids, ta, land, base_date=BASE_DATE)

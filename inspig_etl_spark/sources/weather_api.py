@@ -1,0 +1,430 @@
+"""Endpoint-typed KMA weather parsers (SURVEY.md §2.1 S4 — the five REST
+sources beyond the short-term forecast: ultra-short nowcast, ASOS hourly,
+ASOS daily, mid-term temperature, mid-term land forecast).
+
+The reference fetches each endpoint with the same key-rotating loop
+(:class:`inspig_etl_spark.sources.rest.RestSource`) and then runs an
+endpoint-SPECIFIC item→record transformation on the driver:
+
+- ``_parse_ncst_items``      (``/root/reference/src/collectors/weather.py:984-1063``)
+- ``_parse_asos_hourly_items`` (``weather.py:1153-1237``)
+- ``_parse_asos_daily_items``  (``weather.py:1064-1151``)
+- mid-term ta+land expansion to +3..+10-day rows
+  (``weather.py:2193-2330`` ``collect_mid_forecast``)
+- sigun→regId maps + per-endpoint params/base-datetime rules
+  (``weather.py:40-140,407-422,634-664,1999-2024``)
+
+Here each transformation is a DISTRIBUTED DataFrame operator over the raw
+landed items (at 100 TB you land the raw JSON items as a table and decode
+engine-side, not row-at-a-time on an ingest host):
+
+- the nowcast's category/obsrValue long format → one wide record is a
+  ``groupBy(...).pivot(category, <fixed list>)`` — explicit value list, so
+  no extra value-discovery job; partial aggregation map-side;
+- ASOS hourly/daily are pure per-row expression decodes (codegen'd, no
+  UDF, no shuffle);
+- the mid-term +3..+10 expansion is an array-of-structs ``inline`` (per-row
+  generation, not a join node) over responses joined to grid cells via the
+  broadcast-sized regId dims.
+
+Everything stringly-typed goes through ``try_cast`` (X18): junk → NULL,
+exactly like the reference's ``try/except (ValueError, TypeError)`` guards.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from inspig_etl_spark.functions.weather_codes import (
+    PTY_CODES,
+    SKY_CODES,
+    _chain,
+    _sql_chain,
+    parse_mid_weather_cd,
+    weather_cd_to_sky_cd,
+    weather_name,
+)
+
+# --------------------------------------------------------------------------
+# Endpoint request builders (weather.py:442-450,512-523,585-594,2036-2043,
+# 2105-2112). The serviceKey/numOfRows pair is added by RestSource.fetch.
+# --------------------------------------------------------------------------
+
+
+def ncst_params(nx: int, ny: int, base_date: str, base_time: str) -> dict:
+    """getUltraSrtNcst request (weather.py:442-450)."""
+    return {
+        "pageNo": 1,
+        "dataType": "JSON",
+        "base_date": base_date,
+        "base_time": base_time,
+        "nx": nx,
+        "ny": ny,
+    }
+
+
+def asos_hourly_params(
+    stn_id: int, start_dt: str, start_hh: str, end_dt: str, end_hh: str
+) -> dict:
+    """ASOS hourly request (weather.py:512-523): dataCd=ASOS, dateCd=HR."""
+    return {
+        "pageNo": 1,
+        "dataType": "JSON",
+        "dataCd": "ASOS",
+        "dateCd": "HR",
+        "startDt": start_dt,
+        "startHh": start_hh,
+        "endDt": end_dt,
+        "endHh": end_hh,
+        "stnIds": stn_id,
+    }
+
+
+def asos_daily_params(stn_id: int, start_dt: str, end_dt: str) -> dict:
+    """ASOS daily request (weather.py:585-594): dataCd=ASOS, dateCd=DAY."""
+    return {
+        "pageNo": 1,
+        "dataType": "JSON",
+        "dataCd": "ASOS",
+        "dateCd": "DAY",
+        "startDt": start_dt,
+        "endDt": end_dt,
+        "stnIds": stn_id,
+    }
+
+
+def mid_ta_params(reg_id: str, tm_fc: str) -> dict:
+    """getMidTa request (weather.py:2036-2043)."""
+    return {"pageNo": 1, "dataType": "JSON", "regId": reg_id, "tmFc": tm_fc}
+
+
+def mid_land_params(reg_id: str, tm_fc: str) -> dict:
+    """getMidLandFcst request (weather.py:2105-2112)."""
+    return {"pageNo": 1, "dataType": "JSON", "regId": reg_id, "tmFc": tm_fc}
+
+
+# --------------------------------------------------------------------------
+# Base-datetime rules (pure functions of a supplied clock — testable, and
+# the engine never reads the wall clock itself).
+# --------------------------------------------------------------------------
+
+ANNOUNCE_HOURS = (2, 5, 8, 11, 14, 17, 20, 23)
+
+
+def ncst_base_datetime(now: datetime) -> tuple[str, str]:
+    """Nowcast base: top of the hour, available 40 min later
+    (weather.py:407-422) — so query the hour 40 minutes back."""
+    adj = now - timedelta(minutes=40)
+    return adj.strftime("%Y%m%d"), f"{adj.hour:02d}00"
+
+
+def forecast_base_datetime(now: datetime) -> tuple[str, str]:
+    """Short-term forecast base: 3-hourly announcements from 02:00,
+    available ~10 min later (weather.py:634-664)."""
+    adj = now - timedelta(minutes=10)
+    valid = [h for h in ANNOUNCE_HOURS if h <= adj.hour]
+    if valid:
+        return adj.strftime("%Y%m%d"), f"{max(valid):02d}00"
+    prev = adj - timedelta(days=1)
+    return prev.strftime("%Y%m%d"), "2300"
+
+
+def mid_base_datetime(now: datetime) -> str:
+    """Mid-term base: announced 06:00/18:00, available ~30 min later
+    (weather.py:1999-2024). Returns YYYYMMDDHHMM."""
+    if now.hour < 6 or (now.hour == 6 and now.minute < 30):
+        return (now - timedelta(days=1)).strftime("%Y%m%d") + "1800"
+    if now.hour < 18 or (now.hour == 18 and now.minute < 30):
+        return now.strftime("%Y%m%d") + "0600"
+    return now.strftime("%Y%m%d") + "1800"
+
+
+# --------------------------------------------------------------------------
+# Sigun-code → mid-forecast regId maps (weather.py:40-140). Bounded code
+# dims: expression when-chains (or, on a cluster, broadcast dims).
+# --------------------------------------------------------------------------
+
+MID_TA_REG_IDS = {
+    "11": "11B10101", "41": "11B20601", "28": "11B20201",
+    "42": "11D10301", "43": "11D10401",
+    "44": "11C20401", "30": "11C20401", "36": "11C20401", "45": "11C10301",
+    "46": "11F20501", "29": "11F20501", "47": "11F10201",
+    "48": "11H10701", "26": "11H10701", "31": "11H20101", "49": "11H10501",
+    "50": "11H20201", "27": "11H20201",
+    "51": "11G00201",
+}
+DEFAULT_MID_TA_REG_ID = "11B10101"
+
+MID_LAND_REG_IDS = {
+    "11": "11B00000", "41": "11B00000", "28": "11B00000",
+    "42": "11D10000", "43": "11D10000",
+    "44": "11C20000", "30": "11C20000", "36": "11C20000", "45": "11C10000",
+    "46": "11F20000", "29": "11F20000", "47": "11F10000",
+    "48": "11H10000", "26": "11H10000", "31": "11H10000", "49": "11H10000",
+    "50": "11H20000", "27": "11H20000",
+    "51": "11G00000",
+}
+DEFAULT_MID_LAND_REG_ID = "11B00000"
+
+
+def _reg_id(sigun_cd: Column, mapping: dict[str, str], default: str) -> Column:
+    sido = F.substring(sigun_cd, 1, 2)
+    guarded = F.when(sigun_cd.isNull() | (F.length(sigun_cd) < 2), default)
+    return F.coalesce(guarded.otherwise(_chain(sido, mapping, default)), F.lit(default))
+
+
+def mid_ta_reg_id(sigun_cd: Column) -> Column:
+    """weather.py:112-125: first 2 digits → getMidTa regId, Seoul default."""
+    return _reg_id(sigun_cd, MID_TA_REG_IDS, DEFAULT_MID_TA_REG_ID)
+
+
+def mid_land_reg_id(sigun_cd: Column) -> Column:
+    """weather.py:127-140: first 2 digits → getMidLandFcst regId."""
+    return _reg_id(sigun_cd, MID_LAND_REG_IDS, DEFAULT_MID_LAND_REG_ID)
+
+
+def sql_mid_ta_reg_id(sigun_cd: str) -> str:
+    inner = _sql_chain(f"SUBSTRING({sigun_cd}, 1, 2)", MID_TA_REG_IDS, DEFAULT_MID_TA_REG_ID)
+    return (
+        f"CASE WHEN {sigun_cd} IS NULL OR LENGTH({sigun_cd}) < 2 "
+        f"THEN '{DEFAULT_MID_TA_REG_ID}' ELSE {inner} END"
+    )
+
+
+def sql_mid_land_reg_id(sigun_cd: str) -> str:
+    inner = _sql_chain(f"SUBSTRING({sigun_cd}, 1, 2)", MID_LAND_REG_IDS, DEFAULT_MID_LAND_REG_ID)
+    return (
+        f"CASE WHEN {sigun_cd} IS NULL OR LENGTH({sigun_cd}) < 2 "
+        f"THEN '{DEFAULT_MID_LAND_REG_ID}' ELSE {inner} END"
+    )
+
+
+# --------------------------------------------------------------------------
+# [1/5] Ultra-short nowcast: long category/obsrValue items → one wide
+# observation record per (nx, ny, base_date, base_time).
+# --------------------------------------------------------------------------
+
+NCST_CATEGORIES = ("T1H", "RN1", "REH", "WSD", "VEC", "SKY", "PTY")
+
+
+def parse_ncst_items(raw: DataFrame) -> DataFrame:
+    """``_parse_ncst_items`` (weather.py:984-1063) as a distributed pivot.
+
+    ``raw``: one row per API item — ``nx int, ny int, base_date string,
+    base_time string, category string, obsr_value string``.
+
+    Category semantics: T1H temperature, RN1 1-hour rain ('강수없음'/'' → 0,
+    'mm' suffix stripped), REH humidity, WSD wind speed, VEC wind
+    direction, SKY sky code, PTY precipitation-type code. The nowcast
+    carries no rain probability and observed rows are IS_FORECAST='N'.
+    Weather decode: PTY≠0 wins over SKY; NULL SKY reads clear (code 1).
+
+    Scale: the pivot's value list is FIXED (7 categories) so Catalyst plans
+    one partially-aggregated shuffle on the grid/time key — no
+    distinct-value discovery job, no second shuffle. ``max`` (not
+    ``first``) keeps the aggregation deterministic under duplicate items.
+    """
+    wide = (
+        raw.groupBy("nx", "ny", "base_date", "base_time")
+        .pivot("category", list(NCST_CATEGORIES))
+        .agg(F.max("obsr_value"))
+    )
+
+    rain_raw = F.trim(F.replace(F.col("RN1"), F.lit("mm"), F.lit("")))
+    pty_eff = F.when(F.col("PTY").isNull() | (F.col("PTY") == ""), "0").otherwise(F.col("PTY"))
+    sky_eff = F.when(F.col("SKY").isNull() | (F.col("SKY") == ""), "1").otherwise(F.col("SKY"))
+    pty_cd_map = {k: v[0] for k, v in PTY_CODES.items() if k != "0"}
+    pty_nm_map = {k: v[1] for k, v in PTY_CODES.items() if k != "0"}
+    sky_cd_map = {k: v[0] for k, v in SKY_CODES.items()}
+    sky_nm_map = {k: v[1] for k, v in SKY_CODES.items()}
+
+    return wide.select(
+        "nx",
+        "ny",
+        F.col("base_date").alias("wk_date"),
+        F.col("base_time").alias("wk_time"),
+        F.col("T1H").try_cast("double").alias("temp"),
+        F.lit(None).cast("int").alias("rain_prob"),
+        F.coalesce(
+            F.when(F.col("RN1").isin("강수없음", ""), F.lit(0.0)).otherwise(
+                rain_raw.try_cast("double")
+            ),
+            F.lit(0.0),
+        ).alias("rain_amt"),
+        F.col("REH").try_cast("int").alias("humidity"),
+        F.col("WSD").try_cast("double").alias("wind_speed"),
+        F.col("VEC").try_cast("int").alias("wind_dir"),
+        F.col("SKY").alias("sky_cd"),
+        F.col("PTY").alias("pty_cd"),
+        F.when(pty_eff != "0", _chain(pty_eff, pty_cd_map, "unknown"))
+        .otherwise(_chain(sky_eff, sky_cd_map, "sunny"))
+        .alias("weather_cd"),
+        F.when(pty_eff != "0", _chain(pty_eff, pty_nm_map, "알수없음"))
+        .otherwise(_chain(sky_eff, sky_nm_map, "맑음"))
+        .alias("weather_nm"),
+        F.lit("N").alias("is_forecast"),
+    )
+
+
+# --------------------------------------------------------------------------
+# [2/5] ASOS hourly: per-row typed decode of station observations.
+# --------------------------------------------------------------------------
+
+
+def parse_asos_hourly_items(raw: DataFrame) -> DataFrame:
+    """``_parse_asos_hourly_items`` (weather.py:1153-1237).
+
+    ``raw``: ``nx int, ny int, tm string ('YYYY-MM-DD HH:MM'), ta, rn, hm,
+    ws, wd`` (stringly). Rows whose ``tm`` lacks a date+time pair are
+    dropped; rain defaults to 0 and flips the weather code to rainy when
+    positive; humidity/wind-direction truncate through double→int exactly
+    like the reference's ``int(float(x))``. Pure project+filter: no
+    shuffle, whole-stage codegen.
+    """
+    parts = F.split(F.col("tm"), " ")
+    rain = F.coalesce(F.col("rn").try_cast("double"), F.lit(0.0))
+    return (
+        raw.where(F.col("tm").isNotNull() & (F.size(parts) >= 2))
+        .select(
+            F.replace(parts.getItem(0), F.lit("-"), F.lit("")).alias("wk_date"),
+            F.substring(F.replace(parts.getItem(1), F.lit(":"), F.lit("")), 1, 4).alias(
+                "wk_time"
+            ),
+            "nx",
+            "ny",
+            F.col("ta").try_cast("double").alias("temp"),
+            F.lit(None).cast("int").alias("rain_prob"),
+            rain.alias("rain_amt"),
+            F.col("hm").try_cast("double").cast("int").alias("humidity"),
+            F.col("ws").try_cast("double").alias("wind_speed"),
+            F.col("wd").try_cast("double").cast("int").alias("wind_dir"),
+            F.lit(None).cast("string").alias("sky_cd"),
+            F.lit(None).cast("string").alias("pty_cd"),
+            F.when(rain > 0, "rainy").otherwise("sunny").alias("weather_cd"),
+            F.when(rain > 0, "비").otherwise("맑음").alias("weather_nm"),
+            F.lit("N").alias("is_forecast"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# [3/5] ASOS daily: per-row typed decode of daily station summaries.
+# --------------------------------------------------------------------------
+
+
+def parse_asos_daily_items(raw: DataFrame) -> DataFrame:
+    """``_parse_asos_daily_items`` (weather.py:1064-1151).
+
+    ``raw``: ``nx int, ny int, tm string ('YYYY-MM-DD'), avg_ta, max_ta,
+    min_ta, sum_rn, avg_rhm, avg_ws`` (stringly). Empty dates drop; any
+    positive daily rain marks the day rainy; temperatures/rain keep one
+    decimal (reference ``round(float(x), 1)``); sky defaults clear.
+    """
+    rain = F.col("sum_rn").try_cast("double")
+    return (
+        raw.where(F.col("tm").isNotNull() & (F.col("tm") != ""))
+        .select(
+            F.replace(F.col("tm"), F.lit("-"), F.lit("")).alias("wk_date"),
+            "nx",
+            "ny",
+            F.round(F.col("avg_ta").try_cast("double"), 1).alias("temp_avg"),
+            F.round(F.col("max_ta").try_cast("double"), 1).alias("temp_high"),
+            F.round(F.col("min_ta").try_cast("double"), 1).alias("temp_low"),
+            F.lit(None).cast("int").alias("rain_prob"),
+            F.round(rain, 1).alias("rain_amt"),
+            F.col("avg_rhm").try_cast("double").cast("int").alias("humidity"),
+            F.round(F.col("avg_ws").try_cast("double"), 1).alias("wind_speed"),
+            F.when(rain > 0, "rainy").otherwise("sunny").alias("weather_cd"),
+            F.when(rain > 0, "비").otherwise("맑음").alias("weather_nm"),
+            F.lit("1").alias("sky_cd"),
+            F.lit("N").alias("is_forecast"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# [4/5 + 5/5] Mid-term ta + land responses → +3..+10-day daily rows.
+# --------------------------------------------------------------------------
+
+MID_DAY_OFFSETS = tuple(range(3, 11))
+
+
+def expand_mid_forecast(
+    grids: DataFrame, ta: DataFrame, land: DataFrame, base_date: str
+) -> DataFrame:
+    """``collect_mid_forecast``'s per-grid expansion (weather.py:2252-2312).
+
+    - ``grids``: ``nx int, ny int, ta_reg_id string, land_reg_id string``
+      (one row per target grid cell; regIds via :func:`mid_ta_reg_id` /
+      :func:`mid_land_reg_id`).
+    - ``ta``: one row per getMidTa response — ``ta_reg_id`` +
+      ``taMin3..taMin10, taMax3..taMax10``.
+    - ``land``: one row per getMidLandFcst response — ``land_reg_id`` +
+      ``wf3Am..wf7Am, wf8..wf10, rnSt3Am..rnSt7Pm, rnSt8..rnSt10``.
+
+    Per day offset d∈[3,10]: temps from ``taMin{d}/taMax{d}`` (avg =
+    half-up mean to 1 decimal); days ≤7 read the AM weather text and the
+    max of AM/PM rain probabilities (a missing side counts 0), days ≥8 the
+    whole-day fields; weather text parses through the X17 map with
+    precipitation priority. Rows with neither temperature are dropped
+    (short-term data keeps those days). Output is IS_FORECAST='Y'.
+
+    Scale: responses join to grids on the ~20-value regId dims → broadcast
+    hash joins; the 8-day expansion is ``inline(array(structs))`` — per-row
+    generation, no join node, no shuffle.
+    """
+    day_structs = []
+    for d in MID_DAY_OFFSETS:
+        if d <= 7:
+            wf = F.col(f"wf{d}Am")
+            am = F.col(f"rnSt{d}Am").try_cast("int")
+            pm = F.col(f"rnSt{d}Pm").try_cast("int")
+            rain_prob = F.when(
+                am.isNull() & pm.isNull(), F.lit(None).cast("int")
+            ).otherwise(F.greatest(F.coalesce(am, F.lit(0)), F.coalesce(pm, F.lit(0))))
+        else:
+            wf = F.col(f"wf{d}")
+            rain_prob = F.col(f"rnSt{d}").try_cast("int")
+        day_structs.append(
+            F.struct(
+                F.lit(d).alias("day_offset"),
+                F.col(f"taMin{d}").try_cast("int").alias("temp_low"),
+                F.col(f"taMax{d}").try_cast("int").alias("temp_high"),
+                wf.cast("string").alias("wf"),
+                rain_prob.alias("rain_prob"),
+            )
+        )
+
+    joined = (
+        grids.join(F.broadcast(ta), on="ta_reg_id", how="left")
+        .join(
+            F.broadcast(land.withColumn("land_present", F.lit(True))),
+            on="land_reg_id",
+            how="left",
+        )
+        .select("nx", "ny", "land_present", F.inline(F.array(*day_structs)))
+    )
+
+    has_land = F.col("land_present").isNotNull()
+    weather_cd = parse_mid_weather_cd(F.col("wf"))
+    return (
+        joined.where(F.col("temp_low").isNotNull() | F.col("temp_high").isNotNull())
+        .select(
+            "nx",
+            "ny",
+            F.date_format(
+                F.date_add(F.to_date(F.lit(base_date), "yyyyMMdd"), F.col("day_offset")),
+                "yyyyMMdd",
+            ).alias("wk_date"),
+            "temp_low",
+            "temp_high",
+            F.round((F.col("temp_low") + F.col("temp_high")) / 2.0, 1).alias("temp_avg"),
+            F.when(has_land, F.col("rain_prob")).alias("rain_prob"),
+            F.when(has_land, weather_cd).alias("weather_cd"),
+            F.when(has_land, weather_name(weather_cd)).alias("weather_nm"),
+            F.when(has_land, weather_cd_to_sky_cd(weather_cd)).alias("sky_cd"),
+            F.lit("Y").alias("is_forecast"),
+        )
+    )
