@@ -57,6 +57,7 @@ HEADLINE = [
     "schedule_seq_filter_modes",
     "ncst_pivot_decode",
     "mid_forecast_expand",
+    "docs_neardup_clusters",
 ]
 
 

@@ -164,6 +164,69 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Transitive near-dup clusters: min-label propagation to fixpoint.
+
+    ``pairs`` is an undirected edge list (``id_a``, ``id_b`` — e.g. the
+    verified output of the MinHash/SimHash detectors); ``nodes`` supplies
+    the full id universe so singletons become their own cluster. Returns
+    ``(id_col, cluster_id)`` where ``cluster_id`` is the minimum id
+    reachable through any chain of near-dup pairs — the canonical document
+    every transitive duplicate collapses to.
+
+    Execution is Pregel-style: each round joins the current labels to the
+    symmetric edge list, takes the per-node neighbor minimum, and lowers
+    labels that improved. The loop is driver-side but each round is one
+    distributed hash-join + partial-aggregated groupBy; rounds needed =
+    max component diameter (near-dup clusters are shallow — review chains,
+    not paths). Convergence is detected with a single ``sum(label)``
+    action per round (labels only ever decrease, so an unchanged sum IS
+    the fixpoint — no extra diff join), and each round's result is
+    persisted while the previous round is dropped, so lineage stays one
+    round deep instead of growing multiplicatively.
+
+    At extreme skew (one giant component) the alternating large-star /
+    small-star contraction [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"] converges in O(log^2 n) rounds; the simple
+    propagation here is the right default for dedup graphs, whose
+    components are tiny and diameter-bounded.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash32(toks: Column) -> Column:
     """32-bit SimHash of a token array (duplicates weight naturally).
 

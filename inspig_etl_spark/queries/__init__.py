@@ -82,6 +82,7 @@ def _load() -> None:
         weather_pipeline,
         productivity,
         weather_ingest,
+        llm_sampling,
         llm_text,
         multimodal,
         llm_dedup,

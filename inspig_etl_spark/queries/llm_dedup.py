@@ -208,3 +208,59 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "docs_neardup_clusters",
+    operators="LLM-dedup-cluster (transitive closure over MinHash near-dup pairs: Pregel-style min-label propagation -> per-doc canonical cluster id; brief: dedup family)",
+    oracle=f"""
+WITH RECURSIVE {_SQL_DOCS_SHINGLED},
+sig AS (SELECT doc_id, sh, {{SIG}} AS sig FROM t),
+band AS (
+  SELECT doc_id, band_no,
+         array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM band l JOIN band r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN t a ON cand.id_a = a.doc_id JOIN t b ON cand.id_b = b.doc_id
+  WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id,
+       CAST(MIN(label) = id AS INT) AS is_canonical
+FROM reach GROUP BY id
+""".replace("{SIG}", _sql_minhash_sig()),
+)
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse transitive near-duplicate chains (A~B, B~C => {A,B,C})
+    to one canonical doc per cluster — the step after pair detection in a
+    real dedup pipeline (pairs alone under-delete chained rewrites).
+
+    Spark side: the verified MinHash pairs feed
+    :func:`operators.dedup.connected_components` (min-label propagation,
+    one distributed join round per component-diameter step); the oracle
+    computes the same fixpoint with a recursive CTE.
+    """
+    from inspig_etl_spark.operators.dedup import connected_components
+
+    pairs = docs_minhash_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = table(spark, sf_dir, "documents")
+    cc = connected_components(pairs, docs, "doc_id")
+    return cc.withColumn(
+        "is_canonical", (F.col("cluster_id") == F.col("doc_id")).cast("int")
+    )

@@ -218,3 +218,44 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr.alias("predicted_lang"),
         *[F.col(f"score_{lg}") for lg in _LANGS],
     )
+
+
+# BPE-ish pre-tokenizer (GPT-2 shape, lookahead-free so the same pattern
+# runs on Java regex and RE2): contraction suffixes, space-prefixed letter
+# runs, digit runs, punctuation runs. Whitespace itself is glue, not a
+# piece.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_SQL_BPE = "len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))"
+_SQL_WS = "CASE WHEN TRIM(text) = '' THEN 0 ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END"
+
+
+@register(
+    "docs_bpe_token_count",
+    operators="LLM-text-bpe (token counting via whitespace split AND a BPE-ish pre-tokenizer regex; brief: 'token counting (whitespace + a BPE-ish regex)')",
+    oracle=f"""
+SELECT doc_id,
+       {_SQL_WS} AS ws_tokens,
+       {_SQL_BPE} AS bpe_pieces,
+       CAST(FLOOR({_SQL_BPE} * 10000 / CAST(NULLIF({_SQL_WS}, 0) AS DOUBLE)) AS BIGINT) AS pieces_per_token_e4
+FROM documents
+""",
+)
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for training-data curation: the whitespace count and
+    a BPE-style piece count (the better proxy for real tokenizer cost),
+    plus their fixed-point ratio (fertility). Expression-only per-row work:
+    one regex pass, no shuffle, prunes to (doc_id, text) at the scan.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    ws = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_pieces"),
+        F.floor(bpe * 10000 / F.nullif(ws, F.lit(0)).cast("double"))
+        .cast("bigint")
+        .alias("pieces_per_token_e4"),
+    )

@@ -247,3 +247,31 @@ def test_parse_mid_weather_truth_table(spark):
     out = df.withColumn("got", parse_mid_weather_cd(F.col("txt")))
     bad = out.filter(F.col("got") != F.col("want")).collect()
     assert not bad, f"parse mismatches: {bad}"
+
+
+class TestConnectedComponents:
+    """Transitive near-dup clustering (operators/dedup.connected_components)."""
+
+    @staticmethod
+    def _run(spark, pairs, ids):
+        from inspig_etl_spark.operators.dedup import connected_components
+
+        pdf = spark.createDataFrame(pairs or [(None, None)], "id_a long, id_b long")
+        if not pairs:
+            pdf = pdf.where("id_a IS NOT NULL")
+        nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = connected_components(pdf, nodes, "doc_id")
+        return {r.doc_id: r.cluster_id for r in out.collect()}
+
+    def test_chain_collapses_to_min(self, spark):
+        # 1-2, 2-3, 3-4 is one component even though 1 and 4 never pair.
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4), (6, 7)], [1, 2, 3, 4, 5, 6, 7])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+    def test_cycle_terminates(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (1, 3)], [1, 2, 3])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_empty_pairs_all_singletons(self, spark):
+        got = self._run(spark, [], [10, 20])
+        assert got == {10: 10, 20: 20}
