@@ -196,9 +196,15 @@ def connected_components(
     propagation here is the right default for dedup graphs, whose
     components are tiny and diameter-bounded.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # persist(): the pair source is typically an expensive detector pipeline
+    # (MinHash banding + verification); without materialization every
+    # propagation round re-executes it through the join lineage (measured:
+    # ~2x the whole clustering cost at sf0.1).
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
@@ -224,6 +230,9 @@ def connected_components(
             break
         prev_sum = new_sum
 
+    # The final labels are materialized (the convergence action ran on
+    # them); the edge cache has served its purpose.
+    edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

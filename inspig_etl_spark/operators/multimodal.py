@@ -204,6 +204,72 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h): the standard image
+    pre-processing step before feature extraction, with the same stubbed
+    codec convention as :func:`decode_media` (a real deployment swaps the
+    kernel for PIL's ``Image.resize`` inside the same batch function).
+
+    Arrow-batched ``mapInPandas``; per row the pixel gather is ONE numpy
+    fancy-index over the (h, w, c) view — row sizes are ragged so rows
+    iterate, bytes never do. Output blobs carry an updated header, so
+    resized media round-trips through :func:`decode_media` unchanged.
+    No shuffle; partition count alone controls parallelism.
+    """
+
+    from inspig_etl_spark.pyfiles import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            out_blobs = []
+            metas = []
+            for blob in pdf["blob"]:
+                v = np.frombuffer(blob, dtype=np.uint8)
+                if bytes(v[:2].tobytes()) != MAGIC:
+                    raise NotImplementedError(
+                        "real media decoding requires an image/audio library "
+                        "not present in this environment; only the synthetic "
+                        "IM format is supported"
+                    )
+                w = int(v[2]) << 8 | int(v[3])
+                h = int(v[4]) << 8 | int(v[5])
+                c = int(v[6]) << 8 | int(v[7])
+                n = min(w * h * c, v.size - 8)
+                # Zero-pad short payloads to the declared grid, like the
+                # decoder's clamp, then view as (h, w, c).
+                grid = np.zeros(w * h * c, np.uint8)
+                grid[:n] = v[8 : 8 + n]
+                grid = grid.reshape(h, w, c) if w * h * c else grid.reshape(0, 0, 0)
+                ys = (np.arange(out_h) * h) // out_h if h else np.zeros(out_h, np.int64)
+                xs = (np.arange(out_w) * w) // out_w if w else np.zeros(out_w, np.int64)
+                resized = (
+                    grid[np.ix_(ys, xs)] if w and h else np.zeros((out_h, out_w, max(c, 1)), np.uint8)
+                )
+                header = (
+                    MAGIC
+                    + out_w.to_bytes(2, "big")
+                    + out_h.to_bytes(2, "big")
+                    + max(c, 1).to_bytes(2, "big")
+                )
+                out_blobs.append(header + resized.tobytes())
+                metas.append({"width": out_w, "height": out_h, "channels": max(c, 1)})
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "blob": out_blobs,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling as expression code: split the payload into
     n equal 'frames' (one output row each) — the partition-preserving

@@ -58,3 +58,23 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "id", "media_type", "width", "height", "channels", "n_bytes", "mean_byte"
     )
+
+
+@register(
+    "multimodal_resize_decode",
+    operators="LLM-multimodal (nearest-neighbor resize as an Arrow-batched pre-processing stage, round-tripped through the decoder; brief: 'decode / feature-extract / resize / frame-sample')",
+    oracle=None,  # the resize kernel is Python-side; invariants pinned in tests/test_multimodal.py
+)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-then-featurize: the standard media pre-processing chain.
+    Every output row must report the target (8, 6) grid regardless of the
+    source dimensions, proving the resized blobs re-enter the decode path
+    unchanged."""
+    from inspig_etl_spark.operators.multimodal import resize_media
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    media = synthetic_media(docs)
+    resized = resize_media(media, out_w=8, out_h=6)
+    return decode_media(resized).select(
+        "id", "media_type", "width", "height", "channels", "n_bytes", "mean_byte"
+    )

@@ -37,8 +37,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # Whole-stage codegen emits one compiled class per pipeline; a session
     # running the full registry overflows the JVM's default 240 MB code
     # cache, after which hot loops run INTERPRETED (observed: the trig-heavy
-    # nearest-station kernel 3-5x slower when executed late in a session).
-    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    # nearest-station kernel 3-5x slower when executed late in a session;
+    # 512m showed the same degradation again once the headline list grew to
+    # 25 queries x 3 passes, so 1g + explicit flushing).
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
 }
 
 

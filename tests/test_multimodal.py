@@ -91,3 +91,48 @@ def test_frame_sample_shape(spark):
     assert all(r.n == 4 for r in counts)
     videos = media.filter(F.col("media_type") == "video").count()
     assert len(counts) == videos
+
+
+class TestResize:
+    def test_resize_roundtrips_through_decoder(self, spark):
+        from inspig_etl_spark.operators.multimodal import resize_media
+
+        media = _media(spark)
+        out = decode_media(resize_media(media, out_w=8, out_h=6)).collect()
+        assert out
+        src_channels = {
+            r.id: r.meta.channels for r in media.select("id", "meta").collect()
+        }
+        for r in out:
+            assert (r.width, r.height) == (8, 6)
+            assert r.channels == src_channels[r.id]
+            assert r.n_bytes == 8 * 6 * r.channels
+
+    def test_nearest_neighbor_values(self, spark):
+        """2x2 -> 1x1 nearest-neighbor keeps the top-left pixel."""
+        from inspig_etl_spark.operators.multimodal import resize_media
+
+        blob = (
+            b"IM" + (2).to_bytes(2, "big") + (2).to_bytes(2, "big")
+            + (1).to_bytes(2, "big") + bytes([10, 20, 30, 40])
+        )
+        df = spark.createDataFrame(
+            [(1, "image", blob, {"width": 2, "height": 2, "channels": 1})],
+            "id BIGINT, media_type STRING, blob BINARY, "
+            "meta STRUCT<width: INT, height: INT, channels: INT>",
+        )
+        r = decode_media(resize_media(df, out_w=1, out_h=1)).collect()[0]
+        assert r.n_bytes == 1 and r.mean_byte == 10.0
+
+    def test_foreign_blob_raises(self, spark):
+        from inspig_etl_spark.operators.multimodal import resize_media
+
+        df = spark.createDataFrame(
+            [(1, "image", b"PNGxxxxxxxx", {"width": 1, "height": 1, "channels": 1})],
+            "id BIGINT, media_type STRING, blob BINARY, "
+            "meta STRUCT<width: INT, height: INT, channels: INT>",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="image/audio library"):
+            resize_media(df, out_w=2, out_h=2).collect()
