@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -38,25 +39,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from a scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a long (nanos since epoch) and
-    expose ``ts_us`` (microseconds) — the same precision DuckDB sees after
-    its silent nanos→micros coercion, and timezone-proof because all
-    downstream date/second math is integer arithmetic, never a tz cast.
+    ``events.ts`` has been shipped as parquet TIMESTAMP(NANOS) (which Spark
+    reads as nanos-long under ``nanosAsLong``) in some testdata generations
+    and TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) in others, so we dispatch on the
+    dtype Spark actually produced and expose a uniform ``ts_us`` column
+    (microseconds since epoch, BIGINT) — the same precision DuckDB sees, and
+    timezone-proof because every derivation below is wall-clock integer
+    arithmetic, never a session-tz cast.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Our session factory sets nanosAsLong up front (session.py), but the
-        # external driver brings a PLAIN SparkSession, so ensure it here too.
-        # Guarded set-if-different: idempotent, never flips an existing value
-        # back and forth mid-session.
+        # external driver brings a PLAIN SparkSession, so ensure it here too
+        # (only helps TIMESTAMP(NANOS) files; harmless otherwise). Guarded
+        # set-if-different: idempotent, never flips a value mid-session.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts_us", F.expr("ts div 1000"))
+        t = df.schema["ts"].dataType
+        if isinstance(t, T.LongType):
+            ts_us = F.expr("ts div 1000")  # nanos-long → micros
+        elif isinstance(t, T.TimestampNTZType):
+            # Wall-clock difference from the NTZ epoch: pure integer result,
+            # independent of spark.sql.session.timeZone.
+            ts_us = F.expr(
+                "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            )
+        elif isinstance(t, T.TimestampType):
+            ts_us = F.unix_micros(F.col("ts"))
+        else:
+            raise TypeError(f"events.ts: unexpected parquet dtype {t}")
+        return df.withColumn("ts_us", ts_us)
     return spark.read.parquet(path)
 
 

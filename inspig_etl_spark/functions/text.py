@@ -171,4 +171,9 @@ def token_len_sum(toks: Column) -> Column:
 
 
 def sql_token_len_sum(toks_expr: str) -> str:
-    return f"list_sum(list_transform({toks_expr}, t -> CAST(len(t) AS BIGINT)))"
+    # DuckDB list_sum returns HUGEINT (arrives as float in the harness) and
+    # NULL for empty lists; CAST+COALESCE pin it to Spark's bigint-0 result.
+    return (
+        f"CAST(COALESCE(list_sum(list_transform({toks_expr},"
+        f" t -> CAST(len(t) AS BIGINT))), 0) AS BIGINT)"
+    )

@@ -172,7 +172,7 @@ WITH raw AS (
 SELECT COUNT(*) AS total_cnt,
        COUNT(TRY_CAST(size_str AS INTEGER)) AS parsed_cnt,
        COUNT(*) - COUNT(TRY_CAST(size_str AS INTEGER)) AS junk_cnt,
-       SUM(COALESCE(TRY_CAST(size_str AS INTEGER), 0)) AS size_sum
+       CAST(SUM(COALESCE(TRY_CAST(size_str AS INTEGER), 0)) AS BIGINT) AS size_sum
 FROM raw
 """,
 )
