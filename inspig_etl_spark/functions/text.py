@@ -166,8 +166,14 @@ def sql_stopword_count(toks_expr: str, lang: str = "en") -> str:
 
 
 def token_len_sum(toks: Column) -> Column:
-    """Total characters across tokens (exact integer fold)."""
-    return F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    """Total characters across tokens (exact integer fold).
+
+    NULL token list → 0, matching the oracle's COALESCE(list_sum(...), 0):
+    without the outer coalesce Spark's F.aggregate returns NULL for a NULL
+    array and the two engines would diverge on NULL ``documents.text``.
+    """
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.coalesce(total, F.lit(0).cast("bigint"))
 
 
 def sql_token_len_sum(toks_expr: str) -> str:

@@ -102,13 +102,19 @@ def _fake_decode(blob: bytes) -> dict:
         : width * height * channels
     ]
     n = payload.size
-    mean = float(np.round(payload.sum() / n, 6)) if n else 0.0
+    # Byte means are micro-floored (sum*1e6 // n, then /1e6): integer floor
+    # division + one IEEE double divide is bit-identical in numpy, Python and
+    # DuckDB, so the value is oracle-checkable — np.round() is not (its
+    # scaled half-even rounding has no SQL equivalent at the last ulp).
+    mean = (int(payload.sum()) * 1_000_000 // n) / 1e6 if n else 0.0
     # 4-bucket byte-mean "feature vector" — the shape a real embedding
     # extractor would produce, computed deterministically.
     feats = []
     for i in range(4):
         chunk = payload[i * n // 4 : (i + 1) * n // 4]
-        feats.append(float(np.round(chunk.sum() / chunk.size, 6)) if chunk.size else 0.0)
+        feats.append(
+            (int(chunk.sum()) * 1_000_000 // chunk.size) / 1e6 if chunk.size else 0.0
+        )
     return {
         "width": width,
         "height": height,
@@ -178,14 +184,16 @@ def decode_media(media: DataFrame) -> DataFrame:
                 sums = np.zeros(bounds.size, np.int64)
             chunk_sums = sums.reshape(-1, 4)
             chunk_lens = seg_lens.reshape(-1, 4)
+            # Micro-floor (sum*1e6 // n / 1e6), matching _fake_decode — exact
+            # integer ops + one IEEE divide, bit-identical across engines.
             feats = np.where(
                 chunk_lens > 0,
-                np.round(chunk_sums / np.maximum(chunk_lens, 1), 6),
+                (chunk_sums * 1_000_000) // np.maximum(chunk_lens, 1) / 1e6,
                 0.0,
             )
             means = np.where(
                 lens > 0,
-                np.round(chunk_sums.sum(axis=1) / np.maximum(lens, 1), 6),
+                (chunk_sums.sum(axis=1) * 1_000_000) // np.maximum(lens, 1) / 1e6,
                 0.0,
             )
             yield pd.DataFrame(

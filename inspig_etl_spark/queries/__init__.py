@@ -62,15 +62,25 @@ def _load() -> None:
     """Import all query modules (each registers into REGISTRY).
 
     Import order IS registration order, and the driver's correctness gate
-    samples the first 50 oracled registrations — so modules whose queries
-    have never had a driver row come first, queries proven green in earlier
-    rounds (r01: tpch; r02: aggregates/domain_aggs/event_log/...) rotate to
-    the back.
+    samples the first 50 oracled registrations — so the window rotates each
+    round onto the queries with the stalest driver record. Round 5: the
+    tpch/aggregates/domain_aggs/event_log/joins modules (last driver-verified
+    in r01/r02, before the events.ts NANOS→MICROS testdata change) move to
+    the front; the r04-verified modules rotate to the back.
     """
     global _LOADED
     if _LOADED:
         return
     from inspig_etl_spark.queries import (  # noqa: F401
+        tpch,
+        aggregates,
+        domain_aggs,
+        event_log,
+        joins,
+        geo,
+        multimodal,
+        llm_similarity,
+        weather_ingest,
         pivots,
         scalar_funcs,
         sessions,
@@ -81,18 +91,9 @@ def _load() -> None:
         schedule_ext,
         weather_pipeline,
         productivity,
-        weather_ingest,
         llm_sampling,
         llm_text,
-        multimodal,
         llm_dedup,
-        llm_similarity,
-        geo,
-        joins,
-        event_log,
-        aggregates,
-        domain_aggs,
-        tpch,
     )
 
     _LOADED = True

@@ -1,10 +1,12 @@
 """Event-log queries over the synthetic `events` stream table
 (SURVEY.md §2.3 J2/J4, §2.5 W1-W6 — the sow work-history idioms).
 
-``events.ts`` is nanosecond-precision parquet; the catalog exposes ``ts_us``
-(epoch microseconds, a long) which matches DuckDB's silent nanos→micros
-coercion exactly. All time math is integer arithmetic on ``ts_us`` — both
-engines see identical values and no timezone cast is ever involved.
+``events.ts`` may be TIMESTAMP(NANOS) or TIMESTAMP(MICROS) parquet depending
+on the testdata generation; the catalog's dtype dispatch (``catalog.py``)
+exposes ``ts_us`` (epoch microseconds, a long) uniformly for either, which
+matches DuckDB's reading of the same file exactly. All time math is integer
+arithmetic on ``ts_us`` — both engines see identical values and no timezone
+cast is ever involved.
 """
 
 from __future__ import annotations

@@ -1,6 +1,11 @@
-"""Multimodal queries: blob metadata (oracle-checked) and the Pandas-UDF
-decode pipeline (rows-only check — the decode stub is not SQL-expressible,
-but tests/test_multimodal.py pins its values).
+"""Multimodal queries: blob metadata and the Pandas-UDF decode pipeline.
+
+All three are fully oracle-checked: the synthetic blob is a pure function of
+(doc_id, text), so the decode outputs — dims from the id, byte sums over the
+UTF-8 payload — are DuckDB-expressible by re-deriving the payload bytes from
+``hex(encode(repeat(text, 4)))`` and folding hex digits. Byte means use the
+micro-floor contract (``sum*1e6 // n / 1e6``, see operators/multimodal.py)
+so floats are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -49,7 +54,40 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_features",
     operators="LLM-multimodal (mapInPandas Arrow-batched decode/feature stub; brief: 'decode / feature-extract ... as Pandas UDFs over mapInPandas')",
-    oracle=None,  # the decode stub is Python-side; invariants pinned in tests/test_multimodal.py
+    # Partial oracle: every selected decode output is a pure function of
+    # (doc_id, text). The payload byte sum is re-derived by folding the hex
+    # digits of the UTF-8 payload (weight 16 for high nibbles); the mean uses
+    # the micro-floor contract so the double is bit-identical.
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(doc_id % 16 + 4 AS INT) AS width,
+         CAST(doc_id % 12 + 4 AS INT) AS height,
+         CAST(doc_id % 3 + 1 AS INT) AS channels,
+         encode(repeat(text, 4)) AS pay
+  FROM documents
+), p AS (
+  SELECT doc_id, media_type, width, height, channels,
+         LEAST(width * height * channels, octet_length(pay)) AS n_bytes,
+         substr(hex(pay), 1, 2 * LEAST(width * height * channels, octet_length(pay))) AS hx
+  FROM m
+), s AS (
+  SELECT *,
+         CASE WHEN n_bytes > 0 THEN CAST(list_sum(list_transform(range(1, 2 * n_bytes + 1),
+              i -> (strpos('0123456789ABCDEF', hx[i]) - 1)
+                   * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END))) AS BIGINT)
+              ELSE 0 END AS byte_sum
+  FROM p
+)
+SELECT doc_id AS id, media_type, width, height, channels,
+       CAST(n_bytes AS INT) AS n_bytes,
+       CASE WHEN n_bytes > 0
+            THEN CAST((byte_sum * 1000000) // n_bytes AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS mean_byte
+FROM s
+""",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
@@ -63,7 +101,44 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_resize_decode",
     operators="LLM-multimodal (nearest-neighbor resize as an Arrow-batched pre-processing stage, round-tripped through the decoder; brief: 'decode / feature-extract / resize / frame-sample')",
-    oracle=None,  # the resize kernel is Python-side; invariants pinned in tests/test_multimodal.py
+    # Partial oracle: nearest-neighbor is a pure index gather, so each output
+    # byte o of the (6, 8, c) grid maps to source index
+    # ((y_src*w + x_src)*c + ch) with y_src = (yi*h)//6, x_src = (xi*w)//8 —
+    # bytes past the present payload read the decoder's zero padding.
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 12 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 1 AS INT) AS c,
+         encode(repeat(text, 4)) AS pay
+  FROM documents
+), p AS (
+  SELECT doc_id, media_type, w, h, c,
+         LEAST(w * h * c, octet_length(pay)) AS src_bytes,
+         hex(pay) AS hx
+  FROM m
+), s AS (
+  SELECT *,
+         CAST(list_sum(list_transform(
+           list_transform(range(0, 48 * c),
+             o -> (((o // (8 * c)) * h) // 6 * w
+                   + (((o % (8 * c)) // c) * w) // 8) * c
+                  + (o % (8 * c)) % c),
+           i -> CASE WHEN i < src_bytes
+                     THEN (strpos('0123456789ABCDEF', hx[2 * i + 1]) - 1) * 16
+                          + (strpos('0123456789ABCDEF', hx[2 * i + 2]) - 1)
+                     ELSE 0 END)) AS BIGINT) AS byte_sum
+  FROM p
+)
+SELECT doc_id AS id, media_type,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height, c AS channels,
+       CAST(48 * c AS INT) AS n_bytes,
+       CAST((byte_sum * 1000000) // (48 * c) AS DOUBLE) / 1000000.0 AS mean_byte
+FROM s
+""",
 )
 def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-then-featurize: the standard media pre-processing chain.
