@@ -1,6 +1,6 @@
-"""Oracle-checked queries for the S4 endpoint parsers
+"""Oracle-checked queries for the S3/S4 endpoint parsers
 (``sources/weather_api.py`` — ref ``/root/reference/src/collectors/weather.py``
-:984-1063 nowcast, :2193-2330 mid-term).
+:741-982 village forecast, :984-1063 nowcast, :2193-2330 mid-term).
 
 The raw API item tables are synthesized DETERMINISTICALLY from the test
 tables with the same formulas on both engines (the pattern every composed
@@ -26,10 +26,13 @@ from inspig_etl_spark.functions.weather_codes import (
 )
 from inspig_etl_spark.queries import register
 from inspig_etl_spark.sources.weather_api import (
+    FCST_CATEGORIES,
     NCST_CATEGORIES,
     expand_mid_forecast,
     mid_land_reg_id,
     mid_ta_reg_id,
+    parse_forecast_daily,
+    parse_forecast_hourly,
     parse_ncst_items,
     sql_mid_land_reg_id,
     sql_mid_ta_reg_id,
@@ -313,3 +316,261 @@ def mid_forecast_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = land_regs.select(*land_cols)
 
     return expand_mid_forecast(grids, ta, land, base_date=BASE_DATE)
+
+
+# --------------------------------------------------------------------------
+# S3 getVilageFcst: synthetic long-format forecast items from the orders
+# table (values are pure functions of the grid/day/hour slot so duplicate
+# items agree under the pivot's MAX), decoded by the kernels in
+# sources/weather_api.py and replicated in DuckDB below.
+# --------------------------------------------------------------------------
+
+_FCST_BASE_DATE = "20240110"
+_FCST_BASE_TIME = "1100"  # not 02/05 → the TMN/TMX 05:00 re-fetch applies
+
+_PCP_VALUES = ("강수없음", "", "1.5mm", "2.25", "junk")
+_FCST_SKY = ("1", "3", "4", "8")  # '8' exercises the unknown-code path
+_FCST_PTY = ("0", "1", "2", "3", "4", "0", "0")
+
+_SQL_FSKY_CD = _sql_chain("sky", {k: v[0] for k, v in SKY_CODES.items()}, "unknown")
+_SQL_FSKY_NM = _sql_chain("sky", {k: v[1] for k, v in SKY_CODES.items()}, "알수없음")
+_SQL_WNAME = _sql_chain(
+    "p.wcd",
+    {
+        "sunny": "맑음", "cloudy": "구름많음", "overcast": "흐림", "rainy": "비",
+        "rain_snow": "비/눈", "snow": "눈", "shower": "소나기",
+    },
+    "알수없음",
+)
+
+_SQL_FCST_ITEMS = f"""
+raw AS (
+  SELECT CAST(o_orderkey % 6 AS INT) AS nx,
+         CAST(FLOOR(o_orderkey / 3) % 5 AS INT) AS ny,
+         CAST(o_orderkey % 3 AS INT) AS day,
+         CAST(FLOOR(o_orderkey / 7) % 8 AS INT) AS h3,
+         (ARRAY[{", ".join(f"'{c}'" for c in FCST_CATEGORIES)}])[CAST(o_orderkey % 10 AS INT) + 1] AS category
+  FROM orders
+),
+items AS (
+  SELECT nx, ny,
+         '202401' || CAST(10 + day AS VARCHAR) AS fcst_date,
+         LPAD(CAST(h3 * 300 AS VARCHAR), 4, '0') AS fcst_time,
+         category,
+         CASE category
+           WHEN 'TMP' THEN CAST((nx*3 + ny*5 + day*7 + h3*3) % 35 - 5 AS VARCHAR) || '.5'
+           WHEN 'TMN' THEN CASE WHEN (nx + day) % 3 = 0 THEN ''
+                                ELSE CAST((nx*2 + ny + day) % 15 - 3 AS VARCHAR) || '.1' END
+           WHEN 'TMX' THEN CASE WHEN (ny + day) % 4 = 0 THEN 'n/a'
+                                ELSE CAST((nx + ny*2 + day) % 15 + 18 AS VARCHAR) || '.9' END
+           WHEN 'POP' THEN CAST((nx + ny*2 + day*3 + h3*3) % 101 AS VARCHAR)
+           WHEN 'PCP' THEN (ARRAY[{", ".join(f"'{v}'" for v in _PCP_VALUES)}])[(nx + ny + day + h3*3) % 5 + 1]
+           WHEN 'REH' THEN CAST(30 + (nx*3 + ny + h3*3) % 70 AS VARCHAR)
+           WHEN 'WSD' THEN CAST((nx + 2*ny + h3*3) % 12 AS VARCHAR) || '.5'
+           WHEN 'VEC' THEN CAST((nx*37 + ny*11 + h3*3) % 360 AS VARCHAR)
+           WHEN 'SKY' THEN (ARRAY[{", ".join(f"'{v}'" for v in _FCST_SKY)}])[(nx + ny + day + h3) % 4 + 1]
+           WHEN 'PTY' THEN (ARRAY[{", ".join(f"'{v}'" for v in _FCST_PTY)}])[(nx*2 + ny + h3 + day) % 7 + 1]
+         END AS fcst_value
+  FROM raw
+),
+wide AS (
+  SELECT nx, ny, fcst_date, fcst_time,
+         MAX(CASE WHEN category = 'TMP' THEN fcst_value END) AS tmp,
+         MAX(CASE WHEN category = 'TMN' THEN fcst_value END) AS tmn,
+         MAX(CASE WHEN category = 'TMX' THEN fcst_value END) AS tmx,
+         MAX(CASE WHEN category = 'POP' THEN fcst_value END) AS pop,
+         MAX(CASE WHEN category = 'PCP' THEN fcst_value END) AS pcp,
+         MAX(CASE WHEN category = 'REH' THEN fcst_value END) AS reh,
+         MAX(CASE WHEN category = 'WSD' THEN fcst_value END) AS wsd,
+         MAX(CASE WHEN category = 'VEC' THEN fcst_value END) AS vec,
+         MAX(CASE WHEN category = 'SKY' THEN fcst_value END) AS sky,
+         MAX(CASE WHEN category = 'PTY' THEN fcst_value END) AS pty
+  FROM items GROUP BY nx, ny, fcst_date, fcst_time
+),
+eff AS (
+  SELECT *, CASE WHEN pty IS NULL OR pty = '' THEN '0' ELSE pty END AS pty_eff
+  FROM wide
+)"""
+
+
+def _fcst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the oracle's ``items`` CTE (bit-identical values)."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_orderkey") % 6).cast("int").alias("nx"),
+        (F.floor(F.col("o_orderkey") / 3) % 5).cast("int").alias("ny"),
+        (F.col("o_orderkey") % 3).cast("int").alias("day"),
+        (F.floor(F.col("o_orderkey") / 7) % 8).cast("int").alias("h3"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in FCST_CATEGORIES]),
+            (F.col("o_orderkey") % 10 + 1).cast("int"),
+        ).alias("category"),
+    )
+    nx, ny, day, h3 = F.col("nx"), F.col("ny"), F.col("day"), F.col("h3")
+    cat = F.col("category")
+    value = (
+        F.when(cat == "TMP", F.concat(((nx * 3 + ny * 5 + day * 7 + h3 * 3) % 35 - 5).cast("string"), F.lit(".5")))
+        .when(cat == "TMN",
+              F.when((nx + day) % 3 == 0, F.lit("")).otherwise(
+                  F.concat(((nx * 2 + ny + day) % 15 - 3).cast("string"), F.lit(".1"))))
+        .when(cat == "TMX",
+              F.when((ny + day) % 4 == 0, F.lit("n/a")).otherwise(
+                  F.concat(((nx + ny * 2 + day) % 15 + 18).cast("string"), F.lit(".9"))))
+        .when(cat == "POP", ((nx + ny * 2 + day * 3 + h3 * 3) % 101).cast("string"))
+        .when(cat == "PCP", F.element_at(F.array(*[F.lit(v) for v in _PCP_VALUES]),
+                                         ((nx + ny + day + h3 * 3) % 5 + 1).cast("int")))
+        .when(cat == "REH", (30 + (nx * 3 + ny + h3 * 3) % 70).cast("string"))
+        .when(cat == "WSD", F.concat(((nx + 2 * ny + h3 * 3) % 12).cast("string"), F.lit(".5")))
+        .when(cat == "VEC", ((nx * 37 + ny * 11 + h3 * 3) % 360).cast("string"))
+        .when(cat == "SKY", F.element_at(F.array(*[F.lit(v) for v in _FCST_SKY]),
+                                         ((nx + ny + day + h3) % 4 + 1).cast("int")))
+        .when(cat == "PTY", F.element_at(F.array(*[F.lit(v) for v in _FCST_PTY]),
+                                         ((nx * 2 + ny + h3 + day) % 7 + 1).cast("int")))
+    )
+    return base.select(
+        "nx",
+        "ny",
+        F.lit(_FCST_BASE_DATE).alias("base_date"),
+        F.lit(_FCST_BASE_TIME).alias("base_time"),
+        F.concat(F.lit("202401"), (10 + day).cast("string")).alias("fcst_date"),
+        F.lpad((h3 * 300).cast("string"), 4, "0").alias("fcst_time"),
+        "category",
+        value.alias("fcst_value"),
+    )
+
+
+def _fcst_fallback_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 05:00-announcement re-fetch: TMN/TMX items over a SUBSET of the
+    (grid, day) space (weather.py:1395-1409) — uncovered slots stay NULL."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    base = o.select(
+        (F.col("o_orderkey") % 6).cast("int").alias("nx"),
+        (F.floor(F.col("o_orderkey") / 3) % 5).cast("int").alias("ny"),
+        (F.col("o_orderkey") % 3).cast("int").alias("day"),
+        F.when(F.col("o_orderkey") % 2 == 0, "TMN").otherwise("TMX").alias("category"),
+    )
+    nx, ny, day = F.col("nx"), F.col("ny"), F.col("day")
+    value = F.when(
+        F.col("category") == "TMN",
+        F.concat(((nx + ny + day) % 12 - 2).cast("string"), F.lit(".3")),
+    ).otherwise(F.concat(((nx + ny + day) % 12 + 20).cast("string"), F.lit(".7")))
+    return base.select(
+        "nx",
+        "ny",
+        F.concat(F.lit("202401"), (10 + day).cast("string")).alias("fcst_date"),
+        "category",
+        value.alias("fcst_value"),
+    )
+
+
+_SQL_FCST_HOURLY = f"""
+WITH {_SQL_FCST_ITEMS}
+SELECT nx, ny, fcst_date AS wk_date, fcst_time AS wk_time,
+       TRY_CAST(tmp AS DOUBLE) AS temp,
+       COALESCE(TRY_CAST(pop AS INT), 0) AS rain_prob,
+       COALESCE(CASE WHEN pcp IN ('강수없음', '') THEN 0.0
+                     ELSE TRY_CAST(TRIM(REPLACE(pcp, 'mm', '')) AS DOUBLE) END,
+                0.0) AS rain_amt,
+       TRY_CAST(reh AS INT) AS humidity,
+       TRY_CAST(wsd AS DOUBLE) AS wind_speed,
+       TRY_CAST(vec AS INT) AS wind_dir,
+       sky AS sky_cd,
+       pty AS pty_cd,
+       CASE WHEN pty_eff <> '0' THEN {_SQL_PTY_CD} ELSE {_SQL_FSKY_CD} END AS weather_cd,
+       CASE WHEN pty_eff <> '0' THEN {_SQL_PTY_NM} ELSE {_SQL_FSKY_NM} END AS weather_nm,
+       '{_FCST_BASE_DATE}' AS base_date, '{_FCST_BASE_TIME}' AS base_time,
+       'Y' AS is_forecast
+FROM eff
+"""
+
+
+@register(
+    "fcst_hourly_decode",
+    operators="S3 (getVilageFcst hourly: long category items -> wide typed hourly forecast records, fixed-list pivot + per-hour PTY-over-SKY decode with unknown-code fallback; ref weather.py:741-888,968-982)",
+    oracle=_SQL_FCST_HOURLY,
+)
+def fcst_hourly_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_forecast_hourly(_fcst_items(spark, sf_dir))
+
+
+_SQL_FCST_DAILY = f"""
+WITH {_SQL_FCST_ITEMS},
+hr AS (
+  SELECT nx, ny, fcst_date, fcst_time,
+         TRY_CAST(tmp AS DOUBLE) AS temp_d,
+         TRY_CAST(pop AS INT) AS pop_i,
+         TRY_CAST(tmn AS DOUBLE) AS tmn_d,
+         TRY_CAST(tmx AS DOUBLE) AS tmx_d,
+         sky, pty,
+         CASE WHEN pty_eff <> '0' THEN {_SQL_PTY_CD} ELSE {_SQL_FSKY_CD} END AS wcd
+  FROM eff
+),
+base AS (
+  SELECT nx, ny, fcst_date,
+         COUNT(temp_d) AS temp_cnt,
+         SUM(CAST(temp_d AS DECIMAL(18,1))) AS temp_sum_dec,
+         MAX(temp_d) AS temp_high,
+         MIN(temp_d) AS temp_low,
+         MAX(pop_i) AS pop_max_raw,
+         MAX(tmn_d) AS tmn_raw,
+         MAX(tmx_d) AS tmx_raw,
+         arg_min(sky, fcst_time) FILTER (WHERE sky IS NOT NULL) AS sky_first,
+         arg_max(pty, fcst_time) FILTER (WHERE pty IS NOT NULL AND pty <> '0') AS pty_nz,
+         arg_min(pty, fcst_time) FILTER (WHERE pty IS NOT NULL) AS pty_first
+  FROM hr GROUP BY nx, ny, fcst_date
+),
+counts AS (
+  SELECT nx, ny, fcst_date, wcd, COUNT(*) AS cnt, MIN(fcst_time) AS first_t
+  FROM hr GROUP BY nx, ny, fcst_date, wcd
+),
+pick AS (
+  SELECT nx, ny, fcst_date, wcd FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nx, ny, fcst_date
+                                 ORDER BY cnt DESC, first_t) AS rn
+    FROM counts) WHERE rn = 1
+),
+fb_raw AS (
+  SELECT CAST(o_orderkey % 6 AS INT) AS nx,
+         CAST(FLOOR(o_orderkey / 3) % 5 AS INT) AS ny,
+         CAST(o_orderkey % 3 AS INT) AS day,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'TMN' ELSE 'TMX' END AS category
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+fb AS (
+  SELECT nx, ny, '202401' || CAST(10 + day AS VARCHAR) AS fcst_date,
+         MAX(CASE WHEN category = 'TMN'
+                  THEN TRY_CAST(CAST((nx + ny + day) % 12 - 2 AS VARCHAR) || '.3' AS DOUBLE) END) AS tmn_fb,
+         MAX(CASE WHEN category = 'TMX'
+                  THEN TRY_CAST(CAST((nx + ny + day) % 12 + 20 AS VARCHAR) || '.7' AS DOUBLE) END) AS tmx_fb
+  FROM fb_raw GROUP BY nx, ny, day
+)
+SELECT b.nx, b.ny, b.fcst_date AS wk_date,
+       CASE WHEN b.temp_sum_dec <> 0
+            THEN ROUND(CAST(b.temp_sum_dec AS DOUBLE) / b.temp_cnt, 1) END AS temp_avg,
+       b.temp_high, b.temp_low,
+       COALESCE(b.tmn_raw, fb.tmn_fb) AS tmn,
+       COALESCE(b.tmx_raw, fb.tmx_fb) AS tmx,
+       GREATEST(COALESCE(b.pop_max_raw, 0), 0) AS rain_prob,
+       p.wcd AS weather_cd,
+       {_SQL_WNAME} AS weather_nm,
+       b.sky_first AS sky_cd,
+       COALESCE(b.pty_nz, b.pty_first) AS pty_cd,
+       '{_FCST_BASE_DATE}' AS base_date, '{_FCST_BASE_TIME}' AS base_time,
+       'Y' AS is_forecast
+FROM base b
+JOIN pick p ON p.nx = b.nx AND p.ny = b.ny AND p.fcst_date = b.fcst_date
+LEFT JOIN fb ON fb.nx = b.nx AND fb.ny = b.ny AND fb.fcst_date = b.fcst_date
+WHERE b.temp_cnt >= 2
+"""
+
+
+@register(
+    "fcst_daily_rollup",
+    operators="S3 (getVilageFcst daily: <2-temp-hour skip, hourly-min/max temps, decimal-exact avg with the 0.0-truthiness quirk, POP max, first-SKY/last-nonzero-PTY, mode weather with first-appearance tie-break, TMN/TMX 05:00 re-fetch backfill; ref weather.py:766-811,871-966,1395-1420)",
+    oracle=_SQL_FCST_DAILY,
+)
+def fcst_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_forecast_daily(
+        _fcst_items(spark, sf_dir),
+        tmn_tmx_raw=_fcst_fallback_items(spark, sf_dir),
+    )

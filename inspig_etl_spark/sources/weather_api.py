@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from inspig_etl_spark.functions.weather_codes import (
     PTY_CODES,
     SKY_CODES,
+    WEATHER_NAMES,
     _chain,
     _sql_chain,
     parse_mid_weather_cd,
@@ -92,6 +93,18 @@ def asos_daily_params(stn_id: int, start_dt: str, end_dt: str) -> dict:
         "startDt": start_dt,
         "endDt": end_dt,
         "stnIds": stn_id,
+    }
+
+
+def forecast_params(nx: int, ny: int, base_date: str, base_time: str) -> dict:
+    """getVilageFcst request (weather.py:685-694)."""
+    return {
+        "pageNo": 1,
+        "dataType": "JSON",
+        "base_date": base_date,
+        "base_time": base_time,
+        "nx": nx,
+        "ny": ny,
     }
 
 
@@ -199,6 +212,284 @@ def sql_mid_land_reg_id(sigun_cd: str) -> str:
         f"CASE WHEN {sigun_cd} IS NULL OR LENGTH({sigun_cd}) < 2 "
         f"THEN '{DEFAULT_MID_LAND_REG_ID}' ELSE {inner} END"
     )
+
+
+# --------------------------------------------------------------------------
+# [S3] Short-term village forecast (getVilageFcst): the reference's PRIMARY
+# weather input. Long category items → hourly typed records and a daily
+# rollup with the TMN/TMX +05:00 re-fetch merge.
+# --------------------------------------------------------------------------
+
+FCST_CATEGORIES = ("TMP", "TMN", "TMX", "POP", "PCP", "REH", "WSD", "VEC", "SKY", "PTY")
+
+_PTY_CD_MAP = {k: v[0] for k, v in PTY_CODES.items() if k != "0"}
+_PTY_NM_MAP = {k: v[1] for k, v in PTY_CODES.items() if k != "0"}
+_SKY_CD_MAP = {k: v[0] for k, v in SKY_CODES.items()}
+_SKY_NM_MAP = {k: v[1] for k, v in SKY_CODES.items()}
+
+
+def _forecast_wide(raw: DataFrame) -> DataFrame:
+    """One row per forecast hour: fixed-list pivot of the long category items.
+
+    ``raw``: one row per API item — ``nx int, ny int, base_date string,
+    base_time string, fcst_date string, fcst_time string, category string,
+    fcst_value string`` (the getVilageFcst response shape,
+    weather.py:757-761).
+
+    Scale: the category list is FIXED (10 values), so Catalyst plans one
+    partially-aggregated shuffle on the grid/hour key with no value-discovery
+    job; ``max`` keeps duplicates deterministic.
+    """
+    return (
+        raw.groupBy("nx", "ny", "base_date", "base_time", "fcst_date", "fcst_time")
+        .pivot("category", list(FCST_CATEGORIES))
+        .agg(F.max("fcst_value"))
+    )
+
+
+def _hour_weather(cd_map: dict, nm_map: dict) -> tuple[Column, Column]:
+    """Per-hour weather decode (weather.py:968-982 ``_finalize_hourly_data``):
+    PTY≠'0' wins over SKY; a missing/unknown SKY decodes 'unknown' (the
+    reference's dict-``get`` default), NOT clear — that default belongs to
+    the nowcast decoder only."""
+    pty_eff = F.when(F.col("PTY").isNull() | (F.col("PTY") == ""), "0").otherwise(
+        F.col("PTY")
+    )
+    cd = F.when(pty_eff != "0", _chain(pty_eff, cd_map, "unknown")).otherwise(
+        _chain(F.col("SKY"), _SKY_CD_MAP, "unknown")
+    )
+    nm = F.when(pty_eff != "0", _chain(pty_eff, nm_map, "알수없음")).otherwise(
+        _chain(F.col("SKY"), _SKY_NM_MAP, "알수없음")
+    )
+    return cd, nm
+
+
+def parse_forecast_hourly(raw: DataFrame) -> DataFrame:
+    """``_parse_forecast_items`` hourly half (weather.py:813-869) +
+    ``_finalize_hourly_data`` (weather.py:968-982) as one distributed decode.
+
+    Every (fcst_date, fcst_time) seen in the items yields a record — a
+    TMN/TMX-only hour produces a row with NULL temp and default rain fields,
+    exactly like the reference's eager record creation. Typed parses follow
+    the reference's try/except guards: junk → NULL (or the 0 default where
+    the reference initialized 0). POP/REH/VEC are integer-string fields by
+    API contract; fractional strings there are outside the parity contract
+    (Python ``int()`` raises where SQL TRY_CAST may not).
+    """
+    wide = _forecast_wide(raw)
+    rain_raw = F.trim(F.replace(F.col("PCP"), F.lit("mm"), F.lit("")))
+    weather_cd, weather_nm = _hour_weather(_PTY_CD_MAP, _PTY_NM_MAP)
+    return wide.select(
+        "nx",
+        "ny",
+        F.col("fcst_date").alias("wk_date"),
+        F.col("fcst_time").alias("wk_time"),
+        F.col("TMP").try_cast("double").alias("temp"),
+        F.coalesce(F.col("POP").try_cast("int"), F.lit(0)).alias("rain_prob"),
+        F.coalesce(
+            F.when(F.col("PCP").isin("강수없음", ""), F.lit(0.0)).otherwise(
+                rain_raw.try_cast("double")
+            ),
+            F.lit(0.0),
+        ).alias("rain_amt"),
+        F.col("REH").try_cast("int").alias("humidity"),
+        F.col("WSD").try_cast("double").alias("wind_speed"),
+        F.col("VEC").try_cast("int").alias("wind_dir"),
+        F.col("SKY").alias("sky_cd"),
+        F.col("PTY").alias("pty_cd"),
+        weather_cd.alias("weather_cd"),
+        weather_nm.alias("weather_nm"),
+        "base_date",
+        "base_time",
+        F.lit("Y").alias("is_forecast"),
+    )
+
+
+def parse_forecast_daily(raw: DataFrame, tmn_tmx_raw: DataFrame | None = None) -> DataFrame:
+    """``_parse_forecast_items`` daily half + ``_finalize_daily_data``
+    (weather.py:766-811,871-888,894-966) + the +05:00 TMN/TMX re-fetch merge
+    (weather.py:1395-1420), as keyed aggregations.
+
+    Semantics preserved from the reference, in order:
+
+    - dates with <2 parseable hourly temps are DROPPED (incomplete boundary
+      days, weather.py:922-926);
+    - TEMP_HIGH/LOW are the hourly TMP max/min, NOT the TMN/TMX categories
+      (the "네이버 방식" comment, weather.py:930-933);
+    - TEMP_AVG is round(mean, 1) — with the reference's truthiness quirk
+      that an exactly-0.0 mean reports NULL (``if temp_avg else None``,
+      weather.py:957), reproduced bit-exactly via the decimal-sum gate;
+    - RAIN_PROB is max hourly POP clamped at ≥0 (init-0 + ``>`` update);
+    - daily SKY_CD is the first SKY item by forecast hour; daily PTY is the
+      last non-'0' PTY else the first (the ``is None or value != '0'``
+      update rule) — both as min/max over (fcst_time, value) structs;
+    - the representative WEATHER_CD is the MODE of the per-hour weather
+      codes, ties broken by earliest first appearance (Counter insertion
+      order, weather.py:940-944). The reference's empty-list fallback path
+      is unreachable here: ≥2 temp hours imply ≥2 hourly records;
+    - TMN/TMX parse from the primary items and backfill from the 05:00
+      re-fetch items where NULL (only 02:00/05:00 announcements carry them).
+
+    Scale: one pivot shuffle, then two aggregations keyed by the same
+    (grid, base, date) prefix plus a co-partitioned join — no windows over
+    the full fact, no driver-side state. Callers reusing the pivot for both
+    hourly and daily output should persist ``raw`` (or write the hourly
+    table first and derive the daily from it).
+    """
+    wide = _forecast_wide(raw)
+    keys = ["nx", "ny", "base_date", "base_time"]
+    tmp = F.col("TMP").try_cast("double")
+    weather_cd, _ = _hour_weather(_PTY_CD_MAP, _PTY_NM_MAP)
+
+    base = wide.groupBy(*keys, "fcst_date").agg(
+        F.count(tmp).alias("temp_cnt"),
+        F.sum(tmp.cast("decimal(18,1)")).alias("temp_sum_dec"),
+        F.max(tmp).alias("temp_high"),
+        F.min(tmp).alias("temp_low"),
+        F.max(F.col("POP").try_cast("int")).alias("pop_max_raw"),
+        F.max(F.col("TMN").try_cast("double")).alias("tmn_raw"),
+        F.max(F.col("TMX").try_cast("double")).alias("tmx_raw"),
+        F.min(
+            F.when(F.col("SKY").isNotNull(), F.struct(F.col("fcst_time"), F.col("SKY")))
+        ).alias("sky_first_s"),
+        F.max(
+            F.when(
+                F.col("PTY").isNotNull() & (F.col("PTY") != "0"),
+                F.struct(F.col("fcst_time"), F.col("PTY")),
+            )
+        ).alias("pty_nz_s"),
+        F.min(
+            F.when(F.col("PTY").isNotNull(), F.struct(F.col("fcst_time"), F.col("PTY")))
+        ).alias("pty_first_s"),
+    )
+
+    mode = (
+        wide.select(*keys, "fcst_date", "fcst_time", weather_cd.alias("wcd"))
+        .groupBy(*keys, "fcst_date", "wcd")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("fcst_time").alias("first_t"))
+        .groupBy(*keys, "fcst_date")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("first_t"), F.col("wcd"))
+            ).alias("pick")
+        )
+    )
+
+    daily = base.join(mode, [*keys, "fcst_date"]).where(F.col("temp_cnt") >= 2)
+
+    tmn = F.col("tmn_raw")
+    tmx = F.col("tmx_raw")
+    if tmn_tmx_raw is not None:
+        fb = (
+            tmn_tmx_raw.where(F.col("category").isin("TMN", "TMX"))
+            .groupBy("nx", "ny", "fcst_date")
+            .agg(
+                F.max(
+                    F.when(F.col("category") == "TMN", F.col("fcst_value")).try_cast(
+                        "double"
+                    )
+                ).alias("tmn_fb"),
+                F.max(
+                    F.when(F.col("category") == "TMX", F.col("fcst_value")).try_cast(
+                        "double"
+                    )
+                ).alias("tmx_fb"),
+            )
+        )
+        daily = daily.join(fb, ["nx", "ny", "fcst_date"], "left")
+        tmn = F.coalesce(tmn, F.col("tmn_fb"))
+        tmx = F.coalesce(tmx, F.col("tmx_fb"))
+
+    pick_cd = F.col("pick").getField("wcd")
+    return daily.select(
+        "nx",
+        "ny",
+        F.col("fcst_date").alias("wk_date"),
+        F.when(
+            F.col("temp_sum_dec") != 0,
+            F.round(F.col("temp_sum_dec").cast("double") / F.col("temp_cnt"), 1),
+        ).alias("temp_avg"),
+        "temp_high",
+        "temp_low",
+        tmn.alias("tmn"),
+        tmx.alias("tmx"),
+        F.greatest(F.coalesce(F.col("pop_max_raw"), F.lit(0)), F.lit(0)).alias(
+            "rain_prob"
+        ),
+        pick_cd.alias("weather_cd"),
+        _chain(pick_cd, dict(WEATHER_NAMES), "알수없음").alias("weather_nm"),
+        F.col("sky_first_s").getField("SKY").alias("sky_cd"),
+        F.coalesce(
+            F.col("pty_nz_s").getField("PTY"), F.col("pty_first_s").getField("PTY")
+        ).alias("pty_cd"),
+        "base_date",
+        "base_time",
+        F.lit("Y").alias("is_forecast"),
+    )
+
+
+FCST_ITEM_SCHEMA = (
+    "nx INT, ny INT, base_date STRING, base_time STRING, "
+    "fcst_date STRING, fcst_time STRING, category STRING, fcst_value STRING"
+)
+
+
+def _tag_forecast_items(
+    items: list[dict], nx: int, ny: int, base_date: str, base_time: str
+) -> list[dict]:
+    """Attach grid/base keys and drop items missing the forecast key triple
+    (weather.py:757-764)."""
+    return [
+        {
+            "nx": nx,
+            "ny": ny,
+            "base_date": base_date,
+            "base_time": base_time,
+            "fcst_date": i.get("fcstDate"),
+            "fcst_time": i.get("fcstTime"),
+            "category": i.get("category"),
+            "fcst_value": i.get("fcstValue"),
+        }
+        for i in items
+        if i.get("fcstDate") and i.get("fcstTime") and i.get("category")
+    ]
+
+
+def collect_village_forecast(
+    spark,
+    source,
+    grids: list[tuple[int, int]],
+    base_date: str,
+    base_time: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's getVilageFcst collect loop (weather.py:1330-1438):
+    fetch each unique grid driver-side (HTTP is not a distributed
+    expression; grid count is bounded), land the long items with an explicit
+    schema, and decode DISTRIBUTED via the kernels above.
+
+    Returns ``(daily, hourly)``. When ``base_time`` is not an 02:00/05:00
+    announcement — the only ones that carry TMN/TMX — a second 05:00 fetch
+    per grid feeds the daily TMN/TMX backfill (weather.py:1359-1420).
+
+    ``source`` is a :class:`inspig_etl_spark.sources.rest.RestSource`
+    (key rotation + envelope unwrap); tests inject a fake transport.
+    """
+    from inspig_etl_spark.sources.rest import to_dataframe
+
+    need_tmn_tmx = base_time not in ("0200", "0500")
+    primary: list[dict] = []
+    fallback: list[dict] = []
+    for nx, ny in dict.fromkeys(grids):  # dedup grids (weather.py:1376)
+        items = source.fetch(forecast_params(nx, ny, base_date, base_time))
+        if not items:
+            continue
+        primary.extend(_tag_forecast_items(items, nx, ny, base_date, base_time))
+        if need_tmn_tmx:
+            fb_items = source.fetch(forecast_params(nx, ny, base_date, "0500"))
+            fallback.extend(_tag_forecast_items(fb_items, nx, ny, base_date, "0500"))
+    raw = to_dataframe(spark, primary, FCST_ITEM_SCHEMA)
+    fb_raw = to_dataframe(spark, fallback, FCST_ITEM_SCHEMA) if fallback else None
+    return parse_forecast_daily(raw, tmn_tmx_raw=fb_raw), parse_forecast_hourly(raw)
 
 
 # --------------------------------------------------------------------------

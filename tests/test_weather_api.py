@@ -243,3 +243,143 @@ class TestParams:
         assert p["dateCd"] == "DAY" and "startHh" not in p
         assert mid_ta_params("11B10101", "202401100600")["regId"] == "11B10101"
         assert mid_land_params("11B00000", "202401100600")["tmFc"] == "202401100600"
+
+
+class TestVillageForecast:
+    """S3 getVilageFcst decode kernels (weather.py:741-982,1359-1420)."""
+
+    FSCHEMA = (
+        "nx int, ny int, base_date string, base_time string, "
+        "fcst_date string, fcst_time string, category string, fcst_value string"
+    )
+
+    def _items(self, spark, rows):
+        full = [("20240110", "1100") + r for r in rows]
+        return spark.createDataFrame(
+            [(60, 127, bd, bt, fd, ft, c, v) for bd, bt, fd, ft, c, v in full],
+            self.FSCHEMA,
+        )
+
+    def test_hourly_decode_and_tmn_only_hour(self, spark):
+        from inspig_etl_spark.sources.weather_api import parse_forecast_hourly
+
+        raw = self._items(
+            spark,
+            [
+                ("20240111", "0600", "TMP", "-1.5"),
+                ("20240111", "0600", "POP", "30"),
+                ("20240111", "0600", "PCP", "1.5mm"),
+                ("20240111", "0600", "PTY", "1"),
+                ("20240111", "0600", "SKY", "4"),
+                # TMN-only hour still yields a (default-filled) record.
+                ("20240111", "0700", "TMN", "-3.0"),
+            ],
+        )
+        got = {r.wk_time: r for r in parse_forecast_hourly(raw).collect()}
+        h6 = got["0600"]
+        assert h6.temp == -1.5 and h6.rain_prob == 30 and h6.rain_amt == 1.5
+        assert h6.weather_cd == "rainy" and h6.is_forecast == "Y"
+        h7 = got["0700"]
+        assert h7.temp is None and h7.rain_prob == 0 and h7.rain_amt == 0.0
+        # No SKY/PTY at that hour -> the reference's dict-get default: unknown.
+        assert h7.weather_cd == "unknown" and h7.weather_nm == "알수없음"
+
+    def test_daily_skips_single_temp_days_and_rolls_up(self, spark):
+        from inspig_etl_spark.sources.weather_api import parse_forecast_daily
+
+        raw = self._items(
+            spark,
+            [
+                # day 1: two temps -> kept; mode weather; POP max.
+                ("20240111", "0600", "TMP", "10.5"),
+                ("20240111", "0600", "SKY", "1"),
+                ("20240111", "0600", "POP", "20"),
+                ("20240111", "0900", "TMP", "12.5"),
+                ("20240111", "0900", "SKY", "3"),
+                ("20240111", "0900", "POP", "60"),
+                ("20240111", "1200", "SKY", "3"),
+                # day 2: one temp -> skipped.
+                ("20240112", "0600", "TMP", "5.0"),
+            ],
+        )
+        rows = parse_forecast_daily(raw).collect()
+        assert [r.wk_date for r in rows] == ["20240111"]
+        d = rows[0]
+        assert d.temp_high == 12.5 and d.temp_low == 10.5
+        assert d.temp_avg == 11.5 and d.rain_prob == 60
+        # cloudy(2 hours) beats sunny(1 hour); first SKY item is '1'.
+        assert d.weather_cd == "cloudy" and d.sky_cd == "1"
+
+    def test_daily_mode_tie_breaks_on_first_appearance(self, spark):
+        from inspig_etl_spark.sources.weather_api import parse_forecast_daily
+
+        raw = self._items(
+            spark,
+            [
+                ("20240111", "0300", "TMP", "1.0"),
+                ("20240111", "0300", "SKY", "4"),   # overcast first at 03
+                ("20240111", "0600", "TMP", "2.0"),
+                ("20240111", "0600", "SKY", "1"),   # sunny first at 06
+                ("20240111", "0900", "SKY", "4"),
+                ("20240111", "1200", "SKY", "1"),   # 2x overcast vs 2x sunny
+            ],
+        )
+        d = parse_forecast_daily(raw).collect()[0]
+        assert d.weather_cd == "overcast"  # tie -> earliest first appearance
+
+    def test_daily_tmn_tmx_backfill_precedence(self, spark):
+        from inspig_etl_spark.sources.weather_api import parse_forecast_daily
+
+        raw = self._items(
+            spark,
+            [
+                ("20240111", "0600", "TMP", "1.0"),
+                ("20240111", "0900", "TMP", "3.0"),
+                ("20240111", "0600", "TMN", "-2.0"),   # primary present
+                ("20240112", "0600", "TMP", "4.0"),
+                ("20240112", "0900", "TMP", "6.0"),
+                # day 2 has no parseable TMN/TMX -> backfilled from 05:00.
+                ("20240112", "0600", "TMN", ""),
+            ],
+        )
+        fb = spark.createDataFrame(
+            [
+                (60, 127, "20240111", "TMN", "-9.9"),  # must NOT override -2.0
+                (60, 127, "20240112", "TMN", "-5.5"),
+                (60, 127, "20240112", "TMX", "7.7"),
+            ],
+            "nx int, ny int, fcst_date string, category string, fcst_value string",
+        )
+        got = {r.wk_date: r for r in parse_forecast_daily(raw, tmn_tmx_raw=fb).collect()}
+        assert got["20240111"].tmn == -2.0
+        assert got["20240112"].tmn == -5.5 and got["20240112"].tmx == 7.7
+
+    def test_collect_village_forecast_end_to_end(self, spark):
+        from inspig_etl_spark.sources.rest import ApiKeyManager, RestSource
+        from inspig_etl_spark.sources.weather_api import collect_village_forecast
+
+        calls = []
+
+        def transport(url, params):
+            calls.append(params["base_time"])
+            if params["base_time"] == "0500":
+                item = [{"fcstDate": "20240111", "fcstTime": "0600",
+                         "category": "TMX", "fcstValue": "9.5"}]
+            else:
+                item = [
+                    {"fcstDate": "20240111", "fcstTime": "0600",
+                     "category": "TMP", "fcstValue": "1.5"},
+                    {"fcstDate": "20240111", "fcstTime": "0900",
+                     "category": "TMP", "fcstValue": "3.5"},
+                    {"category": "TMP", "fcstValue": "99"},  # dropped: no key
+                ]
+            return 200, {"response": {"body": {"items": {"item": item}}}}
+
+        src = RestSource("http://x/getVilageFcst", ApiKeyManager(["k1"]), transport)
+        daily, hourly = collect_village_forecast(
+            spark, src, [(60, 127), (60, 127)], "20240110", "1100"
+        )
+        assert calls == ["1100", "0500"]  # grid deduped; 05:00 re-fetch ran
+        d = daily.collect()[0]
+        assert d.tmx == 9.5 and d.temp_high == 3.5 and d.temp_avg == 2.5
+        assert hourly.count() == 2
