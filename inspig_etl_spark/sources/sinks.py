@@ -114,9 +114,23 @@ def merge_upsert_scoped(
             f"merge_upsert_scoped: partition columns {missing} must be part of "
             f"the merge keys, else rows could move partitions and go stale"
         )
+    pred = partition_predicate(updates, partition_by)
+    if pred is None:
+        return updates  # empty batch: nothing to merge
+    return merge_upsert(target.filter(pred), updates, keys, partial=partial)
+
+
+def partition_predicate(
+    updates: DataFrame, partition_by: Sequence[str]
+) -> Column | None:
+    """Literal predicate over the distinct partition tuples present in
+    ``updates`` (None for an empty batch). The tuples are collected to the
+    driver — a batch touches a bounded set of partitions — and pushed into
+    the target scan as literals, so parquet partition pruning applies.
+    """
     parts = updates.select(*partition_by).distinct().collect()
     if not parts:
-        return updates  # empty batch: nothing to merge
+        return None
     pred = None
     for row in parts:
         clause = None
@@ -124,7 +138,7 @@ def merge_upsert_scoped(
             c = F.col(p) == F.lit(row[p])
             clause = c if clause is None else (clause & c)
         pred = clause if pred is None else (pred | clause)
-    return merge_upsert(target.filter(pred), updates, keys, partial=partial)
+    return pred
 
 
 def insert_if_absent(

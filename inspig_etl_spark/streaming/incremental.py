@@ -38,6 +38,7 @@ from inspig_etl_spark.sources.sinks import (
     merge_upsert,
     merge_upsert_scoped,
     overwrite_partitions,
+    partition_predicate,
     read_or_empty,
     staged_overwrite,
 )
@@ -144,10 +145,42 @@ def layered_merge(
     observed: DataFrame | None,
     mid_term: DataFrame | None,
     keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """ST4 precedence: short-term upsert, then observed overwrite (wins over
-    forecasts), then mid-term fills only absent keys."""
+    forecasts), then mid-term fills only absent keys.
+
+    ``partition_by`` (must be ⊆ keys — same staleness argument as
+    :func:`~inspig_etl_spark.sources.sinks.merge_upsert_scoped`) selects the
+    100 TB path: the target is pruned ONCE to the union of partitions
+    present in ANY layer before the three passes, so each weather layer
+    joins one day of the sink instead of re-joining the full table. The
+    returned frame is then the merged content of those partitions alone —
+    pair with :func:`~inspig_etl_spark.sources.sinks.overwrite_partitions`,
+    exactly like :func:`foreach_batch_upsert` does. With every layer empty
+    the scoped form returns an empty frame (no partitions touched).
+    """
+    layers = [x for x in (short_term, observed, mid_term) if x is not None]
     out = target
+    if partition_by is not None:
+        partition_by = list(partition_by)
+        missing = [p for p in partition_by if p not in keys]
+        if missing:
+            raise ValueError(
+                f"layered_merge: partition columns {missing} must be part of "
+                f"the merge keys, else rows could move partitions and go stale"
+            )
+        preds = [
+            p
+            for p in (partition_predicate(layer, partition_by) for layer in layers)
+            if p is not None
+        ]
+        if not preds:
+            return target.filter(F.lit(False))
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
+        out = target.filter(pred)
     if short_term is not None:
         out = merge_upsert(out, short_term, keys)
     if observed is not None:

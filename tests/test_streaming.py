@@ -216,3 +216,76 @@ def test_run_manifest(tmp_path):
         payload = json.load(f)
     assert payload["status"] == "ERROR"
     assert [s["step"] for s in payload["steps"]] == ["collect", "report"]
+
+
+class TestLayeredMergeScoped:
+    """ST4 scale path: the layered merge joins only touched partitions."""
+
+    SCHEMA = "wk_date string, nx int, temp double"
+
+    def _sink(self, spark, tmp_path):
+        path = str(tmp_path / "weather_sink")
+        spark.createDataFrame(
+            [("20240101", 1, 1.0), ("20240102", 1, 2.0), ("20240103", 1, 3.0)],
+            self.SCHEMA,
+        ).write.partitionBy("wk_date").parquet(path)
+        return spark.read.schema(self.SCHEMA).parquet(path)
+
+    def test_scan_carries_partition_predicate(self, spark, tmp_path):
+        from inspig_etl_spark.streaming.incremental import layered_merge
+
+        target = self._sink(spark, tmp_path)
+        short = spark.createDataFrame([("20240102", 1, 2.5)], self.SCHEMA)
+        out = layered_merge(
+            target, short, None, None, keys=["wk_date", "nx"],
+            partition_by=["wk_date"],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "20240102" in plan
+        assert "20240101" not in plan  # untouched days never reach the join
+        rows = {(r.wk_date, r.nx): r.temp for r in out.collect()}
+        assert rows == {("20240102", 1): 2.5}  # touched partition only
+
+    def test_layer_precedence_within_scope(self, spark, tmp_path):
+        from inspig_etl_spark.streaming.incremental import layered_merge
+
+        target = self._sink(spark, tmp_path)
+        short = spark.createDataFrame(
+            [("20240102", 1, 2.5), ("20240102", 2, 9.0)], self.SCHEMA
+        )
+        observed = spark.createDataFrame([("20240102", 1, 2.7)], self.SCHEMA)
+        mid = spark.createDataFrame(
+            [("20240102", 1, 0.0), ("20240102", 3, 5.0)], self.SCHEMA
+        )
+        out = layered_merge(
+            target, short, observed, mid, keys=["wk_date", "nx"],
+            partition_by=["wk_date"],
+        )
+        rows = {(r.wk_date, r.nx): r.temp for r in out.collect()}
+        # observed beats short-term; mid-term fills only the absent key.
+        assert rows == {
+            ("20240102", 1): 2.7,
+            ("20240102", 2): 9.0,
+            ("20240102", 3): 5.0,
+        }
+
+    def test_empty_layers_touch_nothing(self, spark, tmp_path):
+        from inspig_etl_spark.streaming.incremental import layered_merge
+
+        target = self._sink(spark, tmp_path)
+        empty = target.filter("1 = 0")
+        out = layered_merge(
+            target, empty, None, None, keys=["wk_date", "nx"],
+            partition_by=["wk_date"],
+        )
+        assert out.count() == 0
+
+    def test_partition_outside_keys_rejected(self, spark, tmp_path):
+        import pytest
+        from inspig_etl_spark.streaming.incremental import layered_merge
+
+        target = self._sink(spark, tmp_path)
+        with pytest.raises(ValueError, match="must be part of the merge keys"):
+            layered_merge(
+                target, target, None, None, keys=["nx"], partition_by=["wk_date"]
+            )
