@@ -50,6 +50,60 @@ _SQL_COSINE = f"{sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn)"
 
 
 @register(
+    "embeddings_cosine_neardup_bucketed",
+    operators="LLM-dedup-cosine-lsh (bucket-local embedding near-dup pair scan — the 100TB form of embeddings_cosine_neardup_pairs; brief: 'embedding-cosine near-dup' + 'LSH-bucketed variant as the scale path')",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+         {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
+  FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         {sql_dot('a.embedding', 'b2.embedding')} / (a.nrm * b2.nrm) AS sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+FROM s WHERE sim >= {NEARDUP_COS}
+""",
+)
+def embeddings_cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair detection with candidates formed ONLY inside an LSH
+    bucket: an ordinary equi-join on the hyperplane-sign bucket id, so the
+    shuffle is O(|corpus|) and pair work is Σ|bucket|² — never all-pairs.
+    This is the scale path for the pair detector itself (the theta-join
+    query below remains the documented exhaustive baseline); like any
+    single-table LSH it trades recall for cost — cross-bucket pairs are
+    missed, tunable via ``LSH_PLANES`` or OR-ed band tables.
+    """
+    from inspig_etl_spark.operators.similarity import dot, norm
+
+    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), _SIGNS)
+    )
+    n = emb.select("bucket", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = n.select(
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_COS)
+        .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("cosine_sim"))
+    )
+
+
+@register(
     "embeddings_knn_bruteforce",
     operators="LLM-ann-bruteforce (cosine top-k baseline; brief: 'brute-force cosine top-k')",
     oracle=f"""
