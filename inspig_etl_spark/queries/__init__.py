@@ -63,10 +63,12 @@ def _load() -> None:
 
     Import order IS registration order, and the driver's correctness gate
     samples the first 50 oracled registrations — so the window rotates each
-    round onto the queries with the stalest driver record. Round 5: the
-    tpch/aggregates/domain_aggs/event_log/joins modules (last driver-verified
+    round onto the queries with the stalest driver record. Round 5: the 39
+    tpch/aggregates/domain_aggs/event_log/joins queries (last driver-verified
     in r01/r02, before the events.ts NANOS→MICROS testdata change) move to
-    the front; the r04-verified modules rotate to the back.
+    the front, followed by every query that gained an oracle or was added
+    this round (multimodal decode pair, fcst_*, staged_commit_retry,
+    embeddings_cosine_neardup_bucketed); r04-verified modules rotate back.
     """
     global _LOADED
     if _LOADED:
@@ -77,10 +79,11 @@ def _load() -> None:
         domain_aggs,
         event_log,
         joins,
-        geo,
         multimodal,
-        llm_similarity,
         weather_ingest,
+        st_manifest,
+        llm_similarity,
+        geo,
         pivots,
         scalar_funcs,
         sessions,

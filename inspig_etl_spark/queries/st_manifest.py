@@ -1,0 +1,138 @@
+"""Oracle-checked batch-orchestration query: ST3 all-or-nothing commit +
+ST6 run-manifest bookkeeping, exercised END-TO-END through the physical
+sink (not just the logical kernels).
+
+The scenario mirrors the reference's weather saver refusing partial batches
+(``/root/reference/src/collectors/weather.py:1646-1660``) and the
+master/job-log rows (``orchestrator.py:946-990``):
+
+1. an initial per-clerk aggregate is committed via ``staged_overwrite``;
+2. batch 1 is POISONED (every row raises on evaluation) — its staged write
+   fails, and the atomic swap guarantees the live sink is untouched;
+3. batch 2 (the corrected re-run) merges against the sink re-read AFTER the
+   failure and commits;
+4. a ``RunManifest`` records ERROR → COMPLETE, and its (deterministic)
+   statuses ride along as output columns read back from the manifest file.
+
+The final state is SQL-expressible: initial full-outer-merged with batch 2
+only — if the failed batch had leaked into the sink, or the swap had
+clobbered it, the values (or the pre-cutover-only clerks) would differ, the
+manifest statuses would flip, and the hash would catch either.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.rounding import dec_sum, sql_dec_sum
+from inspig_etl_spark.queries import register
+from inspig_etl_spark.sources.sinks import merge_upsert, staged_overwrite
+from inspig_etl_spark.streaming.incremental import RunManifest
+
+# Mid-range of the testdata's o_orderdate span (1995..2001) so both the
+# initial state and the corrected batch are non-empty — a cutover outside
+# the range would leave the poisoned batch rowless and never evaluated.
+_CUTOVER = "1998-01-01"
+
+
+def _clerk_totals(orders: DataFrame, pred) -> DataFrame:
+    # The testdata orders table carries no o_clerk; derive a bounded
+    # clerk-like dimension key from the customer key (97 groups).
+    return (
+        orders.where(pred)
+        .groupBy((F.col("o_custkey") % 97).cast("int").alias("clerk"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dec_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "staged_commit_retry",
+    operators="ST3,ST6 (staged atomic overwrite survives a failed batch; run manifest logs ERROR then COMPLETE; ref weather.py:1646-1660, orchestrator.py:946-990)",
+    oracle=f"""
+WITH pre AS (
+  SELECT CAST(o_custkey % 97 AS INT) AS clerk, COUNT(*) AS order_cnt,
+         {sql_dec_sum('o_totalprice', 2)} AS total
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOVER}' GROUP BY 1
+),
+post AS (
+  SELECT CAST(o_custkey % 97 AS INT) AS clerk, COUNT(*) AS order_cnt,
+         {sql_dec_sum('o_totalprice', 2)} AS total
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOVER}' GROUP BY 1
+)
+SELECT COALESCE(post.clerk, pre.clerk) AS clerk,
+       COALESCE(post.order_cnt, pre.order_cnt) AS order_cnt,
+       CASE WHEN post.clerk IS NOT NULL THEN post.total ELSE pre.total END AS total,
+       'ERROR' AS batch1_status, 'COMPLETE' AS batch2_status,
+       'COMPLETE' AS run_status
+FROM pre FULL OUTER JOIN post ON pre.clerk = post.clerk
+""",
+)
+def staged_commit_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    tmpdir = tempfile.mkdtemp(prefix="st_commit_retry_")
+    sink = f"{tmpdir}/sink"
+    manifest_path = f"{tmpdir}/manifest.json"
+    man = RunManifest(run_id="staged_commit_retry", path=manifest_path)
+    try:
+        # Initial state: pre-cutover totals, committed atomically.
+        initial = _clerk_totals(
+            orders, F.col("o_orderdate") < F.lit(_CUTOVER).cast("timestamp_ntz")
+        )
+        staged_overwrite(spark, initial, sink)
+
+        # Batch 1: poisoned — every row raises at evaluation, so the staged
+        # write fails and the swap never happens; the live sink must survive.
+        poisoned = initial.withColumn(
+            "total", F.assert_true(F.lit(False), F.lit("injected batch-1 failure")).cast("double")
+        )
+        state = spark.read.parquet(sink)
+        try:
+            staged_overwrite(
+                spark, merge_upsert(state, poisoned, keys=["clerk"]), sink
+            )
+            man.record_step("batch1", "UNEXPECTED_OK", 0, 0)
+        except Exception:
+            man.record_step("batch1", "ERROR", 0, 0)
+
+        # Batch 2: the corrected re-run, merged against the sink RE-READ
+        # after the failure (proving it held the initial commit).
+        corrected = _clerk_totals(
+            orders, F.col("o_orderdate") >= F.lit(_CUTOVER).cast("timestamp_ntz")
+        )
+        state = spark.read.parquet(sink)
+        merged = merge_upsert(state, corrected, keys=["clerk"])
+        staged_overwrite(spark, merged, sink)
+
+        # Bounded driver-side materialization: one row per clerk (a dimension
+        # -sized report, same justification as sinks.py's partition-list
+        # collect) — it lets the scratch sink be deleted before returning.
+        # Counting/collecting must read the POST-swap sink: the pre-swap
+        # lazy plans reference files the atomic rename just moved.
+        final = spark.read.parquet(sink)
+        rows = final.collect()
+        out = spark.createDataFrame(rows, final.schema)
+        man.record_step("batch2", "COMPLETE", len(rows), 0)
+        man.finish("COMPLETE")
+
+        with open(manifest_path) as f:
+            recorded = json.load(f)
+        steps = {s["step"]: s["status"] for s in recorded["steps"]}
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return out.select(
+        "clerk",
+        "order_cnt",
+        "total",
+        F.lit(steps["batch1"]).alias("batch1_status"),
+        F.lit(steps["batch2"]).alias("batch2_status"),
+        F.lit(recorded["status"]).alias("run_status"),
+    )
