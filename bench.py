@@ -58,6 +58,12 @@ HEADLINE = [
     "ncst_pivot_decode",
     "mid_forecast_expand",
     "docs_neardup_clusters",
+    # round-5 additions: S3 forecast decode, bucketed cosine near-dup pairs,
+    # Arrow-batched multimodal decode
+    "fcst_hourly_decode",
+    "fcst_daily_rollup",
+    "embeddings_cosine_neardup_bucketed",
+    "multimodal_decode_features",
 ]
 
 
@@ -107,12 +113,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         run_once(name)
-    # Two interleaved measurement passes, per-query min: a residual compile
-    # or GC blip hits one pass, not both.
-    for _ in range(2):
-        for name in names:
-            el = run_once(name)
-            timings[name] = min(timings.get(name, el), el)
+    # Measurement: per query, two back-to-back runs, keeping the min. The
+    # grouped order (not interleaved passes) keeps a query's generated
+    # classes hot: with ~30 headline queries an interleaved pass walks the
+    # whole list between a query's two runs, evicting its codegen from the
+    # bounded compiled-class cache and re-paying C2 compilation — measured
+    # 2.5x inflation on the trig-heavy haversine kernel, gone when the same
+    # query runs consecutively (isolated probe: 6.8s cold, then 1.2/1.0/1.0).
+    for name in names:
+        a = run_once(name)
+        b = run_once(name)
+        timings[name] = min(a, b)
 
     # Tracked baseline (committed from the last judged round) → per-query
     # delta, so a plan regression is visible in this run's output without
