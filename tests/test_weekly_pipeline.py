@@ -63,3 +63,44 @@ def test_summary_one_row_per_farm(spark):
     assert all(
         r.pregnant_cnt + r.nursing_cnt <= r.total_users for r in rows
     )
+
+
+class TestOnDemandSingleFarm:
+    """§3.3 run-farm endpoint semantics (server.py:140-206,
+    orchestrator.py:1244-1420)."""
+
+    def test_last_week_period_math(self):
+        from inspig_etl_spark.pipelines.on_demand import last_week_period
+
+        # Wednesday 2024-01-24 -> last week Mon 15th .. Sun 21st, ISO W3.
+        p = last_week_period("20240124")
+        assert (p["dt_from"], p["dt_to"]) == ("20240115", "20240121")
+        assert (p["year"], p["week_no"]) == (2024, 3)
+        # Sunday base reports the PREVIOUS full week, never today's.
+        p = last_week_period("20240121")
+        assert (p["dt_from"], p["dt_to"]) == ("20240108", "20240114")
+        # ISO-year boundary: 2024-01-01 -> last Sunday is 2023-12-31,
+        # which belongs to ISO 2023 W52.
+        p = last_week_period("20240101")
+        assert (p["year"], p["week_no"]) == (2023, 52)
+
+    def test_run_single_farm_success(self, spark):
+        from inspig_etl_spark.pipelines.on_demand import run_single_farm, share_token
+
+        res = run_single_farm(spark, SF_SMOKE, farm_no=3, ins_date="20240124")
+        assert res["status"] == "success"
+        assert res["share_token"] == share_token(3, 2024, 3, "20240121")
+        wide = res["wide_rows"].collect()
+        assert wide and all(r.farm_no == 3 for r in wide)
+        summ = res["summary"].collect()
+        assert len(summ) == 1 and summ[0].share_token == res["share_token"]
+
+    def test_run_single_farm_unknown_farm_and_kind(self, spark):
+        from inspig_etl_spark.pipelines.on_demand import run_single_farm
+
+        res = run_single_farm(spark, SF_SMOKE, farm_no=9999, ins_date="20240124")
+        assert res["status"] == "error" and "not found" in res["error"]
+        res = run_single_farm(
+            spark, SF_SMOKE, farm_no=3, ins_date="20240124", day_gb="MONTH"
+        )
+        assert res["status"] == "error" and "not implemented" in res["error"]
