@@ -1,6 +1,7 @@
-"""Oracle-checked batch-orchestration query: ST3 all-or-nothing commit +
-ST6 run-manifest bookkeeping, exercised END-TO-END through the physical
-sink (not just the logical kernels).
+"""Oracle-checked orchestration queries: ST3 all-or-nothing commit + ST6
+run-manifest bookkeeping (staged_commit_retry), and the ST1/ST2 micro-batch
+upsert stream (stream_microbatch_upsert) — each exercised END-TO-END
+through the physical sink (not just the logical kernels).
 
 The scenario mirrors the reference's weather saver refusing partial batches
 (``/root/reference/src/collectors/weather.py:1646-1660``) and the
@@ -136,3 +137,86 @@ def staged_commit_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(steps["batch2"]).alias("batch2_status"),
         F.lit(recorded["status"]).alias("run_status"),
     )
+
+
+@register(
+    "stream_microbatch_upsert",
+    operators="ST1,ST2 (hourly micro-batch keyed upsert driven through a real availableNow file stream — one merge per micro-batch, later batches correct earlier keys; ref weather.py:1632-1680, README.md:140-146)",
+    oracle="""
+WITH slices AS (
+  SELECT 1 AS batch, user_id, COUNT(*) AS evt_cnt, MAX(epoch_us(ts)) AS last_ts_us
+  FROM events WHERE event_id % 3 = 0 GROUP BY user_id
+  UNION ALL
+  SELECT 2, user_id, COUNT(*), MAX(epoch_us(ts))
+  FROM events WHERE event_id % 3 = 1 GROUP BY user_id
+  UNION ALL
+  SELECT 3, user_id, COUNT(*), MAX(epoch_us(ts))
+  FROM events WHERE event_id % 3 = 2 GROUP BY user_id
+)
+SELECT user_id, evt_cnt, last_ts_us FROM (
+  SELECT user_id, evt_cnt, last_ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch DESC) AS rn
+  FROM slices
+) WHERE rn = 1
+""",
+)
+def stream_microbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 exercised through Structured Streaming itself, not just the batch
+    kernel: three per-user aggregates land as parquet files in a stream
+    source dir (mtimes staggered so availableNow + maxFilesPerTrigger=1
+    replays them as three ordered micro-batches), and each micro-batch runs
+    the foreach_batch_upsert MERGE into the keyed sink. The final sink state
+    is last-batch-wins per user — a plain SQL window — so the whole
+    stream → foreachBatch → staged-commit path is value-checked.
+    """
+    import os
+    import time as _time
+
+    from inspig_etl_spark.catalog import table
+    from inspig_etl_spark.streaming.incremental import start_upsert_stream
+
+    ev = table(spark, sf_dir, "events")
+    schema = "user_id BIGINT, evt_cnt BIGINT, last_ts_us BIGINT"
+    tmpdir = tempfile.mkdtemp(prefix="stream_upsert_")
+    src = f"{tmpdir}/src"
+    sink = f"{tmpdir}/sink"
+    ckpt = f"{tmpdir}/ckpt"
+    try:
+        base_mtime = _time.time() - 300
+        for k in range(3):
+            batch = (
+                ev.where(F.col("event_id") % 3 == k)
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("evt_cnt"),
+                    F.max("ts_us").alias("last_ts_us"),
+                )
+            )
+            batch.coalesce(1).write.mode("append").parquet(src)
+            # Stagger data-file mtimes so the file source's oldest-first
+            # ordering replays the batches in write order deterministically.
+            for fn in os.listdir(src):
+                if not fn.startswith(("_", ".")):
+                    full = f"{src}/{fn}"
+                    cur = os.path.getmtime(full)
+                    if cur > base_mtime + (k + 1) * 10 - 5:
+                        os.utime(full, (base_mtime + k * 10, base_mtime + k * 10))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_upsert_stream(
+            stream, sink, keys=["user_id"], schema=schema, checkpoint=ckpt
+        ).start()
+        q.awaitTermination()
+
+        # Bounded materialization (one row per user) so the scratch dirs can
+        # be deleted before returning — same rationale as staged_commit_retry.
+        final = spark.read.schema(schema).parquet(sink)
+        rows = final.collect()
+        out = spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return out
