@@ -330,52 +330,77 @@ def parse_forecast_daily(raw: DataFrame, tmn_tmx_raw: DataFrame | None = None) -
     - TMN/TMX parse from the primary items and backfill from the 05:00
       re-fetch items where NULL (only 02:00/05:00 announcements carry them).
 
-    Scale: one pivot shuffle, then two aggregations keyed by the same
-    (grid, base, date) prefix plus a co-partitioned join — no windows over
-    the full fact, no driver-side state. Callers reusing the pivot for both
-    hourly and daily output should persist ``raw`` (or write the hourly
-    table first and derive the daily from it).
+    Scale: one pivot shuffle, then ONE aggregation on the (grid, base,
+    date) key — the weather mode folds into the same pass as a bounded
+    ``collect_list`` of (hour, code) pairs (a forecast day carries ≤ ~36
+    hourly entries, so the list is constant-size) reduced by an
+    order-insensitive count/first-time expression. No second pivot pass,
+    no window over the full fact, no driver-side state.
     """
     wide = _forecast_wide(raw)
     keys = ["nx", "ny", "base_date", "base_time"]
     tmp = F.col("TMP").try_cast("double")
     weather_cd, _ = _hour_weather(_PTY_CD_MAP, _PTY_NM_MAP)
 
-    base = wide.groupBy(*keys, "fcst_date").agg(
-        F.count(tmp).alias("temp_cnt"),
-        F.sum(tmp.cast("decimal(18,1)")).alias("temp_sum_dec"),
-        F.max(tmp).alias("temp_high"),
-        F.min(tmp).alias("temp_low"),
-        F.max(F.col("POP").try_cast("int")).alias("pop_max_raw"),
-        F.max(F.col("TMN").try_cast("double")).alias("tmn_raw"),
-        F.max(F.col("TMX").try_cast("double")).alias("tmx_raw"),
-        F.min(
-            F.when(F.col("SKY").isNotNull(), F.struct(F.col("fcst_time"), F.col("SKY")))
-        ).alias("sky_first_s"),
-        F.max(
-            F.when(
-                F.col("PTY").isNotNull() & (F.col("PTY") != "0"),
-                F.struct(F.col("fcst_time"), F.col("PTY")),
-            )
-        ).alias("pty_nz_s"),
-        F.min(
-            F.when(F.col("PTY").isNotNull(), F.struct(F.col("fcst_time"), F.col("PTY")))
-        ).alias("pty_first_s"),
-    )
-
-    mode = (
-        wide.select(*keys, "fcst_date", "fcst_time", weather_cd.alias("wcd"))
-        .groupBy(*keys, "fcst_date", "wcd")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("fcst_time").alias("first_t"))
+    base = (
+        wide.withColumn("__wcd", weather_cd)
         .groupBy(*keys, "fcst_date")
         .agg(
+            F.count(tmp).alias("temp_cnt"),
+            F.sum(tmp.cast("decimal(18,1)")).alias("temp_sum_dec"),
+            F.max(tmp).alias("temp_high"),
+            F.min(tmp).alias("temp_low"),
+            F.max(F.col("POP").try_cast("int")).alias("pop_max_raw"),
+            F.max(F.col("TMN").try_cast("double")).alias("tmn_raw"),
+            F.max(F.col("TMX").try_cast("double")).alias("tmx_raw"),
             F.min(
-                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("first_t"), F.col("wcd"))
-            ).alias("pick")
+                F.when(
+                    F.col("SKY").isNotNull(), F.struct(F.col("fcst_time"), F.col("SKY"))
+                )
+            ).alias("sky_first_s"),
+            F.max(
+                F.when(
+                    F.col("PTY").isNotNull() & (F.col("PTY") != "0"),
+                    F.struct(F.col("fcst_time"), F.col("PTY")),
+                )
+            ).alias("pty_nz_s"),
+            F.min(
+                F.when(
+                    F.col("PTY").isNotNull(), F.struct(F.col("fcst_time"), F.col("PTY"))
+                )
+            ).alias("pty_first_s"),
+            F.collect_list(F.struct(F.col("fcst_time"), F.col("__wcd"))).alias(
+                "__wlist"
+            ),
         )
     )
 
-    daily = base.join(mode, [*keys, "fcst_date"]).where(F.col("temp_cnt") >= 2)
+    # Mode with first-appearance tie-break as a pure array expression over
+    # the bounded per-day list: for each distinct code, (-count, first hour,
+    # code), then array_min picks (max count, earliest first appearance).
+    # Order-insensitive, so collect_list's nondeterministic order is safe.
+    wl = F.col("__wlist")
+    distinct_w = F.array_distinct(F.transform(wl, lambda s: s.getField("__wcd")))
+    cand = F.transform(
+        distinct_w,
+        lambda w: F.struct(
+            (
+                -F.size(F.filter(wl, lambda s: s.getField("__wcd") == w))
+            ).alias("neg_cnt"),
+            F.array_min(
+                F.transform(
+                    F.filter(wl, lambda s: s.getField("__wcd") == w),
+                    lambda s: s.getField("fcst_time"),
+                )
+            ).alias("first_t"),
+            w.alias("wcd"),
+        ),
+    )
+    daily = (
+        base.withColumn("pick", F.array_min(cand))
+        .drop("__wlist")
+        .where(F.col("temp_cnt") >= 2)
+    )
 
     tmn = F.col("tmn_raw")
     tmx = F.col("tmx_raw")
