@@ -1,6 +1,7 @@
-"""Multimodal queries: blob metadata and the Pandas-UDF decode pipeline.
+"""Multimodal queries: blob metadata, the Pandas-UDF decode pipeline, and
+video frame sampling.
 
-All three are fully oracle-checked: the synthetic blob is a pure function of
+All are fully oracle-checked: the synthetic blob is a pure function of
 (doc_id, text), so the decode outputs — dims from the id, byte sums over the
 UTF-8 payload — are DuckDB-expressible by re-deriving the payload bytes from
 ``hex(encode(repeat(text, 4)))`` and folding hex digits. Byte means use the
@@ -152,4 +153,54 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_media(media, out_w=8, out_h=6)
     return decode_media(resized).select(
         "id", "media_type", "width", "height", "channels", "n_bytes", "mean_byte"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    operators="LLM-multimodal (video frame sampling: payload split into n equal frames, partition-preserving posexplode; brief: 'decode / feature-extract / resize / frame-sample')",
+    # The frame bytes are slices of the UTF-8 payload, so each frame's size
+    # and content hash are DuckDB-derivable by slicing the hex encoding
+    # (both engines hash the UPPERCASE hex string — blob slicing is not
+    # portable, the hex roundtrip is).
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 12 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 1 AS INT) AS c,
+         encode(repeat(text, 4)) AS pay
+  FROM documents WHERE doc_id % 3 = 2
+), p AS (
+  SELECT doc_id,
+         LEAST(w * h * c, octet_length(pay)) AS plen,
+         substr(hex(pay), 1, 2 * LEAST(w * h * c, octet_length(pay))) AS hx
+  FROM m
+), f AS (
+  SELECT doc_id, plen, hx, GREATEST(plen // 4, 1) AS flen,
+         unnest([0, 1, 2, 3]) AS frame_no
+  FROM p
+)
+SELECT doc_id AS id, frame_no,
+       CAST(length(substr(hx, frame_no * flen * 2 + 1, flen * 2)) // 2 AS INT)
+         AS frame_size,
+       sha256(substr(hx, frame_no * flen * 2 + 1, flen * 2)) AS frame_sha
+FROM f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video blobs: the payload splits into 4 equal
+    frames per row via posexplode — per-row generation, no join, no extra
+    shuffle. Frames are reported as (size, content hash); hashing goes
+    through the hex string so the oracle can reproduce it without blob
+    slicing."""
+    from inspig_etl_spark.operators.multimodal import frame_sample
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    frames = frame_sample(synthetic_media(docs), n_frames=4)
+    return frames.select(
+        "id",
+        "frame_no",
+        F.col("frame_size").cast("int").alias("frame_size"),
+        F.sha2(F.hex(F.col("frame_bytes")), 256).alias("frame_sha"),
     )
