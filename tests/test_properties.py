@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the write-path and skew kernels:
+each Spark kernel is compared against a brute-force driver-side model over
+randomly generated small tables, so key-edge cases (empty sides, all-NULL
+values, duplicate non-key columns, hot keys) are explored mechanically
+rather than hand-picked.
+
+Examples are kept small (max ~12 rows) and few (Spark round-trips are the
+cost); deadline disabled for JVM warm-up jitter.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from inspig_etl_spark.operators.skew import salted_join, two_stage_count_distinct
+from inspig_etl_spark.sources.sinks import insert_if_absent, merge_upsert
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, value) rows with a NARROW domain so collisions/hot keys are common.
+KV = st.lists(
+    st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(-3, 3))),
+    max_size=12,
+)
+SCHEMA = "k int, v int"
+
+
+def _unique_by_key(rows):
+    out = {}
+    for k, v in rows:
+        out[k] = v  # last wins, like dropDuplicates upstream of MERGE
+    return out
+
+
+class TestMergeProperties:
+    @SETTINGS
+    @given(target=KV, updates=KV)
+    def test_merge_upsert_matches_dict_model(self, spark, target, updates):
+        t, u = _unique_by_key(target), _unique_by_key(updates)
+        got = merge_upsert(
+            spark.createDataFrame(list(t.items()), SCHEMA),
+            spark.createDataFrame(list(u.items()), SCHEMA),
+            keys=["k"],
+        ).collect()
+        want = {**t, **u}  # update wins wholesale in full mode
+        assert {r.k: r.v for r in got} == want and len(got) == len(want)
+
+    @SETTINGS
+    @given(target=KV, updates=KV)
+    def test_merge_upsert_partial_keeps_target_on_null(self, spark, target, updates):
+        t, u = _unique_by_key(target), _unique_by_key(updates)
+        got = merge_upsert(
+            spark.createDataFrame(list(t.items()), SCHEMA),
+            spark.createDataFrame(list(u.items()), SCHEMA),
+            keys=["k"],
+            partial=True,
+        ).collect()
+        want = dict(t)
+        for k, v in u.items():
+            # NVL(:new, old): a NULL update value keeps the target's value
+            # (absent target key -> the NULL inserts).
+            want[k] = v if v is not None else t.get(k)
+        assert {r.k: r.v for r in got} == want
+
+    @SETTINGS
+    @given(target=KV, updates=KV)
+    def test_merge_upsert_is_idempotent(self, spark, target, updates):
+        t = spark.createDataFrame(list(_unique_by_key(target).items()), SCHEMA)
+        u = spark.createDataFrame(list(_unique_by_key(updates).items()), SCHEMA)
+        once = merge_upsert(t, u, keys=["k"])
+        twice = merge_upsert(once, u, keys=["k"])
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    @SETTINGS
+    @given(target=KV, updates=KV)
+    def test_insert_if_absent_never_clobbers(self, spark, target, updates):
+        t, u = _unique_by_key(target), _unique_by_key(updates)
+        got = insert_if_absent(
+            spark.createDataFrame(list(t.items()), SCHEMA),
+            spark.createDataFrame(list(u.items()), SCHEMA),
+            keys=["k"],
+        ).collect()
+        want = {**{k: v for k, v in u.items() if k not in t}, **t}  # target wins
+        assert {r.k: r.v for r in got} == want
+
+
+class TestSkewKernelProperties:
+    @SETTINGS
+    @given(
+        big=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=12),
+        small=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=6),
+        n_salts=st.integers(2, 5),
+    )
+    def test_salted_join_equals_plain_join(self, spark, big, small, n_salts):
+        b = spark.createDataFrame(big or [(99, 0)], "k int, a int")
+        s = spark.createDataFrame(small or [(98, 0)], "k int, b int")
+        salted = salted_join(b, s, on=["k"], n_salts=n_salts).collect()
+        plain = b.join(s, ["k"]).collect()
+        assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+    @SETTINGS
+    @given(rows=KV)
+    def test_two_stage_distinct_matches_model(self, spark, rows):
+        df = spark.createDataFrame(rows or [(0, None)], SCHEMA)
+        got = {
+            r.k: r.n
+            for r in two_stage_count_distinct(df, ["k"], "v", alias="n").collect()
+        }
+        want = {}
+        for k, v in rows or [(0, None)]:
+            want.setdefault(k, set())
+            if v is not None:
+                want[k].add(v)
+        assert got == {k: len(s) for k, s in want.items()}
