@@ -181,10 +181,12 @@ def connected_components(
 
     Execution is Pregel-style: each round joins the current labels to the
     symmetric edge list, takes the per-node neighbor minimum, and lowers
-    labels that improved. The loop is driver-side but each round is one
-    distributed hash-join + partial-aggregated groupBy; rounds needed =
-    max component diameter (near-dup clusters are shallow — review chains,
-    not paths). Convergence is detected with a single ``sum(label)``
+    labels that improved. Only edge-touched nodes enter the loop (a
+    singleton's label cannot change; they rejoin via one left join at the
+    end), so per-round state is bounded by the dup-graph, not the corpus.
+    The loop is driver-side but each round is one distributed hash-join +
+    partial-aggregated groupBy; rounds needed = max component diameter
+    (near-dup clusters are shallow — review chains, not paths). Convergence is detected with a single ``sum(label)``
     action per round (labels only ever decrease, so an unchanged sum IS
     the fixpoint — no extra diff join), and each round's result is
     persisted while the previous round is dropped, so lineage stays one
@@ -206,7 +208,18 @@ def connected_components(
         .persist()
     )
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    # Propagate over EDGE-TOUCHED nodes only: a singleton's label can never
+    # change, so keeping the full corpus in the loop would shuffle O(|docs|)
+    # per round for nothing. With near-dup rates in the low percents, the
+    # dup-graph node set is orders of magnitude smaller than the corpus —
+    # this is the difference between iterating over the duplicates and
+    # iterating over 100 TB. Singletons rejoin at the end via a left join.
+    labels = (
+        edges.select(F.col("src").alias("id"))  # symmetric: src covers all
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iters):
@@ -233,7 +246,11 @@ def connected_components(
     # The final labels are materialized (the convergence action ran on
     # them); the edge cache has served its purpose.
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return nodes.select(F.col(id_col)).join(
+        labels.select(F.col("id").alias(id_col), "label"), id_col, "left"
+    ).select(
+        id_col, F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id")
+    )
 
 
 def simhash32(toks: Column) -> Column:
