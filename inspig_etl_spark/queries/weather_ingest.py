@@ -4,10 +4,11 @@
 
 The raw API item tables are synthesized DETERMINISTICALLY from the test
 tables with the same formulas on both engines (the pattern every composed
-pipeline query here uses), so the decode kernels themselves — the nowcast
-category pivot and the mid-term +3..+10-day expansion — are hash-checked
-end-to-end. ASOS hourly/daily share the same per-row try_cast decode shape
-and are unit-tested (tests/test_weather_api.py).
+pipeline query here uses), so the decode kernels themselves — the village
+forecast hourly/daily rollup, the nowcast category pivot, the ASOS
+hourly/daily projections, and the mid-term +3..+10-day expansion — are
+hash-checked end-to-end, on top of the edge-case unit tests in
+tests/test_weather_api.py.
 """
 
 from __future__ import annotations
@@ -574,3 +575,155 @@ def fcst_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fcst_items(spark, sf_dir),
         tmn_tmx_raw=_fcst_fallback_items(spark, sf_dir),
     )
+
+
+# --------------------------------------------------------------------------
+# S4 ASOS hourly/daily: per-row typed projections over synthesized station
+# items (no pivot — each raw row decodes independently). Note the oracle's
+# TRUNC: Spark's double→int cast truncates toward zero while DuckDB's CAST
+# rounds, so the int(float(x)) reference semantics need an explicit TRUNC.
+# --------------------------------------------------------------------------
+
+_ASOS_RN = ("", "0.0", "2.5", "junk", "12.75")
+_ASOS_SUM_RN = ("", "0.0", "junk", "5.25", "12.5")
+
+
+def _asos_hourly_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    tm = (
+        F.when(k % 37 == 0, F.lit("garbage"))
+        .when(k % 41 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("2024-01-"), (10 + k % 5).cast("string"), F.lit(" "),
+                F.lpad((F.floor(k / 3) % 24).cast("string"), 2, "0"), F.lit(":00"),
+            )
+        )
+    )
+    return p.select(
+        (k % 9).cast("int").alias("nx"),
+        (F.floor(k / 2) % 9).cast("int").alias("ny"),
+        tm.alias("tm"),
+        F.concat((k % 60 - 20).cast("string"), F.lit(".25")).alias("ta"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _ASOS_RN]), (k % 5 + 1).cast("int")
+        ).alias("rn"),
+        F.concat((30 + k % 70).cast("string"), F.lit(".8")).alias("hm"),
+        F.concat((k % 12).cast("string"), F.lit(".6")).alias("ws"),
+        F.concat((k % 360).cast("string"), F.lit(".9")).alias("wd"),
+    )
+
+
+_SQL_ASOS_HOURLY = f"""
+WITH items AS (
+  SELECT CAST(p_partkey % 9 AS INT) AS nx,
+         CAST(FLOOR(p_partkey / 2) % 9 AS INT) AS ny,
+         CASE WHEN p_partkey % 37 = 0 THEN 'garbage'
+              WHEN p_partkey % 41 = 0 THEN NULL
+              ELSE '2024-01-' || CAST(10 + p_partkey % 5 AS VARCHAR) || ' '
+                   || LPAD(CAST(CAST(FLOOR(p_partkey / 3) AS BIGINT) % 24 AS VARCHAR), 2, '0') || ':00'
+         END AS tm,
+         CAST(p_partkey % 60 - 20 AS VARCHAR) || '.25' AS ta,
+         (ARRAY[{", ".join(f"'{v}'" for v in _ASOS_RN)}])[p_partkey % 5 + 1] AS rn,
+         CAST(30 + p_partkey % 70 AS VARCHAR) || '.8' AS hm,
+         CAST(p_partkey % 12 AS VARCHAR) || '.6' AS ws,
+         CAST(p_partkey % 360 AS VARCHAR) || '.9' AS wd
+  FROM part
+)
+SELECT REPLACE(string_split(tm, ' ')[1], '-', '') AS wk_date,
+       SUBSTR(REPLACE(string_split(tm, ' ')[2], ':', ''), 1, 4) AS wk_time,
+       nx, ny,
+       TRY_CAST(ta AS DOUBLE) AS temp,
+       CAST(NULL AS INT) AS rain_prob,
+       COALESCE(TRY_CAST(rn AS DOUBLE), 0.0) AS rain_amt,
+       CAST(TRUNC(TRY_CAST(hm AS DOUBLE)) AS INT) AS humidity,
+       TRY_CAST(ws AS DOUBLE) AS wind_speed,
+       CAST(TRUNC(TRY_CAST(wd AS DOUBLE)) AS INT) AS wind_dir,
+       CAST(NULL AS VARCHAR) AS sky_cd,
+       CAST(NULL AS VARCHAR) AS pty_cd,
+       CASE WHEN COALESCE(TRY_CAST(rn AS DOUBLE), 0.0) > 0 THEN 'rainy' ELSE 'sunny' END AS weather_cd,
+       CASE WHEN COALESCE(TRY_CAST(rn AS DOUBLE), 0.0) > 0 THEN '비' ELSE '맑음' END AS weather_nm,
+       'N' AS is_forecast
+FROM items
+WHERE tm IS NOT NULL AND len(string_split(tm, ' ')) >= 2
+"""
+
+
+@register(
+    "asos_hourly_decode",
+    operators="S4 (ASOS hourly station observations: per-row try_cast projection, malformed-timestamp drop, int(float(x)) truncation, rain-flip weather; ref weather.py:1153-1237)",
+    oracle=_SQL_ASOS_HOURLY,
+)
+def asos_hourly_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspig_etl_spark.sources.weather_api import parse_asos_hourly_items
+
+    return parse_asos_hourly_items(_asos_hourly_items(spark, sf_dir))
+
+
+def _asos_daily_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    tm = (
+        F.when(k % 31 == 0, F.lit(""))
+        .when(k % 43 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("2024-01-"), (10 + k % 7).cast("string")))
+    )
+    return p.select(
+        (k % 9).cast("int").alias("nx"),
+        (F.floor(k / 2) % 9).cast("int").alias("ny"),
+        tm.alias("tm"),
+        F.concat((k % 50 - 10).cast("string"), F.lit(".25")).alias("avg_ta"),
+        F.concat((k % 40 - 5).cast("string"), F.lit(".5")).alias("max_ta"),
+        F.concat((k % 30 - 15).cast("string"), F.lit(".75")).alias("min_ta"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _ASOS_SUM_RN]), (k % 5 + 1).cast("int")
+        ).alias("sum_rn"),
+        F.concat((40 + k % 60).cast("string"), F.lit(".6")).alias("avg_rhm"),
+        F.concat((k % 15).cast("string"), F.lit(".25")).alias("avg_ws"),
+    )
+
+
+_SQL_ASOS_DAILY = f"""
+WITH items AS (
+  SELECT CAST(p_partkey % 9 AS INT) AS nx,
+         CAST(FLOOR(p_partkey / 2) % 9 AS INT) AS ny,
+         CASE WHEN p_partkey % 31 = 0 THEN ''
+              WHEN p_partkey % 43 = 0 THEN NULL
+              ELSE '2024-01-' || CAST(10 + p_partkey % 7 AS VARCHAR)
+         END AS tm,
+         CAST(p_partkey % 50 - 10 AS VARCHAR) || '.25' AS avg_ta,
+         CAST(p_partkey % 40 - 5 AS VARCHAR) || '.5' AS max_ta,
+         CAST(p_partkey % 30 - 15 AS VARCHAR) || '.75' AS min_ta,
+         (ARRAY[{", ".join(f"'{v}'" for v in _ASOS_SUM_RN)}])[p_partkey % 5 + 1] AS sum_rn,
+         CAST(40 + p_partkey % 60 AS VARCHAR) || '.6' AS avg_rhm,
+         CAST(p_partkey % 15 AS VARCHAR) || '.25' AS avg_ws
+  FROM part
+)
+SELECT REPLACE(tm, '-', '') AS wk_date,
+       nx, ny,
+       ROUND(TRY_CAST(avg_ta AS DOUBLE), 1) AS temp_avg,
+       ROUND(TRY_CAST(max_ta AS DOUBLE), 1) AS temp_high,
+       ROUND(TRY_CAST(min_ta AS DOUBLE), 1) AS temp_low,
+       CAST(NULL AS INT) AS rain_prob,
+       ROUND(TRY_CAST(sum_rn AS DOUBLE), 1) AS rain_amt,
+       CAST(TRUNC(TRY_CAST(avg_rhm AS DOUBLE)) AS INT) AS humidity,
+       ROUND(TRY_CAST(avg_ws AS DOUBLE), 1) AS wind_speed,
+       CASE WHEN TRY_CAST(sum_rn AS DOUBLE) > 0 THEN 'rainy' ELSE 'sunny' END AS weather_cd,
+       CASE WHEN TRY_CAST(sum_rn AS DOUBLE) > 0 THEN '비' ELSE '맑음' END AS weather_nm,
+       '1' AS sky_cd,
+       'N' AS is_forecast
+FROM items
+WHERE tm IS NOT NULL AND tm <> ''
+"""
+
+
+@register(
+    "asos_daily_decode",
+    operators="S4 (ASOS daily station summaries: per-row try_cast projection, 1-decimal rounding, positive-rain weather flip, clear-sky default; ref weather.py:1064-1151)",
+    oracle=_SQL_ASOS_DAILY,
+)
+def asos_daily_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspig_etl_spark.sources.weather_api import parse_asos_daily_items
+
+    return parse_asos_daily_items(_asos_daily_items(spark, sf_dir))
