@@ -119,6 +119,7 @@ _NEW_THIS_ROUND = frozenset(
         "staged_commit_retry",
         "stream_microbatch_upsert",
         "embeddings_cosine_neardup_bucketed",
+        "docs_decontaminate_eval_overlap",
     }
 )
 

@@ -264,3 +264,61 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumn(
         "is_canonical", (F.col("cluster_id") == F.col("doc_id")).cast("int")
     )
+
+
+EVAL_MOD = 20  # doc_id % 20 == 0 -> the held-out eval set (5% of docs)
+CONTAM_MIN_SHARED = 2  # >= 2 shared shingles flags a training doc
+
+
+@register(
+    "docs_decontaminate_eval_overlap",
+    operators="LLM-decontamination (benchmark-overlap scrub: flag training docs sharing n-gram shingles with a held-out eval set; standard training-data hygiene alongside dedup)",
+    oracle=f"""
+WITH {_SQL_DOCS_SHINGLED},
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, sh FROM t WHERE doc_id % {EVAL_MOD} <> 0),
+hits AS (
+  SELECT x.doc_id, COUNT(*) AS shared_cnt
+  FROM (SELECT doc_id, unnest(sh) AS s FROM tr) x JOIN ev USING (s)
+  GROUP BY x.doc_id
+)
+SELECT tr.doc_id,
+       CAST(len(tr.sh) AS BIGINT) AS shingle_cnt,
+       COALESCE(hits.shared_cnt, 0) AS shared_cnt,
+       COALESCE(hits.shared_cnt, 0) >= {CONTAM_MIN_SHARED} AS is_contaminated
+FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+""",
+)
+def docs_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a training document is flagged when it
+    shares >= CONTAM_MIN_SHARED distinct n-gram shingles with ANY eval-set
+    document — the eval side collapses to a distinct shingle-hash set
+    first, so the check is one equi-join on the shingle hash (O(shingles)
+    shuffle) plus a per-doc count, never doc x doc. In production the eval
+    shingle set is small enough to broadcast; here it scales with the
+    synthetic corpus, so it stays a shuffle join.
+    """
+    sh = _shingled(spark, sf_dir)
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        tr.select("doc_id", F.explode("sh").alias("s"))
+        .join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_cnt"))
+    )
+    shared = F.coalesce(F.col("shared_cnt"), F.lit(0))
+    return (
+        tr.select("doc_id", F.size("sh").cast("bigint").alias("shingle_cnt"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "shingle_cnt",
+            shared.alias("shared_cnt"),
+            (shared >= CONTAM_MIN_SHARED).alias("is_contaminated"),
+        )
+    )
