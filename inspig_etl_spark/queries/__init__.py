@@ -97,6 +97,7 @@ def _load() -> None:
         llm_sampling,
         llm_text,
         llm_dedup,
+        analytics_ext,
     )
 
     _reorder_for_window()

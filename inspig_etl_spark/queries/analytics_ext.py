@@ -1,0 +1,77 @@
+"""OLAP analytics extensions beyond the reference's report surface:
+ROLLUP/grouping-sets subtotals and exact percentile distributions — the
+two aggregate shapes an analytics engine is expected to carry that the
+reference's fixed report sections never needed (its subtotal rows are
+hand-unioned per section, ``src/weekly/processors/*``; a rollup computes
+the same lattice in one pass).
+
+Cross-engine notes: Spark ``grouping_id()`` and DuckDB ``GROUPING(a, b)``
+agree bit-for-bit on the subtotal lattice ids; Spark's exact
+``percentile`` and DuckDB's ``quantile_cont`` share the same linear
+interpolation on doubles (probed identical at the ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import table
+from inspig_etl_spark.functions.rounding import dec_sum, sql_dec_sum
+from inspig_etl_spark.queries import register
+
+
+@register(
+    "orders_priority_rollup",
+    operators="A2,A16-ext (ROLLUP subtotal lattice: per-(priority,status) totals, per-priority subtotals, grand total, one pass with grouping ids)",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS order_cnt,
+       {sql_dec_sum('o_totalprice', 2)} AS total,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal lattice in ONE aggregation: Spark expands the rollup into
+    grouping sets and still plans partial (map-side) aggregation per set —
+    at 100 TB this is one shuffle, not one scan per subtotal level like the
+    reference's hand-unioned section totals."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        dec_sum(F.col("o_totalprice"), 2).alias("total"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@register(
+    "order_value_percentiles",
+    operators="A-ext (exact percentile distribution per bounded group; linear interpolation parity with quantile_cont)",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per priority (5 bounded groups). Exact percentile
+    sorts within the group — correct here because group count is fixed and
+    small; at 100 TB with high-cardinality groups the scale path is
+    ``percentile_approx`` (KLL-sketch-backed, mergeable map-side), which is
+    deliberately NOT oracle-gated: approximate sketches are not
+    bit-comparable across engines."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
