@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from inspig_etl_spark.catalog import table
 from inspig_etl_spark.functions.rounding import dec_sum, sql_dec_sum
+from inspig_etl_spark.operators.timeseries import sql_linear_interpolate
 from inspig_etl_spark.queries import register
 
 
@@ -75,3 +76,41 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_total"),
         F.max("o_totalprice").alias("max_total"),
     )
+
+
+@register(
+    "hourly_gap_interpolation",
+    operators="W-ext (time-series gap fill: per-series linear interpolation between nearest observations, IGNORE NULLS window anchors, bfill/ffill edges; operators/timeseries.py)",
+    oracle=f"""
+WITH grids AS (SELECT DISTINCT CAST(p_partkey % 12 AS INT) AS g FROM part),
+sp AS (SELECT g, unnest(range(0, 24)) AS h0 FROM grids),
+d AS (
+  SELECT g, CAST(h0 AS INT) AS h,
+         CASE WHEN (g * 7 + h0) % 3 = 0 OR (g + h0) % 11 = 0 THEN NULL
+              ELSE CAST((g * 13 + h0 * 5) % 40 - 10 AS DOUBLE) + 0.5 END AS temp
+  FROM sp
+),
+a AS (
+  SELECT g, h, temp,{sql_linear_interpolate('g', 'h', 'temp')[0]}
+  FROM d
+)
+SELECT g, h, temp,{sql_linear_interpolate('g', 'h', 'temp')[1]} AS temp_filled
+FROM a
+""",
+)
+def hourly_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A gappy 24-hour temperature series per grid cell (one third of the
+    slots NULL, including leading/trailing runs) filled by the window-based
+    linear interpolator — the hypertable gap-fill the reference's zero-fill
+    spine cannot express."""
+    from inspig_etl_spark.operators.timeseries import linear_interpolate
+
+    part = table(spark, sf_dir, "part")
+    grids = part.select((F.col("p_partkey") % 12).cast("int").alias("g")).distinct()
+    sp = grids.select("g", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"))
+    g, h = F.col("g"), F.col("h")
+    temp = F.when(
+        ((g * 7 + h) % 3 == 0) | ((g + h) % 11 == 0), F.lit(None).cast("double")
+    ).otherwise(((g * 13 + h * 5) % 40 - 10).cast("double") + 0.5)
+    d = sp.select("g", h.cast("int").alias("h"), temp.alias("temp"))
+    return linear_interpolate(d, ["g"], "h", "temp", out_col="temp_filled")

@@ -275,3 +275,27 @@ class TestConnectedComponents:
     def test_empty_pairs_all_singletons(self, spark):
         got = self._run(spark, [], [10, 20])
         assert got == {10: 10, 20: 20}
+
+
+class TestLinearInterpolate:
+    def test_interior_leading_trailing_and_allnull(self, spark):
+        from inspig_etl_spark.operators.timeseries import linear_interpolate
+
+        rows = [
+            # series A: leading gap, interior 2-wide gap, trailing gap
+            ("A", 0, None), ("A", 1, 10.0), ("A", 2, None), ("A", 3, None),
+            ("A", 4, 40.0), ("A", 5, None),
+            # series B: all NULL stays NULL
+            ("B", 0, None), ("B", 1, None),
+        ]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        got = {
+            (r.k, r.t): r.value_filled
+            for r in linear_interpolate(df, ["k"], "t", "v").collect()
+        }
+        assert got[("A", 0)] == 10.0        # leading gap back-fills
+        assert got[("A", 1)] == 10.0        # observed passes through
+        assert got[("A", 2)] == 20.0        # 10 + (40-10) * 1/3
+        assert got[("A", 3)] == 30.0
+        assert got[("A", 5)] == 40.0        # trailing gap forward-fills
+        assert got[("B", 0)] is None and got[("B", 1)] is None
