@@ -59,11 +59,14 @@ HEADLINE = [
     "mid_forecast_expand",
     "docs_neardup_clusters",
     # round-5 additions: S3 forecast decode, bucketed cosine near-dup pairs,
-    # Arrow-batched multimodal decode
+    # Arrow-batched multimodal decode, decontamination, OLAP + time-series ext
     "fcst_hourly_decode",
     "fcst_daily_rollup",
     "embeddings_cosine_neardup_bucketed",
     "multimodal_decode_features",
+    "docs_decontaminate_eval_overlap",
+    "orders_priority_rollup",
+    "hourly_gap_interpolation",
 ]
 
 
