@@ -281,3 +281,43 @@ def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     if os.path.exists(path):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
+
+
+def align_schemas(
+    df: DataFrame, reference: DataFrame, allow_extra: bool = False
+) -> DataFrame:
+    """Schema-evolution shim for the MERGE kernels: add the reference's
+    missing columns to ``df`` as typed NULLs and order columns identically,
+    so an older-schema batch can merge into an evolved sink (the
+    mergeSchema posture without rewriting history).
+
+    Extra columns in ``df`` (not in ``reference``) are an error unless
+    ``allow_extra`` — silently dropping data is never the default.
+    """
+    ref_fields = {f.name: f for f in reference.schema.fields}
+    extra = [c for c in df.columns if c not in ref_fields]
+    if extra and not allow_extra:
+        raise ValueError(
+            f"align_schemas: columns {extra} are not in the reference schema; "
+            f"pass allow_extra=True to drop them explicitly"
+        )
+    cols = [
+        F.col(name) if name in df.columns else F.lit(None).cast(f.dataType).alias(name)
+        for name, f in ref_fields.items()
+    ]
+    return df.select(*cols)
+
+
+def compact(
+    spark: SparkSession, path: str, target_partitions: int
+) -> None:
+    """Small-file compaction: rewrite a parquet dir into ``target_partitions``
+    files via the staged atomic swap (readers never observe a half-compacted
+    table). Micro-batch upsert sinks accrete a file per batch; periodic
+    compaction keeps scan task counts and footer overhead bounded — at
+    cluster scale, schedule it like any other idempotent maintenance job.
+
+    ``coalesce`` (no shuffle) — compaction only ever reduces file count.
+    """
+    df = spark.read.parquet(path).coalesce(target_partitions)
+    staged_overwrite(spark, df, path)

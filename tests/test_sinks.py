@@ -123,3 +123,38 @@ def test_with_surrogate_key_deterministic(spark):
     out2 = {r.nm: r.sk for r in with_surrogate_key(df, "sk", ["nm"], start=100).collect()}
     assert out1 == {"a": 1, "b": 2, "c": 3}
     assert out2 == {"a": 100, "b": 101, "c": 102}
+
+
+def test_align_schemas_adds_typed_nulls_and_rejects_extras(spark):
+    from inspig_etl_spark.sources.sinks import align_schemas, merge_upsert
+
+    sink = spark.createDataFrame(
+        [(1, 10.0, "x")], "k int, v double, note string"
+    )
+    old_batch = spark.createDataFrame([(1, 20.0), (2, 30.0)], "k int, v double")
+    aligned = align_schemas(old_batch, sink)
+    assert aligned.columns == ["k", "v", "note"]
+    merged = {r.k: (r.v, r.note) for r in merge_upsert(sink, aligned, ["k"]).collect()}
+    assert merged == {1: (20.0, None), 2: (30.0, None)}
+
+    import pytest
+
+    rogue = spark.createDataFrame([(1, 1.0, 9)], "k int, v double, rogue int")
+    with pytest.raises(ValueError, match="rogue"):
+        align_schemas(rogue, sink)
+    assert align_schemas(rogue, sink, allow_extra=True).columns == ["k", "v", "note"]
+
+
+def test_compact_reduces_files_atomically(spark, tmp_path):
+    import os
+
+    from inspig_etl_spark.sources.sinks import compact
+
+    path = str(tmp_path / "sink")
+    spark.range(1000).repartition(16).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 16
+    compact(spark, path, target_partitions=2)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after <= 2
+    assert spark.read.parquet(path).count() == 1000
