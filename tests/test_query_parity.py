@@ -33,3 +33,28 @@ def test_no_oracle_query_runs(spark, case):
     df = case.fn(spark, SF_CORRECT)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_window_tier_lists_are_consistent():
+    """The driver samples the first 50 oracled registrations; the tier
+    frozensets steer that window, so a typo'd name or an over-full front
+    section would silently leave queries unverified."""
+    names = {q.name for q in reg.REGISTRY.values()}
+    unknown = reg._NEW_THIS_ROUND - names
+    assert not unknown, f"_NEW_THIS_ROUND references unknown queries: {unknown}"
+    mods = {q.fn.__module__.rsplit(".", 1)[-1] for q in reg.REGISTRY.values()}
+    missing_mods = reg._STALE_MODULES - mods
+    assert not missing_mods, f"_STALE_MODULES references unknown modules: {missing_mods}"
+    front = [
+        q
+        for q in reg.REGISTRY.values()
+        if q.oracle is not None
+        and (
+            q.fn.__module__.rsplit(".", 1)[-1] in reg._STALE_MODULES
+            or q.name in reg._NEW_THIS_ROUND
+        )
+    ]
+    assert len(front) <= 50, (
+        f"tier 0 + tier 1 hold {len(front)} oracled queries — more than the "
+        f"driver's 50-query window; trim the tier lists"
+    )
