@@ -254,6 +254,10 @@ def mid_forecast_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigun = F.when(F.col("c_custkey") % 97 == 0, F.lit("")).otherwise(
         F.concat((11 + F.col("c_custkey") % 45).cast("string"), F.lit("130"))
     )
+    # persist(): the ta/land response dims are both derived FROM grids —
+    # without materialization each derivation re-scans customer and re-runs
+    # the distinct (3 scans total in the executed plan); cached, the fleet
+    # table is read once and the two regId dims distinct over ~|grids| rows.
     grids = (
         c.select(
             (F.col("c_custkey") % 12).cast("int").alias("nx"),
@@ -262,6 +266,7 @@ def mid_forecast_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             mid_land_reg_id(sigun).alias("land_reg_id"),
         )
         .distinct()
+        .persist()
     )
 
     a1 = (
