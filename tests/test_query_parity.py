@@ -40,21 +40,51 @@ def test_window_tier_lists_are_consistent():
     frozensets steer that window, so a typo'd name or an over-full front
     section would silently leave queries unverified."""
     names = {q.name for q in reg.REGISTRY.values()}
-    unknown = reg._NEW_THIS_ROUND - names
-    assert not unknown, f"_NEW_THIS_ROUND references unknown queries: {unknown}"
-    mods = {q.fn.__module__.rsplit(".", 1)[-1] for q in reg.REGISTRY.values()}
-    missing_mods = reg._STALE_MODULES - mods
-    assert not missing_mods, f"_STALE_MODULES references unknown modules: {missing_mods}"
+    for label, tier_set in [
+        ("_NEW_THIS_ROUND", reg._NEW_THIS_ROUND),
+        ("_STALE_R4", reg._STALE_R4),
+        ("_STALE_R4_DEFERRED", reg._STALE_R4_DEFERRED),
+    ]:
+        unknown = tier_set - names
+        assert not unknown, f"{label} references unknown queries: {unknown}"
+    assert not (reg._NEW_THIS_ROUND & reg._STALE_R4), "a query is in both tiers"
+    assert not (reg._STALE_R4 & reg._STALE_R4_DEFERRED), (
+        "a deferred query is still listed in _STALE_R4"
+    )
     front = [
         q
         for q in reg.REGISTRY.values()
         if q.oracle is not None
-        and (
-            q.fn.__module__.rsplit(".", 1)[-1] in reg._STALE_MODULES
-            or q.name in reg._NEW_THIS_ROUND
-        )
+        and (q.name in reg._STALE_R4 or q.name in reg._NEW_THIS_ROUND)
     ]
     assert len(front) <= 50, (
         f"tier 0 + tier 1 hold {len(front)} oracled queries — more than the "
         f"driver's 50-query window; trim the tier lists"
+    )
+
+
+def test_never_driver_verified_queries_sit_inside_window():
+    """Any oracled query with no row in ANY CORRECTNESS_r*.json must be in
+    the first 50 oracled registrations, else its oracle never gets a driver
+    check (the r5 analytics_ext gap — see ADVICE r5)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    records = list(root.glob("CORRECTNESS_r*.json"))
+    if not records:
+        pytest.skip("no driver correctness records present")
+    seen: set[str] = set()
+    for p in records:
+        seen.update(json.loads(p.read_text()).keys())
+    window = [q.name for q in reg.REGISTRY.values() if q.oracle is not None][:50]
+    never = [
+        q.name
+        for q in reg.REGISTRY.values()
+        if q.oracle is not None and q.name not in seen
+    ]
+    outside = [n for n in never if n not in window]
+    assert not outside, (
+        f"never-driver-verified oracled queries outside the 50-query window: "
+        f"{outside} — rotate them into _NEW_THIS_ROUND"
     )
