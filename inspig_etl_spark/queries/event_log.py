@@ -1,12 +1,14 @@
 """Event-log queries over the synthetic `events` stream table
 (SURVEY.md §2.3 J2/J4, §2.5 W1-W6 — the sow work-history idioms).
 
-``events.ts`` may be TIMESTAMP(NANOS) or TIMESTAMP(MICROS) parquet depending
-on the testdata generation; the catalog's dtype dispatch (``catalog.py``)
-exposes ``ts_us`` (epoch microseconds, a long) uniformly for either, which
-matches DuckDB's reading of the same file exactly. All time math is integer
-arithmetic on ``ts_us`` — both engines see identical values and no timezone
-cast is ever involved.
+The current testdata ships ``events.ts`` as parquet TIMESTAMP(MICROS), which
+Spark reads as TIMESTAMP_NTZ; the catalog's dtype dispatch (``catalog.py``)
+still tolerates the historical TIMESTAMP(NANOS) generation (read as a long
+under ``nanosAsLong``) and exposes a uniform ``ts_us`` column (epoch
+microseconds, BIGINT) that matches DuckDB's reading of the same file exactly.
+All time math below is integer arithmetic on ``ts_us`` — both engines see
+identical values and no timezone cast is ever involved; queries that only
+ORDER by event time use raw ``ts`` (same sort order, no projection).
 """
 
 from __future__ import annotations
@@ -17,7 +19,11 @@ from pyspark.sql import functions as F
 from inspig_etl_spark.catalog import table
 from inspig_etl_spark.functions.dates import us_to_sec
 from inspig_etl_spark.functions.rounding import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
-from inspig_etl_spark.operators.events import asof_join, latest_per_key, next_event_after
+from inspig_etl_spark.operators.events import (
+    asof_value_single_scan,
+    latest_per_key,
+    next_event_after,
+)
 from inspig_etl_spark.queries import register
 
 # DuckDB-side expression equal to the catalog's ts_us column.
@@ -87,20 +93,24 @@ GROUP BY user_id
 """,
 )
 def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts_us", "event_id", F.col("value").alias("view_value")
+    # Both as-of sides are subsets of the one events table, so use the
+    # single-scan kernel (one scan + one shuffle; the two-DataFrame
+    # ``asof_join`` union idiom plans the events scan twice). Ordering is on
+    # raw ``ts`` — monotonic with ``ts_us`` for every parquet dtype the
+    # catalog dispatches on, and it skips the per-row epoch-micros projection
+    # that only the oracle needs for display.
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
     )
-    joined = asof_join(
-        purchases,
-        views,
+    joined = asof_value_single_scan(
+        ev,
         keys=["user_id"],
-        left_ts="ts_us",
-        right_ts="ts_us",
-        right_vals=["view_value"],
-        strict=True,
+        ts="ts",
+        is_left=F.col("event_type") == "purchase",
+        right_val=F.col("value"),
         tiebreak=["event_id"],
+        strict=True,
+        out="view_value_asof",
     )
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("purchase_cnt"),

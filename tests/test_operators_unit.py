@@ -299,3 +299,78 @@ class TestLinearInterpolate:
         assert got[("A", 3)] == 30.0
         assert got[("A", 5)] == 40.0        # trailing gap forward-fills
         assert got[("B", 0)] is None and got[("B", 1)] is None
+
+
+def test_asof_single_scan_matches_union_asof(spark):
+    """The single-scan as-of kernel must agree with the generic two-input
+    asof_join on both strict and inclusive semantics, including ties."""
+    from inspig_etl_spark.operators.events import asof_join, asof_value_single_scan
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (key, ts, id, side, val)  — tie at ts=5 exercises strictness
+        ("u1", 1, 1, "R", 10.0),
+        ("u1", 5, 2, "L", None),
+        ("u1", 5, 3, "R", 50.0),
+        ("u1", 9, 4, "L", None),
+        ("u2", 2, 5, "L", None),   # left with no earlier right
+        ("u2", 3, 6, "R", 30.0),
+        ("u2", 4, 7, "L", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, id int, side string, val double")
+    for strict in (True, False):
+        left = df.filter(F.col("side") == "L").select("k", "t", "id")
+        right = df.filter(F.col("side") == "R").select(
+            "k", "t", "id", F.col("val").alias("rv")
+        )
+        expect = {
+            (r.k, r.id): r.rv_asof
+            for r in asof_join(
+                left, right, keys=["k"], left_ts="t", right_ts="t",
+                right_vals=["rv"], strict=strict, tiebreak=["id"],
+            ).collect()
+        }
+        got = {
+            (r.k, r.id): r.asof_value
+            for r in asof_value_single_scan(
+                df, keys=["k"], ts="t",
+                is_left=F.col("side") == "L",
+                right_val=F.col("val"),
+                tiebreak=["id"], strict=strict,
+            ).collect()
+        }
+        assert got == expect, f"strict={strict}: {got} != {expect}"
+
+
+def test_token_len_sum_null_and_empty_text_parity(spark):
+    """NULL / empty / whitespace-only text must yield 0 on BOTH engines
+    (ADVICE r4/r5: a missing outer COALESCE would return NULL on the Spark
+    side for NULL token arrays while the oracle returns 0)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from inspig_etl_spark.functions.text import (
+        sql_token_len_sum,
+        sql_tokens,
+        token_len_sum,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, "   ")], "id int, text string"
+    )
+    got = {
+        r.id: r.s
+        for r in df.select("id", token_len_sum(tokens(F.col("text"))).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES (1,'hello world'),(2,NULL),(3,''),(4,'   ')) t(id, text)"
+    )
+    want = {
+        k: int(v)
+        for k, v in con.execute(
+            f"SELECT id, {sql_token_len_sum(sql_tokens('text'))} FROM d"
+        ).fetchall()
+    }
+    assert got == want == {1: 10, 2: 0, 3: 0, 4: 0}
