@@ -163,26 +163,26 @@ SELECT user_id, evt_cnt, last_ts_us FROM (
 def stream_microbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 exercised through Structured Streaming itself, not just the batch
     kernel: three per-user aggregates land as parquet files in a stream
-    source dir (mtimes staggered so availableNow + maxFilesPerTrigger=1
-    replays them as three ordered micro-batches), and each micro-batch runs
-    the foreach_batch_upsert MERGE into the keyed sink. The final sink state
-    is last-batch-wins per user — a plain SQL window — so the whole
-    stream → foreachBatch → staged-commit path is value-checked.
+    source dir (availableNow + maxFilesPerTrigger=1 replays them as three
+    micro-batches), and each micro-batch runs the foreach_batch_upsert MERGE
+    into the keyed sink. Each row carries its batch number and the merge is
+    the VERSIONED one (greatest batch wins per user), so the final sink
+    state is independent of the order the file source happens to replay the
+    batches in — nothing rests on file mtime granularity or Spark's listing
+    order (ADVICE r5). The oracle computes the same max-batch-wins state
+    with a window, so the whole stream → foreachBatch → staged-commit path
+    is value-checked.
     """
-    import os
-    import time as _time
-
     from inspig_etl_spark.catalog import table
     from inspig_etl_spark.streaming.incremental import start_upsert_stream
 
     ev = table(spark, sf_dir, "events")
-    schema = "user_id BIGINT, evt_cnt BIGINT, last_ts_us BIGINT"
+    schema = "user_id BIGINT, evt_cnt BIGINT, last_ts_us BIGINT, batch BIGINT"
     tmpdir = tempfile.mkdtemp(prefix="stream_upsert_")
     src = f"{tmpdir}/src"
     sink = f"{tmpdir}/sink"
     ckpt = f"{tmpdir}/ckpt"
     try:
-        base_mtime = _time.time() - 300
         for k in range(3):
             batch = (
                 ev.where(F.col("event_id") % 3 == k)
@@ -191,16 +191,9 @@ def stream_microbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("evt_cnt"),
                     F.max("ts_us").alias("last_ts_us"),
                 )
+                .withColumn("batch", F.lit(k + 1).cast("bigint"))
             )
             batch.coalesce(1).write.mode("append").parquet(src)
-            # Stagger data-file mtimes so the file source's oldest-first
-            # ordering replays the batches in write order deterministically.
-            for fn in os.listdir(src):
-                if not fn.startswith(("_", ".")):
-                    full = f"{src}/{fn}"
-                    cur = os.path.getmtime(full)
-                    if cur > base_mtime + (k + 1) * 10 - 5:
-                        os.utime(full, (base_mtime + k * 10, base_mtime + k * 10))
 
         stream = (
             spark.readStream.schema(schema)
@@ -208,7 +201,12 @@ def stream_microbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         q = start_upsert_stream(
-            stream, sink, keys=["user_id"], schema=schema, checkpoint=ckpt
+            stream,
+            sink,
+            keys=["user_id"],
+            schema=schema,
+            checkpoint=ckpt,
+            version_col="batch",
         ).start()
         q.awaitTermination()
 
@@ -219,4 +217,4 @@ def stream_microbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
-    return out
+    return out.select("user_id", "evt_cnt", "last_ts_us")

@@ -120,6 +120,9 @@ def merge_upsert_scoped(
     return merge_upsert(target.filter(pred), updates, keys, partial=partial)
 
 
+MAX_COLLECTED_PARTITIONS = 10_000
+
+
 def partition_predicate(
     updates: DataFrame, partition_by: Sequence[str]
 ) -> Column | None:
@@ -127,8 +130,25 @@ def partition_predicate(
     ``updates`` (None for an empty batch). The tuples are collected to the
     driver — a batch touches a bounded set of partitions — and pushed into
     the target scan as literals, so parquet partition pruning applies.
+
+    Guarded at ``MAX_COLLECTED_PARTITIONS``: the collect is safe only
+    because partition columns are coarse (grid cell, date). A mis-keyed
+    call — say partitioning by a row-grain id — would try to pull millions
+    of tuples onto the driver and OOM it at scale; failing fast with the
+    offending column list is the better outcome (VERDICT r5).
     """
-    parts = updates.select(*partition_by).distinct().collect()
+    parts = (
+        updates.select(*partition_by)
+        .distinct()
+        .limit(MAX_COLLECTED_PARTITIONS + 1)
+        .collect()
+    )
+    if len(parts) > MAX_COLLECTED_PARTITIONS:
+        raise ValueError(
+            f"partition_predicate: more than {MAX_COLLECTED_PARTITIONS} distinct "
+            f"partition tuples for {list(partition_by)} — these columns look "
+            f"row-grain, not partition-grain; refusing to collect them"
+        )
     if not parts:
         return None
     pred = None
@@ -139,6 +159,33 @@ def partition_predicate(
             clause = c if clause is None else (clause & c)
         pred = clause if pred is None else (pred | clause)
     return pred
+
+
+def merge_upsert_versioned(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str], version: str
+) -> DataFrame:
+    """MERGE where the row with the greatest ``version`` wins per key —
+    incoming rows win version ties (the conditional
+    ``WHEN MATCHED AND s.version >= t.version THEN UPDATE`` shape).
+
+    Unlike plain :func:`merge_upsert`, the result is independent of the
+    ORDER batches are applied in: replaying micro-batches out of order
+    (coarse file mtimes, source re-listing, backfill) converges to the same
+    sink state, because precedence is carried IN the data, not by arrival.
+    One shuffle on ``keys``.
+    """
+    keys = list(keys)
+    tagged = target.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
 
 
 def insert_if_absent(

@@ -37,6 +37,7 @@ from inspig_etl_spark.sources.sinks import (
     insert_if_absent,
     merge_upsert,
     merge_upsert_scoped,
+    merge_upsert_versioned,
     overwrite_partitions,
     partition_predicate,
     read_or_empty,
@@ -82,11 +83,19 @@ def foreach_batch_upsert(
     schema: str,
     partial: bool | Sequence[str] = False,
     partition_by: Sequence[str] | None = None,
+    version_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """ForeachBatch hook: MERGE each micro-batch into a keyed parquet sink.
 
     Deduplicates the batch per key first (last writer wins within a batch,
     like MERGE's precondition), then merges and writes.
+
+    ``version_col`` names a monotonic column carried IN the rows (a batch
+    number, an event version): the merge then keeps the greatest version
+    per key (:func:`merge_upsert_versioned`), so the final sink state is
+    independent of the order micro-batches replay in — the robust choice
+    whenever the source's file ordering is environmental (coarse mtimes,
+    directory re-listing). Without it, arrival order decides (plain MERGE).
 
     ``partition_by`` (must be ⊆ keys) selects the SCALE path: the merge
     joins only the sink partitions present in the batch
@@ -97,6 +106,11 @@ def foreach_batch_upsert(
     sinks. On Delta/Iceberg both paths collapse into ``MERGE INTO``.
     """
     keys = list(keys)
+    if version_col is not None and partition_by:
+        raise ValueError(
+            "foreach_batch_upsert: version_col with partition_by is not "
+            "implemented (the scoped merge would need the versioned rule too)"
+        )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -107,6 +121,9 @@ def foreach_batch_upsert(
                 state, deduped, keys, partition_by, partial=partial
             )
             overwrite_partitions(merged, sink_path, partition_by)
+        elif version_col is not None:
+            merged = merge_upsert_versioned(state, deduped, keys, version_col)
+            staged_overwrite(spark, merged, sink_path)
         else:
             merged = merge_upsert(state, deduped, keys, partial=partial)
             staged_overwrite(spark, merged, sink_path)
@@ -122,16 +139,24 @@ def start_upsert_stream(
     checkpoint: str,
     available_now: bool = True,
     partition_by: Sequence[str] | None = None,
+    version_col: str | None = None,
 ) -> DataStreamWriter:
     """Wire a stream into the upsert sink (availableNow drains the backlog
     then stops — the cron-batch execution mode the reference uses).
-    ``partition_by`` selects the partition-scoped merge path — see
+    ``partition_by`` selects the partition-scoped merge path and
+    ``version_col`` the order-independent versioned merge — see
     :func:`foreach_batch_upsert`."""
     writer = (
         events.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(
-            foreach_batch_upsert(sink_path, keys, schema, partition_by=partition_by)
+            foreach_batch_upsert(
+                sink_path,
+                keys,
+                schema,
+                partition_by=partition_by,
+                version_col=version_col,
+            )
         )
     )
     if available_now:

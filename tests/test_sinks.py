@@ -158,3 +158,19 @@ def test_compact_reduces_files_atomically(spark, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_after <= 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_partition_predicate_guards_row_grain_keys(spark, monkeypatch):
+    """A mis-keyed partition_by (row-grain column) must fail fast instead of
+    collecting the whole key set to the driver (VERDICT r5 guard)."""
+    import pytest
+
+    from inspig_etl_spark.sources import sinks
+
+    monkeypatch.setattr(sinks, "MAX_COLLECTED_PARTITIONS", 10)
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    # coarse key: fine
+    assert sinks.partition_predicate(df, ["part"]) is not None
+    # row-grain key: refused
+    with pytest.raises(ValueError, match="row-grain"):
+        sinks.partition_predicate(df, ["id"])
