@@ -89,12 +89,19 @@ def run_single_farm(
     period = last_week_period(ins_date)
 
     wide, summary = build_weekly_report(spark, sf_dir, master_seq=master_seq)
-    wide_farm = wide.filter(F.col("farm_no") == farm_no)
-    summary_farm = summary.filter(F.col("farm_no") == farm_no)
+    # persist(): the existence probe below and the caller's collect/land of
+    # wide_rows + summary would otherwise each re-execute the farm-scoped
+    # report plan (2-3 full runs per on-demand request — ADVICE r5). Both
+    # frames are one farm's slice, so the cache is bounded; callers that
+    # keep the session hot can `.unpersist()` them after landing.
+    wide_farm = wide.filter(F.col("farm_no") == farm_no).persist()
+    summary_farm = summary.filter(F.col("farm_no") == farm_no).persist()
 
     # Existence gate (the reference 404s an unknown farm): a limit-1 probe
     # on the pushed-down farm predicate, not a full count.
     if not summary_farm.limit(1).count():
+        wide_farm.unpersist()
+        summary_farm.unpersist()
         return {
             "status": "error",
             "farm_no": farm_no,

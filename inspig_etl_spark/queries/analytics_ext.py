@@ -79,6 +79,34 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_value_percentiles_approx",
+    operators="A-ext scale path (percentile_approx: mergeable quantile sketch, map-side combinable — the 100 TB form of order_value_percentiles)",
+    oracle=None,  # approximate sketches are not bit-comparable across engines
+)
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path documented on :func:`order_value_percentiles`, as a
+    first-class query: ``percentile_approx`` builds a bounded-size quantile
+    sketch per map partition and MERGES sketches at the reducer — no
+    per-group sort, memory O(accuracy) instead of O(group size), exactly
+    what exact percentile cannot do at 100 TB group cardinalities.
+
+    Deliberately registered WITHOUT an oracle (rows-only driver check): the
+    sketch's answers are rank-error-bounded, not bit-reproducible across
+    engines. The unit-level guarantee (approx within the exact p50/p99
+    envelope at accuracy 10k) is pinned by ``test_properties``'s sibling
+    test instead.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.percentile_approx("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+@register(
     "hourly_gap_interpolation",
     operators="W-ext (time-series gap fill: per-series linear interpolation between nearest observations, IGNORE NULLS window anchors, bfill/ffill edges; operators/timeseries.py)",
     oracle=f"""

@@ -330,6 +330,20 @@ def parse_forecast_daily(raw: DataFrame, tmn_tmx_raw: DataFrame | None = None) -
     - TMN/TMX parse from the primary items and backfill from the 05:00
       re-fetch items where NULL (only 02:00/05:00 announcements carry them).
 
+    Two DELIBERATE deviations from the reference, both edge-case-only
+    (ADVICE r5; Spark and the DuckDB oracle agree with each other in both,
+    so the parity gate is unaffected — only raw reference behavior differs):
+
+    - a day whose items carry no SKY at all emits sky_cd NULL, where the
+      reference defaults it to '1' (``day.get('SKY_CD','1')``,
+      weather.py:940) — NULL states "no observation" more honestly than a
+      fabricated clear-sky code;
+    - the temp_avg zero-gate tests the exact DECIMAL sum against 0, while
+      the reference tests the truthiness of the IEEE float MEAN
+      (weather.py:957), which can be a tiny nonzero under roundoff (e.g.
+      0.1 + 0.2 - 0.3); the decimal gate is the bit-stable form of the same
+      intent and is what both engines compute.
+
     Scale: one pivot shuffle, then ONE aggregation on the (grid, base,
     date) key — the weather mode folds into the same pass as a bounded
     ``collect_list`` of (hour, code) pairs (a forecast day carries ≤ ~36

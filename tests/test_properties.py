@@ -117,3 +117,27 @@ class TestSkewKernelProperties:
             if v is not None:
                 want[k].add(v)
         assert got == {k: len(s) for k, s in want.items()}
+
+
+def test_percentile_approx_within_exact_envelope(spark):
+    """The sketch-backed scale path must bracket the exact percentiles it
+    approximates: every approx pXX lies within the group's [min, max] and
+    within a small rank-error band of the exact answer at accuracy 10k."""
+    from tests.conftest import SF_CORRECT
+    from inspig_etl_spark.queries.analytics_ext import (
+        order_value_percentiles,
+        order_value_percentiles_approx,
+    )
+
+    exact = {r.o_orderpriority: r for r in order_value_percentiles(spark, SF_CORRECT).collect()}
+    approx = {r.o_orderpriority: r for r in order_value_percentiles_approx(spark, SF_CORRECT).collect()}
+    assert set(exact) == set(approx) and len(exact) == 5
+    for prio, e in exact.items():
+        a = approx[prio]
+        spread = e.max_total - e.min_total
+        for col in ("p50", "p90", "p99"):
+            assert e.min_total <= getattr(a, col) <= e.max_total
+            # accuracy=10000 → rank error ≤ 1/10000; values are dense enough
+            # at sf0.01 that 1% of the value spread safely brackets it.
+            assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * spread, (
+                prio, col, getattr(a, col), getattr(e, col))
