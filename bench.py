@@ -66,6 +66,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "docs_decontaminate_eval_overlap",
     "orders_priority_rollup",
+    "order_value_percentiles",
     "hourly_gap_interpolation",
 ]
 
