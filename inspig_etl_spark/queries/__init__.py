@@ -65,14 +65,14 @@ def _load() -> None:
     samples the first 50 oracled registrations — so the window is rotated
     each round onto the queries with the stalest driver record via the
     explicit priority tiers below (import order alone no longer controls
-    it). Round 6, tier 0: the 3 analytics_ext queries that have NEVER been
-    driver-verified (added after the r5 window froze); tier 1: the r04-
-    verified cohort (48 queries, minus embeddings_cosine_neardup_pairs
-    which is deferred to r7 — its bucketed sibling was r5-verified and the
-    two share the cosine kernel — to fit the 50-slot budget); tier 2:
-    everything r05-verified. ``test_window_tier_lists_are_consistent``
-    enforces the ≤50 budget and that every never-driver-verified oracled
-    query sits inside the window.
+    it). Round 6, tier 0: the queries that have NEVER been driver-verified
+    (the 3 analytics_ext queries added after the r5 window froze, plus this
+    round's docs_repetition_filter); tier 1: the r04-verified cohort (48
+    queries minus two sibling-covered deferrals, see _STALE_R4_DEFERRED);
+    tier 2: everything r05-verified. ``test_window_tier_lists_are_consistent``
+    enforces the ≤50 budget and ``test_never_driver_verified_queries_sit_
+    inside_window`` that every never-driver-verified oracled query sits
+    inside the window.
     """
     global _LOADED
     if _LOADED:
@@ -115,20 +115,24 @@ _NEW_THIS_ROUND = frozenset(
         "orders_priority_rollup",
         "order_value_percentiles",
         "hourly_gap_interpolation",
+        "docs_repetition_filter",  # added in r6
     }
 )
 
 # Tier 1: the cohort last driver-verified in r04 (everything r05-verified is
-# fresher and waits in tier 2). 48 queries qualify but only 47 slots remain;
-# embeddings_cosine_neardup_pairs is deferred to r7 — its bucketed sibling
-# (embeddings_cosine_neardup_bucketed, same cosine kernel) was r5-verified.
-_STALE_R4_DEFERRED = frozenset({"embeddings_cosine_neardup_pairs"})
+# fresher and waits in tier 2). 48 queries qualify but only 46 slots remain;
+# two are deferred to r7, picked for strongest sibling coverage:
+# embeddings_cosine_neardup_pairs (its bucketed sibling — same cosine kernel —
+# was r5-verified) and embeddings_knn_bruteforce (the knn_bucketed + knn_ivf
+# siblings in this window exercise the same normalized-dot-product kernel).
+_STALE_R4_DEFERRED = frozenset(
+    {"embeddings_cosine_neardup_pairs", "embeddings_knn_bruteforce"}
+)
 _STALE_R4 = frozenset(
     {
         "multimodal_blob_meta",
         "ncst_pivot_decode",
         "mid_forecast_expand",
-        "embeddings_knn_bruteforce",
         "embeddings_knn_bucketed",
         "embeddings_knn_ivf",
         "nearest_station_haversine",

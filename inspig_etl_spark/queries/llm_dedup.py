@@ -259,6 +259,10 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspig_etl_spark.operators.dedup import connected_components
 
     pairs = docs_minhash_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # Node universe from a fresh single-column documents scan: reading
+    # doc_id through parquet column pruning measured FASTER than routing it
+    # through the cached shingle frame (whose in-memory batches carry the
+    # wide shingle arrays).
     docs = table(spark, sf_dir, "documents")
     cc = connected_components(pairs, docs, "doc_id")
     return cc.withColumn(

@@ -259,3 +259,99 @@ def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pieces_per_token_e4"),
     )
+
+
+@register(
+    "docs_repetition_filter",
+    operators="LLM-quality-repetition (Gopher-style repetition rules: top-token fraction + duplicate-bigram fraction -> keep/drop flag; brief: quality family)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         COALESCE(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d)))), 0) AS top_token_cnt,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM t
+),
+f AS (
+  SELECT doc_id, n_tokens, top_token_cnt,
+         CASE WHEN n_tokens > 0
+              THEN CAST(FLOOR(top_token_cnt * 10000 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS top_token_frac_e4,
+         len(bigrams) - len(list_distinct(bigrams)) AS dup_bigram_cnt,
+         CASE WHEN len(bigrams) > 0
+              THEN CAST(FLOOR((len(bigrams) - len(list_distinct(bigrams))) * 10000
+                              / CAST(len(bigrams) AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS dup_bigram_frac_e4
+  FROM m
+)
+SELECT doc_id, n_tokens, top_token_cnt, top_token_frac_e4,
+       dup_bigram_cnt, dup_bigram_frac_e4,
+       CAST(top_token_frac_e4 > 2000 OR dup_bigram_frac_e4 > 4000 AS INT) AS is_repetitive
+FROM f
+""",
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules [Rae et al. 2021, table A1]:
+    docs dominated by one token (top-token fraction > 0.20) or by repeated
+    word pairs (duplicate-bigram fraction > 0.40) are flagged for removal —
+    the standard guard against boilerplate/spam in LLM training corpora.
+
+    Fractions are fixed-point 1e-4 BIGINTs (FLOOR over one double division,
+    the docs_token_stats convention) so both engines agree bit-exactly.
+    Expression-only per-row work over the token array — no shuffle, no UDF;
+    the O(distinct x n) token-count fold is bounded by document length, the
+    same envelope as the shingling kernels.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
+    n = F.size(toks).cast("bigint")
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    bigrams = F.when(
+        n >= 2,
+        F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"),
+    ).otherwise(F.expr("array()"))
+    m = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top_cnt.alias("top_token_cnt"),
+        bigrams.alias("bigrams"),
+    )
+    nb = F.size("bigrams").cast("bigint")
+    dup = (nb - F.size(F.array_distinct("bigrams"))).cast("bigint")
+    f = m.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_cnt",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.col("top_token_cnt") * 10000 / F.col("n_tokens").cast("double")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top_token_frac_e4"),
+        dup.alias("dup_bigram_cnt"),
+        F.when(nb > 0, F.floor(dup * 10000 / nb.cast("double")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_bigram_frac_e4"),
+    )
+    return f.withColumn(
+        "is_repetitive",
+        ((F.col("top_token_frac_e4") > 2000) | (F.col("dup_bigram_frac_e4") > 4000)).cast("int"),
+    )
