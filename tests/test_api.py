@@ -1,0 +1,90 @@
+"""HTTP on-demand endpoint tests (SURVEY.md §3.3 — reference server.py)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture
+def api(spark, tmp_path):
+    from inspig_etl_spark.api import make_server, serve_forever_in_thread
+
+    server = make_server(spark, SF_SMOKE, str(tmp_path / "out"))
+    serve_forever_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(api):
+    code, body = _get(f"{api}/health")
+    assert code == 200 and body["status"] == "ok" and body["version"]
+
+
+def test_run_farm_then_status_roundtrip(api):
+    # No reports yet.
+    code, st = _get(f"{api}/api/etl/status/3")
+    assert code == 200 and st["exists"] is False
+
+    code, body = _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "insDate": "20240125"})
+    assert code == 200, body
+    assert body["status"] == "success"
+    assert body["masterSeq"] == 202403
+    assert body["year"] == 2024 and body["weekNo"] == 3
+    assert body["dtFrom"] == "20240115" and body["dtTo"] == "20240121"
+    assert len(body["shareToken"]) == 64
+
+    code, st = _get(f"{api}/api/etl/status/3")
+    assert code == 200 and st["exists"] is True
+    assert st["shareToken"] == body["shareToken"]
+    assert st["year"] == 2024 and st["weekNo"] == 3 and st["statusCd"] == "COMPLETE"
+
+    # Other farms remain report-less.
+    _, st9 = _get(f"{api}/api/etl/status/9")
+    assert st9["exists"] is False
+
+
+def test_validation_and_error_contracts(api):
+    code, body = _post(f"{api}/api/etl/run-farm", {"farmNo": 0})
+    assert code == 400 and "farmNo" in body["error"]
+    code, body = _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "dayGb": "DECADE"})
+    assert code == 400
+    code, body = _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "insDate": "2024-01-25"})
+    assert code == 400 and "insDate" in body["error"]
+    # Engine-level errors mirror the reference: HTTP 200 + status='error'.
+    code, body = _post(
+        f"{api}/api/etl/run-farm", {"farmNo": 3, "dayGb": "MONTH", "insDate": "20240125"}
+    )
+    assert code == 200 and body["status"] == "error" and "MONTH" in body["error"]
+    code, body = _post(
+        f"{api}/api/etl/run-farm", {"farmNo": 9999, "insDate": "20240125"}
+    )
+    assert code == 200 and body["status"] == "error" and "9999" in body["error"]
+    # Unknown routes 404.
+    code, _ = _get(f"{api}/api/etl/nothing")
+    assert code == 404
