@@ -68,6 +68,8 @@ HEADLINE = [
     "orders_priority_rollup",
     "order_value_percentiles",
     "hourly_gap_interpolation",
+    # round-6 addition: Gopher-style repetition quality rules
+    "docs_repetition_filter",
 ]
 
 
