@@ -68,8 +68,13 @@ HEADLINE = [
     "orders_priority_rollup",
     "order_value_percentiles",
     "hourly_gap_interpolation",
-    # round-6 addition: Gopher-style repetition quality rules
+    # round-6 additions: Gopher-style repetition quality rules, pushdown /
+    # promo-share TPC-H shapes, PII redaction, C4-style chunk dedup
     "docs_repetition_filter",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "docs_pii_redaction",
+    "docs_chunk_dedup",
 ]
 
 

@@ -66,10 +66,11 @@ def _load() -> None:
     each round onto the queries with the stalest driver record via the
     explicit priority tiers below (import order alone no longer controls
     it). Round 6, tier 0: the queries that have NEVER been driver-verified
-    (the 3 analytics_ext queries added after the r5 window froze, plus this
-    round's docs_repetition_filter); tier 1: the r04-verified cohort (48
-    queries minus two sibling-covered deferrals, see _STALE_R4_DEFERRED);
-    tier 2: everything r05-verified. ``test_window_tier_lists_are_consistent``
+    (the 3 analytics_ext queries added after the r5 window froze, plus the
+    5 added in r6: docs_repetition_filter, tpch_q6/q14, docs_pii_redaction,
+    docs_chunk_dedup); tier 1: the r04-verified cohort (48 queries minus six
+    sibling-covered deferrals, see _STALE_R4_DEFERRED); tier 2: everything
+    r05-verified. ``test_window_tier_lists_are_consistent``
     enforces the ≤50 budget and ``test_never_driver_verified_queries_sit_
     inside_window`` that every never-driver-verified oracled query sits
     inside the window.
@@ -116,17 +117,37 @@ _NEW_THIS_ROUND = frozenset(
         "order_value_percentiles",
         "hourly_gap_interpolation",
         "docs_repetition_filter",  # added in r6
+        "tpch_q6_forecast_revenue",  # added in r6
+        "tpch_q14_promo_revenue",  # added in r6
+        "docs_pii_redaction",  # added in r6
+        "docs_chunk_dedup",  # added in r6
     }
 )
 
 # Tier 1: the cohort last driver-verified in r04 (everything r05-verified is
-# fresher and waits in tier 2). 48 queries qualify but only 46 slots remain;
-# two are deferred to r7, picked for strongest sibling coverage:
-# embeddings_cosine_neardup_pairs (its bucketed sibling — same cosine kernel —
-# was r5-verified) and embeddings_knn_bruteforce (the knn_bucketed + knn_ivf
-# siblings in this window exercise the same normalized-dot-product kernel).
+# fresher and waits in tier 2). 48 queries qualify but only 42 slots remain
+# after tier 0 took 8; six are deferred to r7, each picked for strongest
+# sibling coverage inside this window:
+# - embeddings_cosine_neardup_pairs (bucketed sibling — same cosine kernel —
+#   was r5-verified) and embeddings_knn_bruteforce (knn_bucketed + knn_ivf
+#   siblings in-window exercise the same normalized-dot-product kernel);
+# - merge_insert_if_absent (merge_upsert_partial + merge_delete_then_insert
+#   in-window cover the same MERGE sink kernel);
+# - docs_mix_weighted_epochs (stratified_hash_sample + reservoir_per_source
+#   in-window cover the same hash-gated sampling kernel);
+# - schedule_farm_default (schedule_expansion + schedule_seq_filter_modes
+#   in-window cover the same UDTF expansion kernel);
+# - string_date_roundtrip (locale_view_date + safe_numeric_parse in-window
+#   cover the scalar date/parse family).
 _STALE_R4_DEFERRED = frozenset(
-    {"embeddings_cosine_neardup_pairs", "embeddings_knn_bruteforce"}
+    {
+        "embeddings_cosine_neardup_pairs",
+        "embeddings_knn_bruteforce",
+        "merge_insert_if_absent",
+        "docs_mix_weighted_epochs",
+        "schedule_farm_default",
+        "string_date_roundtrip",
+    }
 )
 _STALE_R4 = frozenset(
     {
@@ -140,14 +161,12 @@ _STALE_R4 = frozenset(
         "pivot_crosstab_zero_fill",
         "chunked_wide_rows",
         "sentinel_alive_culled",
-        "string_date_roundtrip",
         "prefix_code_decode",
         "safe_numeric_parse",
         "locale_view_date",
         "report_week_rollup",
         "user_sessions_gap30",
         "merge_upsert_partial",
-        "merge_insert_if_absent",
         "merge_delete_then_insert",
         "surrogate_keys_dim",
         "cascade_delete_gate",
@@ -159,13 +178,11 @@ _STALE_R4 = frozenset(
         "weekly_report_sections",
         "weekly_report_summary",
         "schedule_seq_filter_modes",
-        "schedule_farm_default",
         "weather_pipeline_day",
         "weather_code_decode",
         "productivity_pivot_save",
         "docs_stratified_hash_sample",
         "docs_reservoir_per_source",
-        "docs_mix_weighted_epochs",
         "docs_exact_dedup",
         "docs_fingerprint",
         "docs_token_stats",

@@ -326,3 +326,72 @@ def docs_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
             (shared >= CONTAM_MIN_SHARED).alias("is_contaminated"),
         )
     )
+
+
+@register(
+    "docs_chunk_dedup",
+    operators=(
+        "LLM-dedup-chunk (C4-style sub-document exact dedup: explode fixed "
+        "3-token chunks, keep the globally-first occurrence of each chunk "
+        "(min doc_id, chunk_idx), report per-doc kept/removed counts)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(len(toks) // 3 AS BIGINT))) AS chunk_idx
+  FROM t
+),
+c AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[chunk_idx * 3 + 1 : chunk_idx * 3 + 3], ' ') AS chunk
+  FROM e
+),
+w AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept_chunks,
+       COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_removed_chunks
+FROM w
+GROUP BY doc_id
+""",
+)
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup, the C4/RefinedWeb line-level pass.
+
+    Real corpora dedup on lines/paragraphs; the synthetic corpus has no
+    newlines, so the deterministic analog is fixed-size 3-token chunks —
+    the kernel (explode → global first-occurrence window on the chunk key →
+    per-doc re-aggregate) is identical either way.
+
+    Scale shape: one shuffle on the chunk key (uniformly distributed —
+    hash-like text keys, no skew), window state bounded by the largest
+    duplicate group, then one shuffle back on doc_id for the re-aggregate.
+    At 100 TB the chunk column would be replaced by ``xxhash64(chunk)`` to
+    shrink shuffle width; kept as text here so the oracle is exact.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_chunks = F.floor(F.size("toks") / 3).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idxs, lambda i: F.array_join(F.slice(F.col("toks"), i * 3 + 1, 3), " ")
+    )
+    e = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    r = e.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept_chunks"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_removed_chunks"),
+    )

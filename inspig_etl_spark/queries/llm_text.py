@@ -355,3 +355,141 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_repetitive",
         ((F.col("top_token_frac_e4") > 2000) | (F.col("dup_bigram_frac_e4") > 4000)).cast("int"),
     )
+
+
+# --- PII detection / redaction -------------------------------------------
+#
+# The synthetic corpus contains no PII (word-salad text: no '@', no digits),
+# so the query first injects deterministic synthetic PII derived from doc_id
+# with IDENTICAL expressions on both engines — the point under test is the
+# detection/redaction kernel (regex count + global replace), not the corpus.
+# At 100 TB the same three patterns run unchanged on real text: they are
+# expression-only (JVM codegen'd regexp_extract_all / regexp_replace, no
+# Python UDF) and embarrassingly parallel (no shuffle at all).
+#
+# Patterns are kept to the Java-regex / RE2 COMMON SUBSET (character
+# classes, bounded repeats, non-capturing groups, \b word boundaries) so
+# Spark (java.util.regex) and the DuckDB oracle (RE2) agree byte-for-byte.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b01[0-9]-[0-9]{3,4}-[0-9]{4}\b"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+_SQL_PII_AUG = """
+  text
+  || CASE WHEN doc_id % 3 <> 0
+          THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail-example.org'
+          ELSE '' END
+  || CASE WHEN doc_id % 2 = 0
+          THEN ' call 010-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+          ELSE '' END
+"""
+
+
+@register(
+    "docs_pii_redaction",
+    operators=(
+        "LLM-hygiene (PII detect + redact: email/phone/IPv4 regex count and "
+        "global replace; training-data scrubbing family next to the quality "
+        "filters; expression-only, shuffle-free)"
+    ),
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, ({_SQL_PII_AUG}) AS aug FROM documents
+),
+c AS (
+  SELECT doc_id, aug,
+         len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS email_cnt,
+         len(regexp_extract_all(aug, '{_PII_PHONE}')) AS phone_cnt,
+         len(regexp_extract_all(aug, '{_PII_IP}')) AS ip_cnt,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS redacted
+  FROM a
+)
+SELECT doc_id, email_cnt, phone_cnt, ip_cnt,
+       email_cnt + phone_cnt + ip_cnt AS pii_cnt,
+       len(aug) AS aug_len,
+       len(redacted) AS redacted_len,
+       CAST(email_cnt + phone_cnt + ip_cnt = 0 AS INT) AS is_clean
+FROM c
+""",
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub kernel: count + redact emails / KR-mobile phones / IPv4s.
+
+    The reference has no PII pass (its data is barn telemetry); this is the
+    brief-mandated training-data-pipeline extension. Deterministic synthetic
+    PII is injected from ``doc_id`` (see ``_SQL_PII_AUG``) because the test
+    corpus has none; detection and redaction then run on the augmented text
+    exactly as they would on real documents at scale.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+
+    def _num(col: F.Column) -> F.Column:
+        return col.cast("string")
+
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" reach user"), _num(did), F.lit("@mail-example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" call 010-"),
+                F.lpad(_num((did * 7) % 10000), 4, "0"),
+                F.lit("-"),
+                F.lpad(_num((did * 13) % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                _num(did % 256),
+                F.lit(".0."),
+                _num((did * 3) % 256),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    a = docs.select("doc_id", aug.alias("aug"))
+    email_cnt = F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PII_EMAIL), 0))
+    phone_cnt = F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PII_PHONE), 0))
+    ip_cnt = F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PII_IP), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    c = a.select(
+        "doc_id",
+        email_cnt.cast("bigint").alias("email_cnt"),
+        phone_cnt.cast("bigint").alias("phone_cnt"),
+        ip_cnt.cast("bigint").alias("ip_cnt"),
+        F.length("aug").cast("bigint").alias("aug_len"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+    pii = F.col("email_cnt") + F.col("phone_cnt") + F.col("ip_cnt")
+    return c.select(
+        "doc_id",
+        "email_cnt",
+        "phone_cnt",
+        "ip_cnt",
+        pii.alias("pii_cnt"),
+        "aug_len",
+        "redacted_len",
+        (pii == 0).cast("int").alias("is_clean"),
+    )

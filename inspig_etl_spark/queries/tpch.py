@@ -175,3 +175,81 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
         .limit(10)
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    operators="S1,F1,A1 (pure pushdown showcase: 3-predicate scan + single agg; ref src/weekly/processors/base.py:319-374 period filters)",
+    oracle=f"""
+SELECT {sql_dec_sum('l_extendedprice * l_discount', 4)} AS revenue,
+       COUNT(*) AS line_cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate is scan-pushable (shipdate range,
+    discount band, quantity bound) so the physical plan is a parquet scan
+    with PushedFilters + a single partial-then-final agg — zero shuffles of
+    row data, one exchange of a single partial-agg row. The plan to want at
+    100 TB: row-group statistics skip most of the table before decode."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("line_cnt"),
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    operators="J3,A5 (fact-dim join + conditional agg ratio; ref base.py:374-420 share-of-total sections)",
+    oracle=f"""
+SELECT {sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+         AS promo_revenue,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue,
+       CAST(FLOOR(
+         {sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+         * 1000000
+         / {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)}
+       ) AS BIGINT) AS promo_share_e6
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one-month lineitem slice joined to ``part`` for the
+    promo flag, then a conditional-aggregate share-of-total. The share is
+    reported in exact integer parts-per-million (FLOOR of an IEEE division
+    of two order-independent decimal sums) so both engines emit the same
+    bits — same convention as the llm_text quality scores. ``part`` scales
+    with SF, so no forced broadcast: AQE broadcasts while it fits and falls
+    back to a shuffle join on partkey; the month filter is pushed to the
+    lineitem scan so the join input is already pruned."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))
+    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
+        dec_sum(promo, 6).alias("promo_revenue"),
+        dec_sum(disc_price, 6).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.floor(F.col("promo_revenue") * 1000000 / F.col("total_revenue"))
+        .cast("bigint")
+        .alias("promo_share_e6"),
+    )
