@@ -229,13 +229,44 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    first = labels.agg(F.sum("label"), F.count(F.lit(1))).first()
+    prev_sum, n_nodes = first[0], first[1]
 
     spark = pairs.sparkSession
+    if n_nodes == 0:
+        # No edges at all: every node is its own cluster; skip the loop
+        # (and its conf juggling) entirely.
+        edges.unpersist()
+        labels.unpersist()
+        return nodes.select(
+            F.col(id_col), F.col(id_col).alias("cluster_id")
+        )
+
+    # Size the loop's shuffles to the DUP-GRAPH state, not the session
+    # default: the session's shuffle.partitions is provisioned for
+    # corpus-sized scans, while per-round loop state is orders of magnitude
+    # smaller (the near-dup node set). With AQE off (below), nothing else
+    # right-sizes these exchanges, and a tiny graph shuffled across hundreds
+    # of partitions pays pure task-scheduling overhead each round — measured
+    # ~0.9 s/round at sf0.1 on local[32] for a 469-node graph. ~500k label
+    # rows (≈16 B each) per partition keeps partitions well under executor
+    # memory at any scale; clamped to the session default so a 100 TB dup
+    # graph never gets FEWER partitions than the cluster is sized for.
     aqe_key = "spark.sql.adaptive.enabled"
+    shuf_key = "spark.sql.shuffle.partitions"
     aqe_was = spark.conf.get(aqe_key, "true")
+    shuf_was = int(spark.conf.get(shuf_key, "200"))
+    loop_partitions = max(1, min(shuf_was, (n_nodes + 499_999) // 500_000))
     spark.conf.set(aqe_key, "false")
+    spark.conf.set(shuf_key, str(loop_partitions))
     try:
+        # Co-partition the (cached, tiny) edge list on the join key once so
+        # every round's join reuses the layout instead of re-exchanging the
+        # edges; labels come pre-partitioned on id by each round's groupBy.
+        part_edges = edges.repartition(loop_partitions, "src").persist()
+        part_edges.count()
+        edges.unpersist()
+        edges = part_edges
         for _ in range(max_iters):
             contrib = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), "label"
@@ -254,6 +285,7 @@ def connected_components(
             prev_sum = new_sum
     finally:
         spark.conf.set(aqe_key, aqe_was)
+        spark.conf.set(shuf_key, str(shuf_was))
 
     # The final labels are materialized (the convergence action ran on
     # them); the edge cache has served its purpose.

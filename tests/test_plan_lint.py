@@ -15,6 +15,15 @@ SF_DIR = "/root/testdata/sf0.01"
 
 # query name -> {finding code -> justification}
 ALLOWED: dict[str, dict[str, str]] = {
+    "docs_neardup_clusters": {
+        "single-partition": "the label-propagation loop repartitions its edge "
+        "cache to partitions sized from the MEASURED dup-graph node count "
+        "(operators/dedup.py connected_components: ~500k label rows per "
+        "partition, clamped to the session default) — at sf0.1 that is 1 "
+        "partition for a 469-node graph, which plans as SinglePartition; at "
+        "scale the same rule yields many partitions, so this is adaptive "
+        "state-sizing, not a static bottleneck",
+    },
     "weekly_delta_wow": {
         "global-window": "input is the per-ISO-week aggregate (<=105 rows for the "
         "2-year scan window) — bounded BEFORE the window, documented invariant",
