@@ -374,3 +374,90 @@ def test_token_len_sum_null_and_empty_text_parity(spark):
         ).fetchall()
     }
     assert got == want == {1: 10, 2: 0, 3: 0, 4: 0}
+
+
+# --- round-6 kernels: PII redaction, chunk dedup -------------------------
+#
+# The parity tests prove Spark and DuckDB agree on the registry queries;
+# these golden tests pin the KERNEL INTENT on hand-written real-shaped
+# inputs (actual emails/phones/IPs, actual duplicate chunks), so a driver
+# testdata regeneration can never silently hollow the queries out.
+
+
+def test_pii_patterns_on_real_shaped_text(spark):
+    from inspig_etl_spark.queries.llm_text import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    rows = [
+        (1, "mail a.b-c_d@sub.example.co.kr now", 1, 0, 0),
+        (2, "call 010-1234-5678 or 011-123-4567", 0, 2, 0),
+        (3, "from 192.168.0.1 to 10.0.255.254", 0, 0, 2),
+        (4, "plain text, no pii at all", 0, 0, 0),
+        (5, "x@y.io 019-9999-0000 8.8.8.8", 1, 1, 1),
+        # non-matches: bare @, short TLD, 2-digit phone block, 3-part IP
+        (6, "a@b a@b.c 012-12-1234 1.2.3", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in rows], "doc_id INT, aug STRING"
+    )
+    got = {
+        r["doc_id"]: (r["e"], r["p"], r["i"])
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), 0)).alias("e"),
+            F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), 0)).alias("p"),
+            F.size(F.regexp_extract_all("aug", F.lit(_PII_IP), 0)).alias("i"),
+        ).collect()
+    }
+    for doc_id, _, e, p, i in rows:
+        assert got[doc_id] == (e, p, i), f"doc {doc_id}: {got[doc_id]} != {(e, p, i)}"
+
+
+def test_pii_redaction_replaces_every_occurrence(spark):
+    from inspig_etl_spark.queries.llm_text import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co then c@d.org then 010-1111-2222 at 1.2.3.4")], "id INT, t STRING"
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    out = df.select(red.alias("r")).first()["r"]
+    assert out == "<EMAIL> then <EMAIL> then <PHONE> at <IP>"
+
+
+def test_chunk_dedup_keeps_globally_first_occurrence(spark, tmp_path):
+    # doc 1: chunks [a b c] [d e f]; doc 2 repeats [a b c] then a fresh one;
+    # doc 3 repeats BOTH of its own chunks from docs 1+2; doc 4 too short
+    # for any chunk (dropped from output like the registry query drops it).
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),
+        (3, "d e f x y z"),
+        (4, "a b"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["unit"] * len(docs),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from inspig_etl_spark.queries.llm_dedup import docs_chunk_dedup
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept_chunks"], r["n_removed_chunks"])
+        for r in docs_chunk_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 2, 0), 2: (2, 1, 1), 3: (2, 0, 2)}
