@@ -1,0 +1,62 @@
+"""Measure headline-query scaling between two sf dirs (default sf0.1 vs the
+/tmp/sf1 replica built by tools/make_scaled_testdata.py).
+
+Usage: python tools/scale_probe.py [small_dir] [big_dir]
+Prints per-query min-warm wall times and the big/small ratio; anything
+scaling much faster than its input-growth factor is a red flag (quadratic
+candidate generation, driver-side loops, unsized shuffles).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SMALL = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+BIG = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+
+NAMES = [
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue", "top_customers_by_spend",
+    "latest_event_per_user", "purchase_asof_last_view", "user_sessions_gap30",
+    "salted_brand_volume", "order_value_percentiles", "hourly_gap_interpolation",
+    "docs_token_stats", "docs_chunk_dedup", "docs_minhash_neardup_pairs",
+    "docs_neardup_clusters",
+]
+
+
+def main() -> None:
+    from inspig_etl_spark import queries as reg
+    from inspig_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qmap = reg.queries()
+
+    def run(sf_dir: str, name: str) -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(min(times[1:]), 3)  # first pass warms; min of the rest
+
+    out = {}
+    for n in NAMES:
+        if n not in qmap:
+            continue
+        a, b = run(SMALL, n), run(BIG, n)
+        out[n] = {"small_s": a, "big_s": b, "ratio": round(b / a, 2)}
+        print(f"{n:36s} {a:7.3f} -> {b:7.3f}  ratio {b / a:5.2f}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
