@@ -141,3 +141,57 @@ def test_percentile_approx_within_exact_envelope(spark):
             # at sf0.01 that 1% of the value spread safely brackets it.
             assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * spread, (
                 prio, col, getattr(a, col), getattr(e, col))
+
+
+def test_chunk_dedup_conservation_invariants(spark):
+    """Per doc kept+removed == chunks; global kept == distinct chunk count;
+    total chunks == sum of floor(tokens/3) over docs — the C4-style pass
+    must never lose or invent a chunk whatever the corpus."""
+    from tests.conftest import SF_CORRECT
+    from inspig_etl_spark.functions.text import tokens
+    from inspig_etl_spark.queries.llm_dedup import docs_chunk_dedup
+    from inspig_etl_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    out = docs_chunk_dedup(spark, SF_CORRECT).collect()
+    assert all(r.n_kept_chunks + r.n_removed_chunks == r.n_chunks for r in out)
+
+    docs = table(spark, SF_CORRECT, "documents")
+    per_doc = docs.select(
+        F.floor(F.size(tokens(F.col("text"))) / 3).cast("bigint").alias("nc")
+    )
+    expected_total = per_doc.agg(F.sum("nc")).first()[0]
+    assert sum(r.n_chunks for r in out) == expected_total
+
+    idxs = F.sequence(F.lit(0), (F.floor(F.size("toks") / 3) - 1).cast("int"))
+    chunks = F.transform(
+        idxs, lambda i: F.array_join(F.slice(F.col("toks"), i * 3 + 1, 3), " ")
+    )
+    distinct_chunks = (
+        docs.select(tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(F.explode(chunks).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_kept_chunks for r in out) == distinct_chunks
+
+
+def test_pii_redaction_accounting(spark):
+    """Redaction accounting must close: a doc is clean iff zero detections,
+    every doc with injected PII is detected (doc_id-derived injection rules),
+    and redacted text never shrinks below aug minus the matched spans."""
+    from tests.conftest import SF_CORRECT
+    from inspig_etl_spark.queries.llm_text import docs_pii_redaction
+
+    rows = docs_pii_redaction(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.pii_cnt == r.email_cnt + r.phone_cnt + r.ip_cnt
+        assert (r.is_clean == 1) == (r.pii_cnt == 0)
+        # injection rules: email unless doc_id%3==0, phone when %2==0, ip when %5==0
+        assert r.email_cnt >= (0 if r.doc_id % 3 == 0 else 1)
+        assert r.phone_cnt >= (1 if r.doc_id % 2 == 0 else 0)
+        assert r.ip_cnt >= (1 if r.doc_id % 5 == 0 else 0)
+        if r.pii_cnt > 0:
+            assert r.redacted_len != r.aug_len
