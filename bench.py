@@ -75,6 +75,7 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "docs_pii_redaction",
     "docs_chunk_dedup",
+    "docs_sequence_packing",
 ]
 
 

@@ -67,9 +67,10 @@ def _load() -> None:
     explicit priority tiers below (import order alone no longer controls
     it). Round 6, tier 0: the queries that have NEVER been driver-verified
     (the 3 analytics_ext queries added after the r5 window froze, plus the
-    5 added in r6: docs_repetition_filter, tpch_q6/q14, docs_pii_redaction,
-    docs_chunk_dedup); tier 1: the r04-verified cohort (48 queries minus six
-    sibling-covered deferrals, see _STALE_R4_DEFERRED); tier 2: everything
+    6 added in r6: docs_repetition_filter, tpch_q6/q14, docs_pii_redaction,
+    docs_chunk_dedup, docs_sequence_packing); tier 1: the r04-verified cohort
+    (48 queries minus seven sibling-covered deferrals, see
+    _STALE_R4_DEFERRED); tier 2: everything
     r05-verified. ``test_window_tier_lists_are_consistent``
     enforces the ≤50 budget and ``test_never_driver_verified_queries_sit_
     inside_window`` that every never-driver-verified oracled query sits
@@ -121,12 +122,13 @@ _NEW_THIS_ROUND = frozenset(
         "tpch_q14_promo_revenue",  # added in r6
         "docs_pii_redaction",  # added in r6
         "docs_chunk_dedup",  # added in r6
+        "docs_sequence_packing",  # added in r6
     }
 )
 
 # Tier 1: the cohort last driver-verified in r04 (everything r05-verified is
-# fresher and waits in tier 2). 48 queries qualify but only 42 slots remain
-# after tier 0 took 8; six are deferred to r7, each picked for strongest
+# fresher and waits in tier 2). 48 queries qualify but only 41 slots remain
+# after tier 0 took 9; seven are deferred to r7, each picked for strongest
 # sibling coverage inside this window:
 # - embeddings_cosine_neardup_pairs (bucketed sibling — same cosine kernel —
 #   was r5-verified) and embeddings_knn_bruteforce (knn_bucketed + knn_ivf
@@ -138,7 +140,9 @@ _NEW_THIS_ROUND = frozenset(
 # - schedule_farm_default (schedule_expansion + schedule_seq_filter_modes
 #   in-window cover the same UDTF expansion kernel);
 # - string_date_roundtrip (locale_view_date + safe_numeric_parse in-window
-#   cover the scalar date/parse family).
+#   cover the scalar date/parse family);
+# - docs_fingerprint (docs_exact_dedup in-window exercises the same
+#   md5-hash canonicalize/groupBy kernel).
 _STALE_R4_DEFERRED = frozenset(
     {
         "embeddings_cosine_neardup_pairs",
@@ -147,6 +151,7 @@ _STALE_R4_DEFERRED = frozenset(
         "docs_mix_weighted_epochs",
         "schedule_farm_default",
         "string_date_roundtrip",
+        "docs_fingerprint",
     }
 )
 _STALE_R4 = frozenset(
@@ -184,7 +189,6 @@ _STALE_R4 = frozenset(
         "docs_stratified_hash_sample",
         "docs_reservoir_per_source",
         "docs_exact_dedup",
-        "docs_fingerprint",
         "docs_token_stats",
         "docs_quality_by_source",
         "docs_lang_id",

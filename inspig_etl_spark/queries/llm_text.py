@@ -493,3 +493,89 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "redacted_len",
         (pii == 0).cast("int").alias("is_clean"),
     )
+
+
+# --- Sequence packing ----------------------------------------------------
+
+PACK_CAPACITY = 128  # tokens per packed training sequence
+
+
+@register(
+    "docs_sequence_packing",
+    operators=(
+        "LLM-packing (greedy fixed-capacity sequence packing: docs in "
+        "doc_id order per source shard fold into 128-token bins — the "
+        "pretraining batch-construction step; stateful recurrence via "
+        "Arrow-batched applyInPandas, oracle via recursive CTE)"
+    ),
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n FROM documents
+),
+o AS (
+  SELECT doc_id, source, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM t
+),
+rec AS (
+  SELECT source, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_no, n AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n,
+         CASE WHEN r.fill + o.n <= {{C}} THEN r.bin_no ELSE r.bin_no + 1 END,
+         CASE WHEN r.fill + o.n <= {{C}} THEN r.fill + o.n ELSE o.n END
+  FROM rec r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+)
+SELECT doc_id, source, n AS n_tokens, bin_no, fill AS bin_fill FROM rec
+""".replace("{C}", str(PACK_CAPACITY)),
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-capacity sequence packing (pretraining batch prep).
+
+    Documents are folded, in deterministic ``doc_id`` order within each
+    ``source`` shard, into 128-token bins: a doc joins the current bin if
+    it fits, else opens the next (an oversized doc gets a bin to itself).
+    The recurrence (bin fill depends on every prior placement) is not
+    expressible with plain windows — ``floor(cumsum/C)`` would SPLIT docs
+    across bins — so each shard runs one linear pass inside an
+    Arrow-batched ``applyInPandas``. The oracle computes the identical
+    fold with a recursive CTE.
+
+    Scale shape: one shuffle on the shard key, then embarrassingly
+    parallel per-shard passes whose state is two integers; real pipelines
+    pack per shard exactly like this (global greedy order is not a goal —
+    determinism within a shard is). The packing input is pre-projected to
+    three narrow columns so the Arrow transfer never carries text.
+    """
+    import pandas as pd
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_nos = []
+        fills = []
+        bin_no = 0
+        fill = -1  # sentinel: first doc always seeds bin 0
+        for n in pdf["n_tokens"]:
+            if fill >= 0 and fill + n <= PACK_CAPACITY:
+                fill += n
+            elif fill < 0:
+                fill = n
+            else:
+                bin_no += 1
+                fill = n
+            bin_nos.append(bin_no)
+            fills.append(fill)
+        pdf["bin_no"] = bin_nos
+        pdf["bin_fill"] = fills
+        return pdf[["doc_id", "source", "n_tokens", "bin_no", "bin_fill"]]
+
+    return sized.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, n_tokens long, bin_no long, bin_fill long"
+    )

@@ -461,3 +461,50 @@ def test_chunk_dedup_keeps_globally_first_occurrence(spark, tmp_path):
         for r in docs_chunk_dedup(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 2, 0), 2: (2, 1, 1), 3: (2, 0, 2)}
+
+
+def test_sequence_packing_greedy_semantics(spark, tmp_path):
+    # capacity 128: doc1 (100) seeds bin 0; doc2 (30) overflows -> bin 1;
+    # doc3 (200, oversized) -> bin 2 alone; doc4 (1) fits nothing prior ->
+    # joins bin 2? NO — greedy never back-fills: 200+1 > 128 -> bin 3.
+    # Other source packs independently from bin 0.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = [
+        (1, words(100), "a"),
+        (2, words(30), "a"),
+        (3, words(200), "a"),
+        (4, words(1), "a"),
+        (5, words(128), "b"),
+        (6, words(128), "b"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, *_ in docs], pa.int64()),
+                "text": [t for _, t, _ in docs],
+                "lang": ["en"] * len(docs),
+                "source": [s for *_, s in docs],
+                "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from inspig_etl_spark.queries.llm_text import docs_sequence_packing
+
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.bin_no, r.bin_fill)
+        for r in docs_sequence_packing(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: ("a", 100, 0, 100),
+        2: ("a", 30, 1, 30),
+        3: ("a", 200, 2, 200),
+        4: ("a", 1, 3, 1),
+        5: ("b", 128, 0, 128),
+        6: ("b", 128, 1, 128),
+    }
