@@ -195,3 +195,94 @@ def test_pii_redaction_accounting(spark):
         assert r.ip_cnt >= (1 if r.doc_id % 5 == 0 else 0)
         if r.pii_cnt > 0:
             assert r.redacted_len != r.aug_len
+
+
+class TestStatefulTextKernels:
+    """Randomized differentials: the distributed stateful kernels must match
+    pure-Python models on arbitrary tiny corpora (narrow alphabet so chunk
+    collisions and bin overflows are common)."""
+
+    DOCS = st.lists(
+        st.tuples(
+            st.integers(0, 50),  # doc_id domain (dedup below)
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=10),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        max_size=8,
+    )
+
+    @staticmethod
+    def _write_docs(tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        seen = {}
+        for did, toks, src in rows:
+            seen[did] = (" ".join(toks), src)  # unique doc_id, last wins
+        docs = sorted((d, t, s) for d, (t, s) in seen.items())
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, *_ in docs], pa.int64()),
+                    "text": [t for _, t, _ in docs],
+                    "lang": ["en"] * len(docs),
+                    "source": [s for *_, s in docs],
+                    "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        return docs
+
+    @SETTINGS
+    @given(rows=DOCS)
+    def test_chunk_dedup_matches_python_model(self, spark, tmp_path_factory, rows):
+        from inspig_etl_spark.queries.llm_dedup import docs_chunk_dedup
+
+        tmp = tmp_path_factory.mktemp("chunkdd")
+        docs = self._write_docs(tmp, rows)
+        first_owner = {}
+        model = {}
+        for did, text, _ in docs:  # doc_id order == global first-occurrence order
+            toks = text.split()
+            chunks = [
+                " ".join(toks[i * 3 : i * 3 + 3]) for i in range(len(toks) // 3)
+            ]
+            if not chunks:
+                continue
+            kept = 0
+            for c in chunks:
+                if c not in first_owner:
+                    first_owner[c] = did
+                    kept += 1
+            model[did] = (len(chunks), kept, len(chunks) - kept)
+        got = {
+            r.doc_id: (r.n_chunks, r.n_kept_chunks, r.n_removed_chunks)
+            for r in docs_chunk_dedup(spark, str(tmp)).collect()
+        }
+        assert got == model
+
+    @SETTINGS
+    @given(rows=DOCS)
+    def test_sequence_packing_matches_python_model(self, spark, tmp_path_factory, rows):
+        from inspig_etl_spark.queries.llm_text import PACK_CAPACITY, docs_sequence_packing
+
+        tmp = tmp_path_factory.mktemp("packing")
+        docs = self._write_docs(tmp, rows)
+        model = {}
+        state = {}  # source -> [bin_no, fill]
+        for did, text, src in docs:  # doc_id order within each source
+            n = len(text.split())
+            if src not in state:
+                state[src] = [0, n]
+            elif state[src][1] + n <= PACK_CAPACITY:
+                state[src][1] += n
+            else:
+                state[src][0] += 1
+                state[src][1] = n
+            model[did] = (src, n, state[src][0], state[src][1])
+        got = {
+            r.doc_id: (r.source, r.n_tokens, r.bin_no, r.bin_fill)
+            for r in docs_sequence_packing(spark, str(tmp)).collect()
+        }
+        assert got == model
