@@ -26,7 +26,8 @@ NAMES = [
     "latest_event_per_user", "purchase_asof_last_view", "user_sessions_gap30",
     "salted_brand_volume", "order_value_percentiles", "hourly_gap_interpolation",
     "docs_token_stats", "docs_chunk_dedup", "docs_minhash_neardup_pairs",
-    "docs_neardup_clusters",
+    "docs_neardup_clusters", "docs_pii_redaction", "docs_sequence_packing",
+    "docs_repetition_filter",
 ]
 
 
