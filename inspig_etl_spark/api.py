@@ -21,8 +21,10 @@ Route-for-route with the reference:
 The web framework (FastAPI/pydantic/uvicorn) is deliberately NOT a
 dependency — the engine owns the compute and the storage contract; any
 ASGI shell can wrap :func:`handle_run_farm` / :func:`handle_status`
-unchanged. ``ThreadingHTTPServer`` suffices for the on-demand use (requests
-are farm-scoped Spark jobs; Spark schedules concurrent jobs fine).
+unchanged. ``ThreadingHTTPServer`` keeps slow Spark work from blocking
+``/health``, while ``_STATE_LOCK`` serializes every run-farm/status access
+to the landed file tables — their read-modify-write land sequence is not
+concurrency-safe by itself (see the lock's comment).
 """
 
 from __future__ import annotations
@@ -47,6 +49,17 @@ def _master_seq(period: dict) -> int:
     return period["year"] * 100 + period["week_no"]
 
 
+# Serializes every access to the landed ts_ins_week(_sub) tables: run-farm
+# is a read-modify-write (read_or_empty → replace_by_key → staged swap), so
+# two concurrent requests would each merge against the same prior state and
+# the last swap would silently drop the other's rows; the status read also
+# must not race the swap's brief rename window. One process-wide lock is
+# the right tool for this single-writer file-table shell — on a real
+# multi-writer deployment the sink is Delta/Iceberg MERGE with optimistic
+# concurrency instead.
+_STATE_LOCK = threading.Lock()
+
+
 def handle_run_farm(spark: SparkSession, sf_dir: str, output: str, body: dict) -> tuple[int, dict]:
     """POST /api/etl/run-farm — validate, run, land, answer.
 
@@ -63,46 +76,58 @@ def handle_run_farm(spark: SparkSession, sf_dir: str, output: str, body: dict) -
         return 400, {"error": "farmNo must be an integer >= 1"}
     if day_gb not in ("WEEK", "MONTH", "QUARTER"):
         return 400, {"error": f"invalid dayGb: {day_gb}"}
-    if ins_date is not None and not re.fullmatch(r"\d{8}", str(ins_date)):
-        return 400, {"error": "insDate must be YYYYMMDD"}
+    if ins_date is not None:
+        if not re.fullmatch(r"\d{8}", str(ins_date)):
+            return 400, {"error": "insDate must be YYYYMMDD"}
+        try:
+            datetime.strptime(str(ins_date), "%Y%m%d")
+        except ValueError:
+            return 400, {"error": f"insDate is not a real date: {ins_date}"}
     if ins_date is None:
         ins_date = datetime.now().strftime("%Y%m%d")
 
-    result = run_single_farm(spark, sf_dir, farm_no=farm_no, ins_date=ins_date, day_gb=day_gb)
-    if result["status"] != "success":
-        return 200, {
-            "status": "error",
-            "farmNo": farm_no,
-            "dayGb": day_gb,
-            "error": result.get("error"),
-            "message": result.get("message"),
-        }
+    with _STATE_LOCK:
+        result = run_single_farm(spark, sf_dir, farm_no=farm_no, ins_date=ins_date, day_gb=day_gb)
+        if result["status"] != "success":
+            return 200, {
+                "status": "error",
+                "farmNo": farm_no,
+                "dayGb": day_gb,
+                "error": result.get("error"),
+                "message": result.get("message"),
+            }
 
-    seq = _master_seq(result)
-    # Land through the S12 slice semantics: this (master, farm) replaces its
-    # own prior rows, other farms/weeks stay (TS_INS_WEEK_SUB / TS_INS_WEEK).
-    wide = result["wide_rows"]
-    summary = result["summary"].select(
-        "*",
-        F.lit(seq).cast("bigint").alias("master_seq"),
-        F.lit(result["year"]).cast("int").alias("report_year"),
-        F.lit(result["week_no"]).cast("int").alias("week_no"),
-        F.lit(result["dt_from"]).alias("dt_from"),
-        F.lit(result["dt_to"]).alias("dt_to"),
-        F.lit("COMPLETE").alias("status_cd"),
-    )
-    wide_path = os.path.join(output, "ts_ins_week_sub")
-    sum_path = os.path.join(output, "ts_ins_week")
-    wide_prev = read_or_empty(spark, wide_path, wide.schema)
-    sum_prev = read_or_empty(spark, sum_path, summary.schema)
-    staged_overwrite(
-        spark, replace_by_key(wide_prev, wide, ["master_seq", "farm_no", "gubun"]), wide_path
-    )
-    staged_overwrite(
-        spark, replace_by_key(sum_prev, summary, ["master_seq", "farm_no"]), sum_path
-    )
-    wide.unpersist()
-    result["summary"].unpersist()
+        # run_single_farm derives master_seq from the period (year*100+week)
+        # and stamps it into the wide rows, so the S12 replace key below
+        # scopes to THIS week's slice — the engine and the landed tables
+        # agree on the sequence by construction.
+        seq = result["master_seq"]
+        assert seq == _master_seq(result)
+        # Land through the S12 slice semantics: this (master, farm) replaces
+        # its own prior rows, other farms/weeks stay (TS_INS_WEEK_SUB /
+        # TS_INS_WEEK).
+        wide = result["wide_rows"]
+        summary = result["summary"].select(
+            "*",
+            F.lit(seq).cast("bigint").alias("master_seq"),
+            F.lit(result["year"]).cast("int").alias("report_year"),
+            F.lit(result["week_no"]).cast("int").alias("week_no"),
+            F.lit(result["dt_from"]).alias("dt_from"),
+            F.lit(result["dt_to"]).alias("dt_to"),
+            F.lit("COMPLETE").alias("status_cd"),
+        )
+        wide_path = os.path.join(output, "ts_ins_week_sub")
+        sum_path = os.path.join(output, "ts_ins_week")
+        wide_prev = read_or_empty(spark, wide_path, wide.schema)
+        sum_prev = read_or_empty(spark, sum_path, summary.schema)
+        staged_overwrite(
+            spark, replace_by_key(wide_prev, wide, ["master_seq", "farm_no", "gubun"]), wide_path
+        )
+        staged_overwrite(
+            spark, replace_by_key(sum_prev, summary, ["master_seq", "farm_no"]), sum_path
+        )
+        wide.unpersist()
+        result["summary"].unpersist()
 
     return 200, {
         "status": "success",
@@ -133,16 +158,17 @@ def handle_status(spark: SparkSession, output: str, farm_no: int, day_gb: str) -
             "message": f"no {day_gb} reports (only WEEK is implemented)",
         }
     sum_path = os.path.join(output, "ts_ins_week")
-    if not os.path.exists(sum_path):
-        return 200, {"exists": False, "farmNo": farm_no, "dayGb": day_gb,
-                     "message": "no reports yet"}
-    latest = (
-        spark.read.parquet(sum_path)
-        .filter((F.col("farm_no") == farm_no) & (F.col("status_cd") == "COMPLETE"))
-        .orderBy(F.col("report_year").desc(), F.col("week_no").desc())
-        .limit(1)
-        .collect()
-    )
+    with _STATE_LOCK:  # never read through the staged swap's rename window
+        if not os.path.exists(sum_path):
+            return 200, {"exists": False, "farmNo": farm_no, "dayGb": day_gb,
+                         "message": "no reports yet"}
+        latest = (
+            spark.read.parquet(sum_path)
+            .filter((F.col("farm_no") == farm_no) & (F.col("status_cd") == "COMPLETE"))
+            .orderBy(F.col("report_year").desc(), F.col("week_no").desc())
+            .limit(1)
+            .collect()
+        )
     if not latest:
         return 200, {"exists": False, "farmNo": farm_no, "dayGb": day_gb,
                      "message": "no reports for this farm"}

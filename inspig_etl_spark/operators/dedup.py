@@ -25,6 +25,8 @@ brief-mandated LLM-pipeline extension built on the same engine kernel.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,6 +166,9 @@ def jaccard_verify(
     )
 
 
+_CC_CONF_LOCK = threading.Lock()
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -254,6 +259,14 @@ def connected_components(
     # graph never gets FEWER partitions than the cluster is sized for.
     aqe_key = "spark.sql.adaptive.enabled"
     shuf_key = "spark.sql.shuffle.partitions"
+    # The loop pins SESSION-level confs (AQE off, state-sized shuffle
+    # partitions) for its own fixed round plan; a concurrent query compiled
+    # on the same session during that span would inherit them. The lock
+    # makes concurrent connected_components calls safe (no save/restore
+    # race); callers that multiplex OTHER heavy queries onto one session
+    # concurrently (e.g. a server) must serialize against this themselves —
+    # the API shell's _STATE_LOCK does.
+    _CC_CONF_LOCK.acquire()
     aqe_was = spark.conf.get(aqe_key, "true")
     shuf_was = int(spark.conf.get(shuf_key, "200"))
     loop_partitions = max(1, min(shuf_was, (n_nodes + 499_999) // 500_000))
@@ -286,6 +299,7 @@ def connected_components(
     finally:
         spark.conf.set(aqe_key, aqe_was)
         spark.conf.set(shuf_key, str(shuf_was))
+        _CC_CONF_LOCK.release()
 
     # The final labels are materialized (the convergence action ran on
     # them); the edge cache has served its purpose.

@@ -164,6 +164,13 @@ def asof_value_single_scan(
     strict=False; ``tiebreak`` columns order equal-timestamp same-side rows
     deterministically.
     """
+    clashes = {"__is_left", "__rv", out} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_value_single_scan: input columns {sorted(clashes)} collide "
+            "with the tag/output columns (withColumn would silently replace "
+            "them and the final drop would discard caller data)"
+        )
     ts_col = F.col(ts) if isinstance(ts, str) else ts
     tagged = df.withColumn("__is_left", is_left.cast("int")).withColumn(
         "__rv", F.when(F.col("__is_left") == 0, right_val)

@@ -67,16 +67,24 @@ def run_single_farm(
     farm_no: int,
     ins_date: str,
     day_gb: str = "WEEK",
-    master_seq: int = 1,
+    master_seq: int | None = None,
 ) -> dict:
     """The run-farm endpoint's engine half: build last week's report for ONE
     farm and return the response contract.
 
+    ``master_seq`` defaults to the period's ``year*100 + week_no`` — the
+    same sequence the summary sink keys on — so the wide rows stamped by
+    :func:`to_wide_rows` land under the REAL week slice and a later week
+    can never replace an earlier one through the (master_seq, farm_no,
+    gubun) S12 key. Pass it explicitly only to mirror a pre-allocated
+    reference TS_INS_WEEK.MASTER_SEQ.
+
     Returns a dict with ``status`` ('success'/'error'), the period fields,
     ``share_token``, and the two farm-scoped DataFrames (``wide_rows``,
     ``summary``) for the caller to collect or land through the §S6-S10
-    sinks. Like the reference, an unsupported ``day_gb`` and an unknown
-    farm are ERROR results, not exceptions.
+    sinks — both are the PERSISTED handles, so ``.unpersist()`` on them
+    actually frees the cache. Like the reference, an unsupported
+    ``day_gb`` and an unknown farm are ERROR results, not exceptions.
     """
     if day_gb not in SUPPORTED_DAY_GB:
         return {
@@ -87,15 +95,25 @@ def run_single_farm(
             "message": "only WEEK is supported",
         }
     period = last_week_period(ins_date)
+    if master_seq is None:
+        master_seq = period["year"] * 100 + period["week_no"]
+    token = share_token(farm_no, period["year"], period["week_no"], period["dt_to"])
 
     wide, summary = build_weekly_report(spark, sf_dir, master_seq=master_seq)
     # persist(): the existence probe below and the caller's collect/land of
     # wide_rows + summary would otherwise each re-execute the farm-scoped
     # report plan (2-3 full runs per on-demand request — ADVICE r5). Both
     # frames are one farm's slice, so the cache is bounded; callers that
-    # keep the session hot can `.unpersist()` them after landing.
+    # keep the session hot can `.unpersist()` them after landing. The
+    # share-token column is attached BEFORE the persist so the returned
+    # ``summary`` is the cached frame itself, not a derived child whose
+    # unpersist would be a no-op.
     wide_farm = wide.filter(F.col("farm_no") == farm_no).persist()
-    summary_farm = summary.filter(F.col("farm_no") == farm_no).persist()
+    summary_farm = (
+        summary.filter(F.col("farm_no") == farm_no)
+        .withColumn("share_token", F.lit(token))
+        .persist()
+    )
 
     # Existence gate (the reference 404s an unknown farm): a limit-1 probe
     # on the pushed-down farm predicate, not a full count.
@@ -110,7 +128,6 @@ def run_single_farm(
             **period,
         }
 
-    token = share_token(farm_no, period["year"], period["week_no"], period["dt_to"])
     return {
         "status": "success",
         "farm_no": farm_no,
@@ -119,5 +136,5 @@ def run_single_farm(
         "share_token": token,
         **period,
         "wide_rows": wide_farm,
-        "summary": summary_farm.withColumn("share_token", F.lit(token)),
+        "summary": summary_farm,
     }

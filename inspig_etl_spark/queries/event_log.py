@@ -95,17 +95,21 @@ GROUP BY user_id
 def purchase_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both as-of sides are subsets of the one events table, so use the
     # single-scan kernel (one scan + one shuffle; the two-DataFrame
-    # ``asof_join`` union idiom plans the events scan twice). Ordering is on
-    # raw ``ts`` — monotonic with ``ts_us`` for every parquet dtype the
-    # catalog dispatches on, and it skips the per-row epoch-micros projection
-    # that only the oracle needs for display.
+    # ``asof_join`` union idiom plans the events scan twice — the r5
+    # regression was paying the ts_us projection once per branch scan).
+    # Ordering is on the catalog's ``ts_us`` (micros), NOT raw ``ts``:
+    # under a TIMESTAMP(NANOS) file the raw nanos order refines micro-level
+    # ties that the DuckDB oracle (which truncates to micros) treats as
+    # equal, flipping strict-inequality visibility for equal-microsecond
+    # view/purchase pairs. With a single scan the per-row projection is
+    # paid once — measured perf-neutral.
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
     joined = asof_value_single_scan(
         ev,
         keys=["user_id"],
-        ts="ts",
+        ts="ts_us",
         is_left=F.col("event_type") == "purchase",
         right_val=F.col("value"),
         tiebreak=["event_id"],

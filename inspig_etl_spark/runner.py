@@ -249,7 +249,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"ERROR: {args.day_gb if args.day_gb != 'WEEK' else args.command} "
               "reports are not implemented; only WEEK is supported", file=sys.stderr)
         return 1
-    if args.manual and not args.farm_no:
+    if args.manual and args.farm_no is None:  # farm 0 is a valid farm
         print("ERROR: --manual requires --farm-no", file=sys.stderr)
         return 1
 

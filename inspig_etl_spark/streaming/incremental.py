@@ -113,8 +113,26 @@ def foreach_batch_upsert(
         )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
         spark = batch.sparkSession
-        deduped = batch.dropDuplicates(keys)
+        if version_col is not None:
+            # The batch itself can hold several versions of a key (one
+            # availableNow trigger may drain many source files into ONE
+            # micro-batch): keep the greatest version per key — a plain
+            # dropDuplicates keeps an ARBITRARY row and could silently
+            # discard the newest version before the versioned merge ever
+            # sees it, re-introducing the order-dependence version_col
+            # exists to eliminate.
+            w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+            deduped = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            deduped = batch.dropDuplicates(keys)
         state = read_or_empty(spark, sink_path, schema)
         if partition_by:
             merged = merge_upsert_scoped(

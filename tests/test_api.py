@@ -88,3 +88,29 @@ def test_validation_and_error_contracts(api):
     # Unknown routes 404.
     code, _ = _get(f"{api}/api/etl/nothing")
     assert code == 404
+
+
+def test_two_weeks_coexist_in_landed_tables(api, spark, tmp_path):
+    """Regression: wide rows must land under the REAL week's master_seq —
+    with the old default master_seq=1 both weeks keyed the same slice and
+    the second landing deleted the first week's wide rows."""
+    _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "insDate": "20240125"})  # week 202403
+    _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "insDate": "20240201"})  # week 202404
+    out = str(tmp_path / "out")
+    wide = spark.read.parquet(f"{out}/ts_ins_week_sub")
+    seqs = {r.master_seq for r in wide.select("master_seq").distinct().collect()}
+    assert seqs == {202403, 202404}
+    summary = spark.read.parquet(f"{out}/ts_ins_week")
+    assert {r.master_seq for r in summary.select("master_seq").distinct().collect()} == {
+        202403,
+        202404,
+    }
+    # The wide slice and the summary row agree on the sequence per week.
+    n3 = wide.filter("master_seq = 202403").count()
+    n4 = wide.filter("master_seq = 202404").count()
+    assert n3 > 0 and n3 == n4
+
+
+def test_impossible_date_is_a_400_not_a_500(api):
+    code, body = _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "insDate": "20241399"})
+    assert code == 400 and "insDate" in body["error"]

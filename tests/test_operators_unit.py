@@ -508,3 +508,34 @@ def test_sequence_packing_greedy_semantics(spark, tmp_path):
         5: ("b", 128, 0, 128),
         6: ("b", 128, 1, 128),
     }
+
+
+def test_asof_single_scan_rejects_colliding_columns(spark):
+    """The tag/output columns must never silently replace caller data —
+    same contract the two-input asof_join enforces."""
+    import pytest
+
+    from inspig_etl_spark.operators.events import asof_value_single_scan
+
+    df = spark.createDataFrame([(1, 10, "x", 1.0)], "k INT, ts_us LONG, asof_value STRING, v DOUBLE")
+    with pytest.raises(ValueError, match="collide"):
+        asof_value_single_scan(
+            df, keys=["k"], ts="ts_us", is_left=F.lit(True), right_val=F.col("v")
+        )
+
+
+def test_runner_manual_accepts_farm_zero(tmp_path, capsys):
+    """Regression: farm 0 exists in the synthetic data (user_id % 10); the
+    --manual guard must test 'is None', not falsiness."""
+    from inspig_etl_spark.runner import main
+
+    rc = main(
+        [
+            "weekly", "--manual", "--farm-no", "0", "--dry-run",
+            "--base-date", "2024-01-10", "--sf-dir", "/root/testdata/sf0.001",
+            "--output", str(tmp_path / "out"),
+        ]
+    )
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    assert "ERROR" not in out.err

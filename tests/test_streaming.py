@@ -289,3 +289,24 @@ class TestLayeredMergeScoped:
             layered_merge(
                 target, target, None, None, keys=["nx"], partition_by=["wk_date"]
             )
+
+
+def test_versioned_batch_dedup_keeps_greatest_version(spark, tmp_path):
+    """Regression: one micro-batch can hold several versions of a key (an
+    availableNow trigger drains many files at once); dedup must keep
+    max(version) per key, not an arbitrary dropDuplicates winner."""
+    from inspig_etl_spark.streaming.incremental import foreach_batch_upsert
+
+    sink = str(tmp_path / "sink")
+    schema = "k INT, v STRING, ver INT"
+    apply = foreach_batch_upsert(sink, ["k"], schema, version_col="ver")
+    batch = spark.createDataFrame(
+        [(1, "old", 1), (1, "mid", 2), (1, "new", 3), (2, "only", 7)], schema
+    ).repartition(8)  # scatter versions across partitions so arbitrary-winner dedup would flake
+    apply(batch, 0)
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(sink).collect()}
+    assert got == {1: ("new", 3), 2: ("only", 7)}
+    # A later batch with an OLDER version must not regress the sink.
+    apply(spark.createDataFrame([(1, "stale", 2)], schema), 1)
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(sink).collect()}
+    assert got == {1: ("new", 3), 2: ("only", 7)}
