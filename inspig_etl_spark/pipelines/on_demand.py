@@ -61,6 +61,11 @@ def share_token(farm_no: int, year: int, week_no: int, dt_to: str) -> str:
     return hashlib.sha256(f"{farm_no}-{year}-{week_no}-{dt_to}".encode()).hexdigest()
 
 
+def _dashed(yyyymmdd: str) -> str:
+    """20240115 -> 2024-01-15 (the pipeline takes ISO dates)."""
+    return f"{yyyymmdd[:4]}-{yyyymmdd[4:6]}-{yyyymmdd[6:]}"
+
+
 def run_single_farm(
     spark: SparkSession,
     sf_dir: str,
@@ -99,7 +104,13 @@ def run_single_farm(
         master_seq = period["year"] * 100 + period["week_no"]
     token = share_token(farm_no, period["year"], period["week_no"], period["dt_to"])
 
-    wide, summary = build_weekly_report(spark, sf_dir, master_seq=master_seq)
+    wide, summary = build_weekly_report(
+        spark,
+        sf_dir,
+        master_seq=master_seq,
+        dt_from=_dashed(period["dt_from"]),
+        dt_to=_dashed(period["dt_to"]),
+    )
     # persist(): the existence probe below and the caller's collect/land of
     # wide_rows + summary would otherwise each re-execute the farm-scoped
     # report plan (2-3 full runs per on-demand request — ADVICE r5). Both

@@ -129,8 +129,11 @@ def herd_status_section(last_events_status: DataFrame) -> DataFrame:
     )
 
 
-def shipment_chart_section(events: DataFrame) -> DataFrame:
-    """gubun='SH': per farm, 7-day calendar chart rows (J10 shape).
+def shipment_chart_section(
+    events: DataFrame, dt_from: str = WEEK_FROM, dt_to: str = WEEK_TO
+) -> DataFrame:
+    """gubun='SH': per farm, per-day calendar chart rows over the report
+    period (J10 shape; defaults to the module's fixed test week).
 
     Missing days KEPT as NULL rows — the reference's charts distinguish
     no-data days from zero days (``shipment.py:241-291``).
@@ -138,8 +141,8 @@ def shipment_chart_section(events: DataFrame) -> DataFrame:
     spark = events.sparkSession
     purchases = events.filter(
         (F.col("event_type") == "purchase")
-        & (us_to_day(F.col("ts_us")) >= F.lit(WEEK_FROM).cast("date"))
-        & (us_to_day(F.col("ts_us")) <= F.lit(WEEK_TO).cast("date"))
+        & (us_to_day(F.col("ts_us")) >= F.lit(dt_from).cast("date"))
+        & (us_to_day(F.col("ts_us")) <= F.lit(dt_to).cast("date"))
     )
     daily = (
         purchases.withColumn("farm_no", _farm(F.col("user_id")))
@@ -150,8 +153,8 @@ def shipment_chart_section(events: DataFrame) -> DataFrame:
         )
     )
     farms = events.select(_farm(F.col("user_id")).alias("farm_no")).distinct()
-    days = date_spine(spark, WEEK_FROM, WEEK_TO, "d").withColumn(
-        "sort_no", F.date_diff(F.col("d"), F.lit(WEEK_FROM).cast("date")) + 1
+    days = date_spine(spark, dt_from, dt_to, "d").withColumn(
+        "sort_no", F.date_diff(F.col("d"), F.lit(dt_from).cast("date")) + 1
     )
     full = farms.crossJoin(F.broadcast(days))
     return full.join(daily, ["farm_no", "d"], "left").select(
@@ -163,7 +166,12 @@ def shipment_chart_section(events: DataFrame) -> DataFrame:
     )
 
 
-def farm_summary(last_events_status: DataFrame, events: DataFrame) -> DataFrame:
+def farm_summary(
+    last_events_status: DataFrame,
+    events: DataFrame,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+) -> DataFrame:
     """The TS_INS_WEEK-like one-row-per-farm summary: herd totals + week
     shipment totals, assembled by joins instead of in-place UPDATEs."""
     herd = (
@@ -182,8 +190,8 @@ def farm_summary(last_events_status: DataFrame, events: DataFrame) -> DataFrame:
     week = (
         events.filter(
             (F.col("event_type") == "purchase")
-            & (us_to_day(F.col("ts_us")) >= F.lit(WEEK_FROM).cast("date"))
-            & (us_to_day(F.col("ts_us")) <= F.lit(WEEK_TO).cast("date"))
+            & (us_to_day(F.col("ts_us")) >= F.lit(dt_from).cast("date"))
+            & (us_to_day(F.col("ts_us")) <= F.lit(dt_to).cast("date"))
         )
         .withColumn("farm_no", _farm(F.col("user_id")))
         .groupBy("farm_no")
@@ -198,14 +206,29 @@ def farm_summary(last_events_status: DataFrame, events: DataFrame) -> DataFrame:
         "pregnant_cnt",
         "nursing_cnt",
         F.coalesce(F.col("week_purchase_cnt"), F.lit(0)).alias("week_purchase_cnt"),
-        "week_purchase_value",
+        # NVL(SUM(...), 0) like the reference (shipment.py:397): a farm with
+        # no purchases reports value 0.0, not NULL — cnt and value must
+        # agree about the same fact in one summary row.
+        F.coalesce(F.col("week_purchase_value"), F.lit(0.0)).alias("week_purchase_value"),
     )
 
 
 def build_weekly_report(
-    spark: SparkSession, sf_dir: str, master_seq: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    master_seq: int = 1,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
 ) -> tuple[DataFrame, DataFrame]:
-    """(wide_rows, summary) for every farm in one pair of plans."""
+    """(wide_rows, summary) for every farm in one pair of plans.
+
+    ``dt_from``/``dt_to`` (YYYY-MM-DD) scope the period-dependent sections
+    (shipment chart, week purchase totals) — callers that resolve a real
+    period (the CLI runner, the on-demand endpoint) MUST pass it, or every
+    master_seq would silently report the same fixed test week; the module
+    defaults exist for the oracled registry queries, whose DuckDB oracles
+    encode the same constants. Herd-status sections aggregate the latest
+    state and are period-independent, as in the reference."""
     from inspig_etl_spark.catalog import table
     from inspig_etl_spark.queries.status_schedule import _last_events
 
@@ -225,5 +248,7 @@ def build_weekly_report(
         ).alias("status_cd"),
     )
     md = to_wide_rows(herd_status_section(status), master_seq, "MD", "STAT")
-    sh = to_wide_rows(shipment_chart_section(events), master_seq, "SH", "CHART")
-    return md.unionByName(sh), farm_summary(status, events)
+    sh = to_wide_rows(
+        shipment_chart_section(events, dt_from, dt_to), master_seq, "SH", "CHART"
+    )
+    return md.unionByName(sh), farm_summary(status, events, dt_from, dt_to)

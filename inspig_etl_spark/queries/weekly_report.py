@@ -106,7 +106,9 @@ week AS (
 )
 SELECT herd.farm_no, total_users, pregnant_cnt, nursing_cnt,
        COALESCE(week_purchase_cnt, 0) AS week_purchase_cnt,
-       week_purchase_value
+       -- reference convention: shipment sums are NVL(SUM(...), 0)
+       -- (shipment.py:397), so cnt and value agree for a no-purchase week
+       COALESCE(week_purchase_value, CAST(0 AS DOUBLE)) AS week_purchase_value
 FROM herd LEFT JOIN week ON herd.farm_no = week.farm_no
 """,
 )

@@ -137,6 +137,11 @@ def _scope_farms(df, include: list[int], exclude: list[int]):
     return df
 
 
+def _dashed(yyyymmdd: str) -> str:
+    """20240115 -> 2024-01-15 (the pipeline takes ISO dates)."""
+    return f"{yyyymmdd[:4]}-{yyyymmdd[4:6]}-{yyyymmdd[6:]}"
+
+
 def run_weekly_batch(spark, plan: dict, init_all: bool, init_week: bool) -> list[dict]:
     """The weekly command: one report build per resolved date, landed with
     the reference's delete policy and a manifest per run."""
@@ -162,7 +167,13 @@ def run_weekly_batch(spark, plan: dict, init_all: bool, init_week: bool) -> list
         manifest = RunManifest(run_id=run_id, path=os.path.join(out, f"manifest_{run_id}.json"))
         t0 = time.time()
         try:
-            wide, summary = build_weekly_report(spark, plan["sf_dir"], master_seq=seq)
+            wide, summary = build_weekly_report(
+                spark,
+                plan["sf_dir"],
+                master_seq=seq,
+                dt_from=_dashed(period["dt_from"]),
+                dt_to=_dashed(period["dt_to"]),
+            )
             wide = _scope_farms(wide, plan["include_farms"], plan["exclude_farms"])
             summary = _scope_farms(
                 summary, plan["include_farms"], plan["exclude_farms"]

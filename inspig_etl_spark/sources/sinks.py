@@ -69,6 +69,15 @@ def merge_upsert(
     if set(vals) != set(_val_cols(updates, keys)):
         raise ValueError("merge_upsert: target/updates value columns differ")
     partial_cols = set(vals) if partial is True else set(partial or ())
+    unknown = partial_cols - set(vals)
+    if unknown:
+        # A typo'd (or key) column here would silently degrade to
+        # full-overwrite semantics — NULLs clobbering real values is the
+        # exact corruption `partial` exists to prevent, so fail loudly.
+        raise ValueError(
+            f"merge_upsert: partial columns {sorted(unknown)} are not value "
+            f"columns (value columns: {sorted(vals)})"
+        )
     t = target.select(*keys, *vals, F.lit(1).alias("__in_t"))
     u = updates.select(
         *keys, *[F.col(c).alias(f"__u_{c}") for c in vals], F.lit(1).alias("__in_u")
@@ -155,7 +164,12 @@ def partition_predicate(
     for row in parts:
         clause = None
         for p in partition_by:
-            c = F.col(p) == F.lit(row[p])
+            # eqNullSafe (<=>): a NULL partition value must SELECT the
+            # NULL-partition rows, not silently match nothing — with plain
+            # ==, a batch touching the __HIVE_DEFAULT_PARTITION__ would
+            # exclude the target's NULL-partition rows from the merge scope
+            # and the dynamic overwrite would then delete them.
+            c = F.col(p).eqNullSafe(F.lit(row[p]))
             clause = c if clause is None else (clause & c)
         pred = clause if pred is None else (pred | clause)
     return pred
@@ -291,16 +305,26 @@ def overwrite_partitions(
     )
 
 
-def staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+def staged_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> None:
     """All-or-nothing table replace (ST3): materialize to a staging dir,
     then atomically swap. If the job fails mid-write the live table is
     untouched — the reference refuses to save partial weather batches for
-    the same reason (``weather.py:1646-1660``).
+    the same reason (``weather.py:1646-1660``). ``partition_by`` writes the
+    staging copy hive-partitioned, preserving a partitioned sink's layout
+    through the swap.
     """
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     try:
-        df.write.mode("overwrite").parquet(staging)
+        writer.parquet(staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -356,7 +380,11 @@ def align_schemas(
 
 
 def compact(
-    spark: SparkSession, path: str, target_partitions: int
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    partition_by: Sequence[str] | None = None,
+    schema: str | None = None,
 ) -> None:
     """Small-file compaction: rewrite a parquet dir into ``target_partitions``
     files via the staged atomic swap (readers never observe a half-compacted
@@ -364,7 +392,31 @@ def compact(
     compaction keeps scan task counts and footer overhead bounded — at
     cluster scale, schedule it like any other idempotent maintenance job.
 
+    A hive-partitioned sink MUST pass its ``partition_by`` (and should pass
+    the sink ``schema``): the rewrite then preserves the directory layout
+    the scoped merge paths depend on — compacting a partitioned sink flat
+    would make the next ``overwrite_partitions`` batch orphan every other
+    partition's data. The guard below refuses the unpartitioned rewrite if
+    the directory visibly has hive-style partition dirs. Passing ``schema``
+    also pins partition-column TYPES (a bare read re-infers them from the
+    directory names, which can silently flip e.g. a zero-padded day string
+    to int).
+
     ``coalesce`` (no shuffle) — compaction only ever reduces file count.
     """
-    df = spark.read.parquet(path).coalesce(target_partitions)
-    staged_overwrite(spark, df, path)
+    if partition_by is None:
+        hive_dirs = [
+            d for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        ]
+        if hive_dirs:
+            raise ValueError(
+                f"compact: {path} is hive-partitioned ({hive_dirs[0]}, ...) — "
+                "pass partition_by to preserve the layout; a flat rewrite "
+                "would break every partition-scoped merge that follows"
+            )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path).coalesce(target_partitions)
+    staged_overwrite(spark, df, path, partition_by=partition_by)

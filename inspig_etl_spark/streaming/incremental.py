@@ -87,8 +87,12 @@ def foreach_batch_upsert(
 ) -> Callable[[DataFrame, int], None]:
     """ForeachBatch hook: MERGE each micro-batch into a keyed parquet sink.
 
-    Deduplicates the batch per key first (last writer wins within a batch,
-    like MERGE's precondition), then merges and writes.
+    Deduplicates the batch per key first, then merges and writes. WITHOUT
+    ``version_col`` the within-batch winner is ARBITRARY (dropDuplicates —
+    a micro-batch is an unordered set, there is no "last" to prefer); when
+    several versions of a key can share one batch, pass ``version_col`` so
+    the greatest version deterministically wins both within the batch and
+    against the sink.
 
     ``version_col`` names a monotonic column carried IN the rows (a batch
     number, an event version): the merge then keeps the greatest version
@@ -158,11 +162,14 @@ def start_upsert_stream(
     available_now: bool = True,
     partition_by: Sequence[str] | None = None,
     version_col: str | None = None,
+    partial: bool | Sequence[str] = False,
 ) -> DataStreamWriter:
     """Wire a stream into the upsert sink (availableNow drains the backlog
     then stops — the cron-batch execution mode the reference uses).
-    ``partition_by`` selects the partition-scoped merge path and
-    ``version_col`` the order-independent versioned merge — see
+    ``partition_by`` selects the partition-scoped merge path,
+    ``version_col`` the order-independent versioned merge, and ``partial``
+    the NVL(:new, old) column semantics (a NULL in a late correction keeps
+    the sink's value — the S6-S8 weather contract) — all forwarded to
     :func:`foreach_batch_upsert`."""
     writer = (
         events.writeStream.outputMode("update")
@@ -172,6 +179,7 @@ def start_upsert_stream(
                 sink_path,
                 keys,
                 schema,
+                partial=partial,
                 partition_by=partition_by,
                 version_col=version_col,
             )
@@ -257,7 +265,9 @@ class RunManifest:
             "elapsed_sec": round(time.time() - self.started_at, 3),
             "steps": self.steps,
         }
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        d = os.path.dirname(self.path)
+        if d:  # a bare relative filename has no dir to create
+            os.makedirs(d, exist_ok=True)
         tmp = f"{self.path}.tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)

@@ -174,3 +174,69 @@ def test_partition_predicate_guards_row_grain_keys(spark, monkeypatch):
     # row-grain key: refused
     with pytest.raises(ValueError, match="row-grain"):
         sinks.partition_predicate(df, ["id"])
+
+
+def test_null_partition_values_survive_scoped_merge(spark, tmp_path):
+    """Regression: partition_predicate must match the NULL partition
+    null-safely — with plain ==, the target's NULL-partition rows were
+    excluded from the merge scope and the dynamic overwrite deleted them."""
+    from inspig_etl_spark.sources.sinks import merge_upsert_scoped, overwrite_partitions
+
+    path = str(tmp_path / "sink")
+    schema = "day STRING, k INT, v DOUBLE"
+    target = spark.createDataFrame([(None, 1, 1.0), (None, 2, 2.0), ("d1", 3, 3.0)], schema)
+    overwrite_partitions(target, path, ["day"])
+    updates = spark.createDataFrame([(None, 1, 10.0)], schema)
+    merged = merge_upsert_scoped(
+        spark.read.schema(schema).parquet(path), updates, ["day", "k"], ["day"]
+    )
+    overwrite_partitions(merged, path, ["day"])
+    got = {(r.day, r.k): r.v for r in spark.read.schema(schema).parquet(path).collect()}
+    assert got == {(None, 1): 10.0, (None, 2): 2.0, ("d1", 3): 3.0}
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    """Regression: compacting a partitioned sink flat orphaned every other
+    partition on the next scoped batch; compact must keep (or refuse to
+    destroy) the layout."""
+    import os
+
+    import pytest
+
+    from inspig_etl_spark.sources.sinks import compact, overwrite_partitions
+
+    path = str(tmp_path / "sink")
+    schema = "day STRING, k INT, v DOUBLE"
+    df = spark.createDataFrame([("d1", 1, 1.0), ("d2", 2, 2.0)], schema)
+    overwrite_partitions(df, path, ["day"])
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact(spark, path, 1)
+
+    compact(spark, path, 1, partition_by=["day"], schema=schema)
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == ["day=d1", "day=d2"]
+    got = {(r.day, r.k): r.v for r in spark.read.schema(schema).parquet(path).collect()}
+    assert got == {("d1", 1): 1.0, ("d2", 2): 2.0}
+
+    # A scoped batch after compaction must not orphan the other partition.
+    from inspig_etl_spark.sources.sinks import merge_upsert_scoped
+
+    updates = spark.createDataFrame([("d2", 2, 20.0)], schema)
+    merged = merge_upsert_scoped(
+        spark.read.schema(schema).parquet(path), updates, ["day", "k"], ["day"]
+    )
+    overwrite_partitions(merged, path, ["day"])
+    got = {(r.day, r.k): r.v for r in spark.read.schema(schema).parquet(path).collect()}
+    assert got == {("d1", 1): 1.0, ("d2", 2): 20.0}
+
+
+def test_merge_upsert_rejects_unknown_partial_columns(spark):
+    import pytest
+
+    from inspig_etl_spark.sources.sinks import merge_upsert
+
+    t = spark.createDataFrame([(1, 1.0)], "k INT, rain_prob DOUBLE")
+    with pytest.raises(ValueError, match="partial columns"):
+        merge_upsert(t, t, ["k"], partial=["rain_prb"])  # typo must not degrade silently
+    with pytest.raises(ValueError, match="partial columns"):
+        merge_upsert(t, t, ["k"], partial=["k"])  # key column is not a value column

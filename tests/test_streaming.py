@@ -310,3 +310,16 @@ def test_versioned_batch_dedup_keeps_greatest_version(spark, tmp_path):
     apply(spark.createDataFrame([(1, "stale", 2)], schema), 1)
     got = {r.k: (r.v, r.ver) for r in spark.read.parquet(sink).collect()}
     assert got == {1: ("new", 3), 2: ("only", 7)}
+
+
+def test_run_manifest_accepts_bare_relative_filename(tmp_path, monkeypatch):
+    """Regression: os.makedirs('') raised FileNotFoundError for a manifest
+    path with no directory component, masking the real pipeline error."""
+    from inspig_etl_spark.streaming.incremental import RunManifest
+
+    monkeypatch.chdir(tmp_path)
+    m = RunManifest(run_id="r1", path="manifest.json")
+    m.finish()
+    import json
+
+    assert json.load(open(tmp_path / "manifest.json"))["status"] == "COMPLETE"

@@ -104,3 +104,22 @@ class TestOnDemandSingleFarm:
             spark, SF_SMOKE, farm_no=3, ins_date="20240124", day_gb="MONTH"
         )
         assert res["status"] == "error" and "not implemented" in res["error"]
+
+
+def test_run_single_farm_reports_the_requested_period(spark):
+    """Regression: the report sections must aggregate the RESOLVED period,
+    not the module's fixed test week — the chart spine's dates are fully
+    deterministic, so assert them directly."""
+    from tests.conftest import SF_SMOKE
+    from inspig_etl_spark.pipelines.on_demand import run_single_farm
+
+    res = run_single_farm(spark, SF_SMOKE, farm_no=3, ins_date="20240125")
+    assert res["status"] == "success"
+    assert (res["dt_from"], res["dt_to"]) == ("20240115", "20240121")
+    days = sorted(
+        r.str_1
+        for r in res["wide_rows"].filter("gubun = 'SH'").select("str_1").collect()
+    )
+    assert days[0] == "20240115" and days[-1] == "20240121" and len(days) == 7
+    res["wide_rows"].unpersist()
+    res["summary"].unpersist()
