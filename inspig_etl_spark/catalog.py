@@ -61,7 +61,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         t = df.schema["ts"].dataType
         if isinstance(t, T.LongType):
-            ts_us = F.expr("ts div 1000")  # nanos-long → micros
+            # nanos-long → micros. `div` truncates toward zero, which is
+            # EXACTLY how DuckDB converts TIMESTAMP(NANOS) parquet to its
+            # micros timestamps (probed: -1500 ns → -1 µs, not floor's -2),
+            # and the oracle comparison is against DuckDB — so truncation,
+            # not floor, is the parity-correct choice for pre-epoch rows.
+            # (The TIMESTAMP/NTZ branches never face the question: those
+            # generations carry no sub-microsecond component to drop.)
+            ts_us = F.expr("ts div 1000")
         elif isinstance(t, T.TimestampNTZType):
             # Wall-clock difference from the NTZ epoch: pure integer result,
             # independent of spark.sql.session.timeZone.

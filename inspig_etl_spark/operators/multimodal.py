@@ -90,7 +90,9 @@ def _byte(col) -> F.Column:
 def _fake_decode(blob: bytes) -> dict:
     """Deterministic decode of the synthetic blob format (the stub standing
     in for PIL/librosa/ffmpeg). Raises on foreign data like a real codec."""
-    if blob[:2] != MAGIC:
+    if len(blob) < 8 or blob[:2] != MAGIC:
+        # Shorter-than-header blobs are foreign data too — the same guard,
+        # not an accidental buffer error deeper in the parse.
         raise NotImplementedError(
             "real media decoding requires an image/audio library not present "
             "in this environment; only the synthetic IM format is supported"
@@ -148,6 +150,16 @@ def decode_media(media: DataFrame) -> DataFrame:
                 yield pd.DataFrame(columns=cols)
                 continue
             views = [np.frombuffer(b, dtype=np.uint8) for b in pdf["blob"]]
+            sizes = np.fromiter((v.size for v in views), np.int64, len(views))
+            if (sizes < 8).any():
+                # Same foreign-format contract as the scalar spec: a blob
+                # without a full 8-byte header is foreign data, not a crash
+                # site (np.stack over ragged heads would raise ValueError).
+                raise NotImplementedError(
+                    "real media decoding requires an image/audio library not "
+                    "present in this environment; only the synthetic IM "
+                    "format is supported"
+                )
             hdr = np.stack([v[:8] for v in views]).astype(np.int64)
             if ((hdr[:, 0] != MAGIC[0]) | (hdr[:, 1] != MAGIC[1])).any():
                 raise NotImplementedError(
@@ -160,10 +172,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             channels = (hdr[:, 6] << 8) | hdr[:, 7]
             # Payload may be shorter than width*height*channels for foreign
             # producers; clamp exactly like the scalar slice does.
-            lens = np.minimum(
-                width * height * channels,
-                np.fromiter((v.size for v in views), np.int64, len(views)) - 8,
-            ).clip(min=0)
+            lens = np.minimum(width * height * channels, sizes - 8).clip(min=0)
             flat = (
                 np.concatenate([v[8 : 8 + n] for v, n in zip(views, lens)])
                 if lens.any()
@@ -175,13 +184,15 @@ def decode_media(media: DataFrame) -> DataFrame:
             # exactly, so each segment ends at the next boundary (or total).
             bounds = (starts[:, None] + (lens[:, None] * np.arange(4)) // 4).ravel()
             seg_lens = np.diff(bounds, append=lens.sum())
-            if flat.size:
-                # reduceat yields flat[i] for empty segments — mask those.
-                sums = np.add.reduceat(flat.astype(np.int64),
-                                       np.minimum(bounds, flat.size - 1))
-                sums[seg_lens == 0] = 0
-            else:
-                sums = np.zeros(bounds.size, np.int64)
+            # Exact segment sums via prefix sums: csum[end]-csum[start].
+            # (np.add.reduceat needs indices < flat.size; clamping trailing
+            # empty-segment bounds silently truncated the LAST nonempty
+            # row's final chunk by one byte — prefix sums have no such edge.)
+            csum = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(flat, dtype=np.int64)]
+            )
+            ends = np.append(bounds[1:], lens.sum())
+            sums = csum[ends] - csum[bounds]
             chunk_sums = sums.reshape(-1, 4)
             chunk_lens = seg_lens.reshape(-1, 4)
             # Micro-floor (sum*1e6 // n / 1e6), matching _fake_decode — exact
@@ -281,7 +292,14 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling as expression code: split the payload into
     n equal 'frames' (one output row each) — the partition-preserving
-    explode shape a real frame sampler needs."""
+    explode shape a real frame sampler needs.
+
+    Sampling, not tiling: frames are ``floor(len/n)`` bytes each, so up to
+    ``n-1`` trailing payload bytes appear in no frame — the same way a real
+    sampler takes n evenly spaced frames and discards the rest of the
+    stream. (The decoder's quarter-chunks DO tile their payload; different
+    contract.) The registry oracle mirrors this truncation byte-for-byte.
+    """
     body = F.expr("substring(blob, 9)")  # skip the 8-byte header
     frame_len = F.greatest(
         (F.length(body) / n_frames).cast("int"), F.lit(1)

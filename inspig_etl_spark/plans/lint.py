@@ -12,9 +12,11 @@ plan strings Spark already exposes and flags:
                        path; Arrow-batched pandas UDFs (ArrowEvalPython) pass.
 - ``global-window``    a window function with an empty partition spec — every
                        row funnels through ONE task at any scale.
-- ``global-sort-agg``  a final single-partition Exchange (SinglePartition)
-                       feeding anything but a small ordered output (Sort/
-                       TakeOrderedAndProject are exempt: top-k bounds rows).
+- ``single-partition`` an Exchange SinglePartition feeding anything but a
+                       final global scalar aggregate (HashAggregate /
+                       SortAggregate / ObjectHashAggregate over partial-agg
+                       input) or a bounded top-k parent
+                       (TakeOrderedAndProject / GlobalLimit).
 
 Every query in the registry runs through this in tests/test_plan_lint.py;
 intentional exceptions must be declared per-query with a reason, so a new
@@ -63,15 +65,20 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             Finding("python-udf", "row-at-a-time Python UDF (BatchEvalPython)")
         )
 
-    # Window with empty partition spec: `windowspecdefinition(<sort>, ...)`
-    # with no partition columns before the first sort spec renders in the
-    # optimized plan as `Window [...], [order...]` with only two bracket
-    # groups (cols, order) instead of three (cols, partition, order).
+    # Window with empty partition spec renders in the optimized plan with
+    # fewer bracket groups: full form is `Window [exprs], [partition],
+    # [order]`. Two groups is AMBIGUOUS — partition-only (`[exprs], [part]`,
+    # scale-safe) and order-only (`[exprs], [order]`, global) both render
+    # that way — so disambiguate by the sort-direction markers only an
+    # ordering spec carries.
+    _ORDER_MARK = re.compile(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\b")
     for line in optimized.splitlines():
         s = line.strip()
         if s.startswith("Window "):
             groups = re.findall(r"\[[^\[\]]*\]", s)
-            if len(groups) == 2:
+            if len(groups) == 1 or (
+                len(groups) == 2 and _ORDER_MARK.search(groups[1])
+            ):
                 findings.append(
                     Finding("global-window", f"window with no PARTITION BY: {s[:120]}")
                 )

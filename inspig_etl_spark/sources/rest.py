@@ -23,6 +23,7 @@ maps to a plain thread pool over grid cells — still driver-side, unchanged.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
@@ -45,21 +46,28 @@ class ApiKeyManager:
     keys: Sequence[str]
     req_cnt: dict[str, int] = field(default_factory=dict)
     exhausted: set[str] = field(default_factory=set)
+    # The reference shares one pool across a 4-thread collector pool; the
+    # lock keeps the least-used invariant and the request counts exact
+    # under that documented concurrency (a lost += or a double-picked key
+    # otherwise slips in silently).
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self) -> None:
         for k in self.keys:
             self.req_cnt.setdefault(k, 0)
 
     def acquire(self) -> str:
-        live = [k for k in self.keys if k not in self.exhausted]
-        if not live:
-            raise ApiKeysExhausted(f"all {len(self.keys)} API keys exhausted")
-        key = min(live, key=lambda k: (self.req_cnt[k], self.keys.index(k)))
-        self.req_cnt[key] += 1
-        return key
+        with self._lock:
+            live = [k for k in self.keys if k not in self.exhausted]
+            if not live:
+                raise ApiKeysExhausted(f"all {len(self.keys)} API keys exhausted")
+            key = min(live, key=lambda k: (self.req_cnt[k], self.keys.index(k)))
+            self.req_cnt[key] += 1
+            return key
 
     def mark_exhausted(self, key: str) -> None:
-        self.exhausted.add(key)
+        with self._lock:
+            self.exhausted.add(key)
 
     def report(self, key: str, http_status: int, provider_code: str | None = None) -> bool:
         """Record a response; returns True if the key was exhausted by it."""
@@ -92,21 +100,39 @@ class RestSource:
         errors).
         """
         last_err: Exception | None = None
-        for _ in range(self.max_attempts):
-            key = self.key_manager.acquire()
+        attempts = 0
+        while attempts < self.max_attempts:
+            key = self.key_manager.acquire()  # raises once the pool is dry
             status, body = self.transport(
                 self.base_url, {**params, "serviceKey": key, "numOfRows": self.page_size}
             )
-            code = str(body.get("resultCode", "00")) if isinstance(body, dict) else "00"
-            if self.key_manager.report(key, status, code):
-                continue  # rotate to the next key
+            if self.key_manager.report(key, status, self._result_code(body)):
+                # Rotation after an exhaustion signal is FREE: it is bounded
+                # by the pool size through acquire(), so it must not consume
+                # the transient-retry budget — else a pool larger than
+                # max_attempts would raise while live keys were never tried.
+                continue
             if status != 200:
+                attempts += 1
                 last_err = RuntimeError(f"HTTP {status} from {self.base_url}")
                 continue
             return self._unwrap(body)
         if last_err is not None:
             raise last_err
         raise ApiKeysExhausted("no usable key produced a response")
+
+    @staticmethod
+    def _result_code(body: object) -> str:
+        """Provider result code — top-level, or the KMA envelope's
+        ``response.header.resultCode`` (the same envelope ``_unwrap`` reads:
+        a rate-limited key answers HTTP 200 with code 22/99 in the HEADER,
+        so reading only the top level would never exhaust a dead key)."""
+        if not isinstance(body, dict):
+            return "00"
+        if "resultCode" in body:
+            return str(body["resultCode"])
+        header = body.get("response", {}).get("header", {})
+        return str(header.get("resultCode", "00"))
 
     @staticmethod
     def _unwrap(body: dict) -> list[dict]:

@@ -75,6 +75,14 @@ def _sessionize_group(
     Timed-out invocation (watermark passed last_ts + gap): every row that
     could still extend the session is now below the watermark, so the state
     is dropped. Rows were already emitted eagerly — nothing to flush.
+
+    Late-data semantics (cross-batch): an event older than the frontier but
+    above the watermark joins the CURRENT session and must never move
+    ``last_ts`` backwards — a regressed frontier would spuriously break the
+    session on the next in-order event. This is the standard streaming
+    approximation (bounded by the watermark delay): already-emitted rows
+    cannot be retracted, so a late event cannot retroactively split history
+    the way the batch oracle would; it is folded forward instead.
     """
     (user_id,) = key
     if state.hasTimedOut:
@@ -92,7 +100,7 @@ def _sessionize_group(
             ts = int(row["ts_sec"])
             if last_ts is not None and ts - last_ts > GAP_SECONDS:
                 session_no += 1
-            last_ts = ts
+            last_ts = ts if last_ts is None else max(last_ts, ts)
             out_rows.append((user_id, int(row["event_id"]), ts, session_no))
     state.update((last_ts, session_no))
     # Expire the state once no in-order event can continue this session.

@@ -136,3 +136,39 @@ class TestResize:
 
         with _pytest.raises(Exception, match="image/audio library"):
             resize_media(df, out_w=2, out_h=2).collect()
+
+
+def test_decode_media_trailing_empty_payload_rows(spark):
+    """Regression: a trailing empty-payload row used to clamp the reduceat
+    bound and silently truncate the LAST nonempty row's final chunk by one
+    byte (batch said mean 20.0 where the scalar spec says 30.0)."""
+    nonempty = (
+        b"IM" + (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + (5).to_bytes(2, "big")
+        + bytes([10, 20, 30, 40, 50])
+    )
+    empty = b"IM" + (1).to_bytes(2, "big") * 2 + (0).to_bytes(2, "big")
+    rows = [(1, "image", nonempty), (2, "image", empty)]
+    df = spark.createDataFrame(
+        rows, "id BIGINT, media_type STRING, blob BINARY"
+    ).coalesce(1)  # one Arrow batch, empty row trailing
+    got = {r.id: r for r in decode_media(df).collect()}
+    for rid, blob in rows and [(1, nonempty), (2, empty)]:
+        want = _fake_decode(blob)
+        assert got[rid].mean_byte == want["mean_byte"], rid
+        assert list(got[rid].features) == want["features"], rid
+
+
+def test_decode_media_blob_shorter_than_header_is_foreign(spark):
+    """A blob without a full 8-byte header is foreign data on BOTH paths —
+    the same NotImplementedError contract, not a ragged np.stack crash."""
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _fake_decode(b"IMabc")
+    df = spark.createDataFrame(
+        [(1, "image", b"IMabc")], "id BIGINT, media_type STRING, blob BINARY"
+    )
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_media(df).collect()

@@ -79,3 +79,19 @@ def test_plan_is_scale_safe(spark, name):
         f"{name}: scale anti-patterns {[str(f) for f in unexplained]} — fix the plan "
         "or declare an exception with a reason in tests/test_plan_lint.py"
     )
+
+
+def test_global_window_check_discriminates_partition_only(spark):
+    """Regression: a partitioned window WITHOUT an ORDER BY also renders as
+    two bracket groups and was falsely flagged; the check must key on the
+    sort-direction markers only an ordering spec carries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from inspig_etl_spark.plans.lint import lint_plan
+
+    df = spark.range(10).withColumn("p", F.col("id") % 2)
+    partition_only = df.withColumn("s", F.sum("id").over(Window.partitionBy("p")))
+    assert not [f for f in lint_plan(partition_only) if f.code == "global-window"]
+    order_only = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert [f for f in lint_plan(order_only) if f.code == "global-window"]

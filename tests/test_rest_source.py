@@ -82,3 +82,64 @@ def test_to_dataframe_handles_comma_bearing_ddl_types(spark):
     assert df.columns == ["id", "amount", "tags"]
     r = df.collect()[0]
     assert (r.id, r.amount, dict(r.tags)) == (1, Decimal("12.34"), {"a": 1})
+
+
+def test_exhaustion_code_read_from_kma_header_envelope():
+    """Regression: a rate-limited KMA key answers HTTP 200 with resultCode
+    22/99 nested in response.header — reading only the top level never
+    exhausted the key, which then kept winning least-used selection."""
+    from inspig_etl_spark.sources.rest import ApiKeyManager, RestSource
+
+    dead_body = {"response": {"header": {"resultCode": "22"}, "body": {}}}
+    live_body = {"response": {"header": {"resultCode": "00"},
+                              "body": {"items": {"item": [{"v": 1}]}}}}
+
+    def transport(url, params):
+        return 200, (dead_body if params["serviceKey"] == "k1" else live_body)
+
+    mgr = ApiKeyManager(keys=["k1", "k2"])
+    src = RestSource(base_url="http://x", key_manager=mgr, transport=transport)
+    assert src.fetch({}) == [{"v": 1}]
+    assert "k1" in mgr.exhausted
+
+
+def test_rotation_on_exhaustion_does_not_burn_retry_budget():
+    """Regression: with a pool larger than max_attempts, rotating past dead
+    keys consumed the retry budget and raised while live keys were never
+    tried."""
+    from inspig_etl_spark.sources.rest import ApiKeyManager, RestSource
+
+    dead = {"response": {"header": {"resultCode": "99"}, "body": {}}}
+    live = {"response": {"body": {"items": {"item": [{"v": 7}]}}}}
+    calls = []
+
+    def transport(url, params):
+        calls.append(params["serviceKey"])
+        return 200, (live if params["serviceKey"] == "k5" else dead)
+
+    mgr = ApiKeyManager(keys=[f"k{i}" for i in range(1, 6)])
+    src = RestSource(base_url="http://x", key_manager=mgr, transport=transport,
+                     max_attempts=2)
+    assert src.fetch({}) == [{"v": 7}]  # k1-k4 rotate free, k5 answers
+    assert calls == ["k1", "k2", "k3", "k4", "k5"]
+
+
+def test_key_manager_is_thread_safe_under_concurrent_acquire():
+    import threading
+
+    from inspig_etl_spark.sources.rest import ApiKeyManager
+
+    mgr = ApiKeyManager(keys=["a", "b", "c", "d"])
+
+    def worker():
+        for _ in range(250):
+            mgr.acquire()
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # No lost increments: counts must sum exactly, spread evenly (least-used).
+    assert sum(mgr.req_cnt.values()) == 8 * 250
+    assert all(v == 500 for v in mgr.req_cnt.values())

@@ -323,3 +323,49 @@ def test_run_manifest_accepts_bare_relative_filename(tmp_path, monkeypatch):
     import json
 
     assert json.load(open(tmp_path / "manifest.json"))["status"] == "COMPLETE"
+
+
+def test_sessionize_state_frontier_never_regresses():
+    """Regression: a late-but-above-watermark event moved last_ts BACKWARDS,
+    so the next in-order event spuriously started a new session. The
+    frontier must fold late events forward (documented approximation)."""
+    import pandas as pd
+
+    from inspig_etl_spark.streaming.sessionize import _OUT_COLS, _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    state = FakeState()
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_sec"])
+        out = list(_sessionize_group((1,), iter([pdf]), state))
+        return [tuple(r) for r in out[0][_OUT_COLS].itertuples(index=False)]
+
+    assert feed([(1, 1, 7200)]) == [(1, 1, 7200, 1)]
+    # late event (above watermark): joins the current session...
+    assert feed([(1, 2, 4000)]) == [(1, 2, 4000, 1)]
+    # ...and must NOT have dragged the frontier back: 7300 continues session 1
+    # (with the old regression, 7300-4000 > 1800 spuriously opened session 2).
+    assert feed([(1, 3, 7300)]) == [(1, 3, 7300, 1)]
