@@ -302,7 +302,12 @@ def connected_components(
         _CC_CONF_LOCK.release()
 
     # The final labels are materialized (the convergence action ran on
-    # them); the edge cache has served its purpose.
+    # them); the edge cache has served its purpose. The labels cache itself
+    # must stay: the returned frame reads THROUGH it (its lineage chains
+    # every unpersisted round), so it is left for LRU eviction — callers
+    # issuing many clusterings on one long-lived session should
+    # clearCache()/unpersist after consuming the result (the bench harness
+    # does exactly that between queries).
     edges.unpersist()
     return nodes.select(F.col(id_col)).join(
         labels.select(F.col("id").alias(id_col), "label"), id_col, "left"

@@ -94,7 +94,8 @@ def asof_join(
     Ties (equal timestamps) resolve with the right row visible to the left
     row only when strict=False, matching ``gb_dt < sago_dt`` semantics.
     """
-    clashes = (set(right_vals) | {"__t", "__is_left"}) & set(left.columns)
+    out_names = {f"{v}{suffix}" for v in right_vals}
+    clashes = (set(right_vals) | out_names | {"__t", "__is_left"}) & set(left.columns)
     if clashes:
         raise ValueError(
             f"asof_join: left columns {sorted(clashes)} collide with right_vals/"

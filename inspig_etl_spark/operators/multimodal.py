@@ -249,7 +249,10 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             metas = []
             for blob in pdf["blob"]:
                 v = np.frombuffer(blob, dtype=np.uint8)
-                if bytes(v[:2].tobytes()) != MAGIC:
+                # Same foreign-format contract as the decoder: a blob
+                # without a full 8-byte header is foreign data, not a raw
+                # IndexError site in the header reads below.
+                if v.size < 8 or bytes(v[:2].tobytes()) != MAGIC:
                     raise NotImplementedError(
                         "real media decoding requires an image/audio library "
                         "not present in this environment; only the synthetic "

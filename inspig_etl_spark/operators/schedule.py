@@ -121,6 +121,13 @@ def farm_default_schedule(
     so the mating pass_dt is clamped up to ``dt_from``.
 
     One scan, when-chain expressions, no join — whole-stage-codegen'd.
+
+    NULL-semantics fidelity: the wean→mating rule requires ``daeri_yn ==
+    'N'`` EXACTLY, so a NULL daeri_yn drops the row — mirroring the
+    reference's ``AND WK.DAERI_YN = 'N'`` (schedule.py:446, Oracle
+    three-valued logic). The status truth table (status.py) instead treats
+    anything ≠ 'Y' as non-surrogate; that asymmetry between the two passes
+    exists in the reference itself and is preserved deliberately.
     """
     wk = F.col(wk_gubun_col)
     base = F.col(base_day)

@@ -177,7 +177,13 @@ def cosine_topk(
     else:
         paired = F.broadcast(queries).crossJoin(corpus)
     paired = paired.filter(F.col(query_id) != F.col(corpus_id))
-    sim = dot(F.col(vec_q), F.col(vec_c)) / (F.col("__qn") * F.col("__cn"))
+    # nullif zero-norm guard: an all-zeros embedding (failed/padded encode)
+    # has norm 0, and under Spark 4's default ANSI mode a plain division
+    # would throw DIVIDE_BY_ZERO and kill the job — same guard shape as
+    # jaccard_verify's nullif(union, 0). NULL sim ranks last (desc order).
+    sim = dot(F.col(vec_q), F.col(vec_c)) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
     scored = paired.withColumn("__sim", sim)
     # Rank on the unrounded (bit-deterministic) sim; id tiebreak makes the
     # ordering total. Window partitions by query id — bounded groups.

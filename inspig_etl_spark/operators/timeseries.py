@@ -68,6 +68,14 @@ def linear_interpolate(
     Gap value = prev + (next - prev) * (t - prev_t) / (next_t - prev_t);
     leading gaps take the next observation, trailing gaps the previous.
     An all-NULL series stays NULL. Observed rows pass through untouched.
+
+    Duplicate-timestamp rows (an observed and a NULL row sharing ``time_col``
+    within a key) make both anchors resolve to the same instant; the fill
+    degenerates to that observation's value (guarded — the unguarded ratio
+    would be 0/0, a DIVIDE_BY_ZERO crash under Spark 4's default ANSI
+    mode). For fully deterministic anchor choice keep ``time_col`` unique
+    per key — multiple OBSERVED rows on one timestamp have no defined
+    winner in either engine.
     """
     ann = with_neighbors(df, keys, time_col, value_col)
     t = F.col(time_col).cast("double")
@@ -78,6 +86,7 @@ def linear_interpolate(
         F.when(F.col(value_col).isNotNull(), F.col(value_col))
         .when(pv.isNull(), nv)  # leading gap: back-fill
         .when(nv.isNull(), pv)  # trailing gap: forward-fill
+        .when(nt == pt, pv)  # duplicate-timestamp anchors: 0/0 guard
         .otherwise(pv + (nv - pv) * frac)
     )
     return ann.withColumn(out_col, filled).drop(
@@ -114,6 +123,7 @@ def sql_linear_interpolate(
        CASE WHEN {value_col} IS NOT NULL THEN {value_col}
             WHEN __prev_val IS NULL THEN __next_val
             WHEN __next_val IS NULL THEN __prev_val
+            WHEN CAST(__next_t AS DOUBLE) = CAST(__prev_t AS DOUBLE) THEN __prev_val
             ELSE __prev_val + (__next_val - __prev_val)
                  * ((CAST({time_col} AS DOUBLE) - CAST(__prev_t AS DOUBLE))
                     / (CAST(__next_t AS DOUBLE) - CAST(__prev_t AS DOUBLE)))

@@ -125,7 +125,11 @@ def _sql_minhash_sig() -> str:
     operators="LLM-dedup-minhash (MinHash sigs + LSH banding + Jaccard verify; brief: 'MinHash+LSH (shingle->minhash->band->bucket-join)')",
     oracle=f"""
 WITH {_SQL_DOCS_SHINGLED},
-sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM t),
+-- zero-shingle docs share the sentinel signature [P]*k: at scale they
+-- would all land in ONE band bucket and the bucket self-join would
+-- degenerate to all-pairs; they can never verify (union 0), so they
+-- are excluded from banding (mirrored in the Spark plan)
+sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM t WHERE len(sh) > 0),
 band AS (
   SELECT doc_id, band_no,
          array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key
@@ -143,7 +147,13 @@ WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 )
 def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
-    signed = sh.withColumn("sig", minhash_signature(F.col("sh")))
+    # Zero-shingle docs are excluded from banding: they share the sentinel
+    # signature, so at scale they would pile into ONE band bucket whose
+    # self-join degenerates to the all-pairs comparison banding exists to
+    # avoid — and they can never pass Jaccard verification anyway.
+    signed = sh.filter(F.size("sh") > 0).withColumn(
+        "sig", minhash_signature(F.col("sh"))
+    )
     banded = signed.withColumn(
         "band_keys", lsh_band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)
     ).persist()  # consumed twice by the candidate self-join
@@ -165,7 +175,10 @@ _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, 31), b ->
     operators="LLM-dedup-simhash (SimHash sketch + byte banding + Hamming verify; brief: 'SimHash')",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM t),
+-- token-less docs (emoji/punct-only text) all sketch to simhash 0: every
+-- pair of them is Hamming-0 "identical" despite sharing no content, so
+-- they are excluded from candidacy (mirrored in the Spark plan)
+s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM t WHERE len(toks) > 0),
 band AS (
   SELECT doc_id, simhash, band_no,
          CAST((simhash >> (8 * band_no)) & 255 AS VARCHAR) AS band_key
@@ -185,7 +198,17 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
 def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # persist(): the simhash sketch feeds a self-join (see _shingled note).
-    s = spread(docs).select("doc_id", simhash32(tokens(F.col("text"))).alias("simhash")).persist()
+    # Token-less docs are excluded BEFORE sketching: they all hash to
+    # simhash 0, so every pair of them verifies as Hamming-0 "near-dups"
+    # despite sharing no content (and at scale they would also pile into
+    # one degenerate band bucket). Mirrored in the oracle.
+    s = (
+        spread(docs)
+        .withColumn("toks", tokens(F.col("text")))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", simhash32(F.col("toks")).alias("simhash"))
+        .persist()
+    )
     banded = s.withColumn("band_keys", simhash_band_keys(F.col("simhash")))
     keyed = banded.select(
         "doc_id", "simhash", F.posexplode("band_keys").alias("band_no", "band_key")
@@ -215,7 +238,11 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="LLM-dedup-cluster (transitive closure over MinHash near-dup pairs: Pregel-style min-label propagation -> per-doc canonical cluster id; brief: dedup family)",
     oracle=f"""
 WITH RECURSIVE {_SQL_DOCS_SHINGLED},
-sig AS (SELECT doc_id, sh, {{SIG}} AS sig FROM t),
+-- zero-shingle docs share the sentinel signature [P]*k: at scale they
+-- would all land in ONE band bucket and the bucket self-join would
+-- degenerate to all-pairs; they can never verify (union 0), so they
+-- are excluded from banding (mirrored in the Spark plan)
+sig AS (SELECT doc_id, sh, {{SIG}} AS sig FROM t WHERE len(sh) > 0),
 band AS (
   SELECT doc_id, band_no,
          array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key

@@ -539,3 +539,87 @@ def test_runner_manual_accepts_farm_zero(tmp_path, capsys):
     out = capsys.readouterr()
     assert rc == 0, out.err
     assert "ERROR" not in out.err
+
+
+def test_cosine_topk_survives_zero_norm_embedding(spark):
+    """Regression: an all-zeros embedding made sim divide by zero — a job-
+    killing DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    from inspig_etl_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])]
+    q = spark.createDataFrame(rows, "q_id BIGINT, q_vec ARRAY<DOUBLE>")
+    c = spark.createDataFrame(
+        [(i, v) for i, v in rows], "c_id BIGINT, c_vec ARRAY<DOUBLE>"
+    )
+    got = cosine_topk(q, c, k=2, query_id="q_id", corpus_id="c_id").collect()
+    assert got  # no SparkArithmeticException; zero-norm pairs rank last (NULL sim)
+
+
+def test_linear_interpolate_duplicate_timestamp_anchor(spark):
+    """Regression: a NULL row sharing its timestamp with an observed row
+    resolved both anchors to the same instant — 0/0 under ANSI mode."""
+    from inspig_etl_spark.operators.timeseries import linear_interpolate
+
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (1, 5, None), (1, 7, 20.0)], "k INT, t INT, v DOUBLE"
+    )
+    got = linear_interpolate(df, ["k"], "t", "v").collect()
+    filled = [r.value_filled for r in got if r.v is None]
+    assert filled == [10.0]  # degenerates to the same-instant observation
+
+
+def test_simhash_tokenless_docs_are_not_neardups(spark, tmp_path):
+    """Regression: punct-only docs all sketched to simhash 0 and verified
+    as Hamming-0 'near-dups' of each other despite sharing no content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [(1, "!!! ???"), (2, "... ---"), (3, "real words here overlap"),
+            (4, "real words here overlap too")]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * 4, "source": ["u"] * 4,
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from inspig_etl_spark.queries.llm_dedup import (
+        docs_minhash_neardup_pairs,
+        docs_simhash_neardup_pairs,
+    )
+
+    sim_pairs = {(r.id_a, r.id_b) for r in docs_simhash_neardup_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) not in sim_pairs  # token-less docs never pair
+    # minhash: the zero-shingle docs (1, 2 — no 3-gram shingles) are excluded
+    # from banding instead of colliding in one sentinel bucket.
+    mh_pairs = {(r.id_a, r.id_b) for r in docs_minhash_neardup_pairs(spark, str(tmp_path)).collect()}
+    assert all(a not in (1, 2) and b not in (1, 2) for a, b in mh_pairs)
+
+
+def test_asof_join_rejects_output_name_collision(spark):
+    import pytest
+
+    from inspig_etl_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5.0)], "k INT, t INT, price_asof DOUBLE"
+    )
+    right = spark.createDataFrame([(1, 5, 1.0)], "k INT, t INT, price DOUBLE")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "t", "t", ["price"])
+
+
+def test_resize_blob_shorter_than_header_is_foreign(spark):
+    import pytest
+    from pyspark.errors import PythonException
+
+    from inspig_etl_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, "image", b"IM\x01", (1, 1, 1))],
+        "id BIGINT, media_type STRING, blob BINARY, meta STRUCT<width:INT,height:INT,channels:INT>",
+    )
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        resize_media(df, 2, 2).collect()
