@@ -19,14 +19,27 @@ from inspig_etl_spark.queries import register
 @register(
     "json_props_extract",
     operators="X13 (from_json with explicit schema; ref schedule.py:180-207, config.py:229-255)",
+    # STRICT typed extraction mirroring Spark from_json(struct<k:int>):
+    # DuckDB's ->> + CAST is looser ('"7"' -> 7, 1.5 -> 2, true -> 1) and
+    # json_extract THROWS on malformed documents, so the oracle gates on
+    # json_valid + integer json_type and TRY_CASTs for int range — probed
+    # byte-equal to Spark across 11 value shapes (string/double/bool/
+    # overflow/malformed/missing/null all -> NULL on both engines).
     oracle=f"""
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+              THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS event_cnt,
-       COUNT(CAST(props->>'k' AS INTEGER)) AS k_present_cnt,
-       MIN(CAST(props->>'k' AS INTEGER)) AS k_min,
-       MAX(CAST(props->>'k' AS INTEGER)) AS k_max,
-       {sql_dec_avg("CAST(props->>'k' AS INTEGER)", 0)} AS k_avg
-FROM events
+       COUNT(k) AS k_present_cnt,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       {sql_dec_avg("k", 0)} AS k_avg
+FROM x
 GROUP BY event_type
 """,
 )

@@ -134,7 +134,12 @@ def order_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") < 300_000.0, 3)
         .otherwise(4)
     )
-    per_bucket = orders.groupBy(bucket_id.alias("bucket_id")).agg(
+    # Match the band table's [lo, hi) domain EXACTLY: the oracle's range
+    # join silently excludes NULL, negative, and >= 1e9 totals (they match
+    # no band), so the when-chain must not sweep them into buckets 1/4 —
+    # divergence invisible on current data, real after a data regen.
+    in_domain = (F.col("o_totalprice") >= 0.0) & (F.col("o_totalprice") < 1_000_000_000.0)
+    per_bucket = orders.filter(in_domain).groupBy(bucket_id.alias("bucket_id")).agg(
         F.count("o_orderkey").alias("order_cnt"),
         dec_sum(F.col("o_totalprice"), 2).alias("total_value"),
     )

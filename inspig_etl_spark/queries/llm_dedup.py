@@ -314,7 +314,9 @@ hits AS (
   GROUP BY x.doc_id
 )
 SELECT tr.doc_id,
-       CAST(len(tr.sh) AS BIGINT) AS shingle_cnt,
+       -- COALESCE: a NULL-text doc has sh = [] on the Spark side
+       -- (token_hashes folds through filtered arrays) but NULL here
+       CAST(COALESCE(len(tr.sh), 0) AS BIGINT) AS shingle_cnt,
        COALESCE(hits.shared_cnt, 0) AS shared_cnt,
        COALESCE(hits.shared_cnt, 0) >= {CONTAM_MIN_SHARED} AS is_contaminated
 FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id

@@ -36,7 +36,14 @@ from inspig_etl_spark.queries import register
 PPM = 1_000_000
 # Per-source target rates (ppm): derived from the source name so the
 # stratification is visibly non-uniform — src0..src4 ~20%, src15+ ~65%.
-_SQL_RATE = f"(200000 + (LENGTH(source) % 3) * 150000 + (CAST(SUBSTRING(source, 4, 2) AS INT) % 5) * 30000)"
+# TRY_CAST + COALESCE: source names are data, not schema — a regenerated
+# corpus with names not shaped 'src<digits>' ('web', 'wiki') must degrade
+# to the length-derived rate, not abort both engines with a cast error
+# (the repo's X18 junk->NULL convention).
+_SQL_RATE = (
+    "(200000 + (LENGTH(source) % 3) * 150000"
+    " + (COALESCE(TRY_CAST(SUBSTRING(source, 4, 2) AS INT), 0) % 5) * 30000)"
+)
 _SQL_GATE_HASH = sql_md5_long("'smp' || CAST(doc_id AS VARCHAR)") + f" % {PPM}"
 
 
@@ -44,7 +51,8 @@ def _rate_col() -> F.Column:
     return (
         200000
         + (F.length("source") % 3) * 150000
-        + (F.substring("source", 4, 2).cast("int") % 5) * 30000
+        + (F.coalesce(F.substring("source", 4, 2).try_cast("int"), F.lit(0)) % 5)
+        * 30000
     )
 
 

@@ -54,11 +54,18 @@ WITH t AS (
 ),
 fp AS (
   SELECT doc_id,
-         md5(array_to_string(toks, ' ')) AS fingerprint,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(toks, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {HASH_P})),
-           (acc, h) -> (acc * 31 + h) % {HASH_P}) AS rolling_hash
+         -- NULL-text gate: Spark's array_join([], ' ') is '' but DuckDB's
+         -- array_to_string([], ' ') is NULL, so token-LESS docs need the
+         -- COALESCE to fingerprint as md5('') like Spark; NULL-text docs
+         -- stay NULL on both engines (and DuckDB's list_prepend(0, NULL)
+         -- is [0], which would make a NULL doc's rolling hash 0 — gated).
+         CASE WHEN toks IS NULL THEN NULL
+              ELSE md5(COALESCE(array_to_string(toks, ' '), '')) END AS fingerprint,
+         CASE WHEN toks IS NULL THEN NULL
+              ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {HASH_P})),
+                (acc, h) -> (acc * 31 + h) % {HASH_P}) END AS rolling_hash
   FROM t
 )
 SELECT doc_id, fingerprint, rolling_hash,
@@ -113,9 +120,17 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         chars.alias("total_token_chars"),
-        F.floor(chars * 10000 / n.cast("double")).cast("bigint").alias("avg_token_len_e4"),
+        # nullif(n, 0): a zero-token doc (punct/emoji-only text after a
+        # driver data regen) must yield NULL ratios like the oracle's
+        # 0/0.0 does in DuckDB — under Spark 4's default ANSI mode the
+        # unguarded division would throw DIVIDE_BY_ZERO instead.
+        F.floor(chars * 10000 / F.nullif(n, F.lit(0)).cast("double"))
+        .cast("bigint")
+        .alias("avg_token_len_e4"),
         stop.alias("stopword_cnt"),
-        F.floor(stop * 10000 / n.cast("double")).cast("bigint").alias("stopword_ratio_e4"),
+        F.floor(stop * 10000 / F.nullif(n, F.lit(0)).cast("double"))
+        .cast("bigint")
+        .alias("stopword_ratio_e4"),
         (
             F.length("text") - F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
         ).alias("punct_chars"),
@@ -130,7 +145,8 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_QUALITY_PPM = (
     "(LEAST(len(toks), 80) * 6250"
     f" + LEAST({sql_stopword_count('toks', 'en')}, 8) * 25000"
-    " + CAST(FLOOR(len(list_distinct(toks)) * 300000 / CAST(len(toks) AS DOUBLE)) AS BIGINT))"
+    " + CAST(FLOOR(len(list_distinct(toks)) * 300000"
+    " / CAST(NULLIF(len(toks), 0) AS DOUBLE)) AS BIGINT))"
 )
 
 
@@ -162,7 +178,9 @@ def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(n, F.lit(80).cast("bigint")) * 6250
         + F.least(stopword_count(toks, "en").cast("bigint"), F.lit(8).cast("bigint")) * 25000
         + F.floor(
-            F.size(F.array_distinct(toks)).cast("bigint") * 300000 / n.cast("double")
+            F.size(F.array_distinct(toks)).cast("bigint")
+            * 300000
+            / F.nullif(n, F.lit(0)).cast("double")  # ANSI 0/0 guard, see token_stats
         ).cast("bigint")
     )
     q = d.select("doc_id", "source", quality_ppm.alias("quality_ppm"))
@@ -510,7 +528,9 @@ PACK_CAPACITY = 128  # tokens per packed training sequence
     ),
     oracle=f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n FROM documents
+  -- COALESCE: a NULL text tokenizes to NULL; it packs as a 0-token doc
+  SELECT doc_id, source, COALESCE(CAST(len({_SQL_TOKS}) AS BIGINT), 0) AS n
+  FROM documents
 ),
 o AS (
   SELECT doc_id, source, n,
@@ -537,15 +557,17 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     it fits, else opens the next (an oversized doc gets a bin to itself).
     The recurrence (bin fill depends on every prior placement) is not
     expressible with plain windows — ``floor(cumsum/C)`` would SPLIT docs
-    across bins — so each shard runs one linear pass inside an
-    Arrow-batched ``applyInPandas``. The oracle computes the identical
-    fold with a recursive CTE.
+    across bins — so each shard runs one linear fold. The oracle computes
+    the identical fold with a recursive CTE.
 
-    Scale shape: one shuffle on the shard key, then embarrassingly
-    parallel per-shard passes whose state is two integers; real pipelines
-    pack per shard exactly like this (global greedy order is not a goal —
-    determinism within a shard is). The packing input is pre-projected to
-    three narrow columns so the Arrow transfer never carries text.
+    Scale shape: one shuffle on the shard key + a partition-local sort
+    (the secondary-sort idiom), then a streaming Arrow-batched fold whose
+    per-shard state is two integers — memory O(arrow batch), never
+    O(shard), unlike ``groupBy().applyInPandas`` which materializes the
+    whole shard in one task. Real pipelines pack per shard exactly like
+    this (global greedy order is not a goal — determinism within a shard
+    is). The packing input is pre-projected to three narrow columns so
+    the Arrow transfer never carries text.
     """
     import pandas as pd
 
@@ -553,29 +575,47 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id",
         "source",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        # coalesce: a NULL text tokenizes to NULL; it packs as a 0-token
+        # doc (mirrored in the oracle) instead of poisoning the Arrow
+        # long column with NaN.
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bin_nos = []
-        fills = []
-        bin_no = 0
-        fill = -1  # sentinel: first doc always seeds bin 0
-        for n in pdf["n_tokens"]:
-            if fill >= 0 and fill + n <= PACK_CAPACITY:
-                fill += n
-            elif fill < 0:
-                fill = n
-            else:
-                bin_no += 1
-                fill = n
-            bin_nos.append(bin_no)
-            fills.append(fill)
-        pdf["bin_no"] = bin_nos
-        pdf["bin_fill"] = fills
-        return pdf[["doc_id", "source", "n_tokens", "bin_no", "bin_fill"]]
+    # Secondary-sort fold, NOT groupBy().applyInPandas(): applyInPandas
+    # materializes each source shard as ONE pandas frame in ONE task, so a
+    # hot shard OOMs even though the fold needs two integers of state.
+    # repartition(source) puts each shard wholly in one partition,
+    # sortWithinPartitions fixes the fold order, and mapInPandas streams
+    # the partition's Arrow batches through a per-source state dict —
+    # memory is O(arrow batch), parallelism is O(partitions).
+    def pack(batches):
+        state: dict = {}  # source -> [bin_no, fill]
+        for pdf in batches:
+            bin_nos = []
+            fills = []
+            for src, n in zip(pdf["source"], pdf["n_tokens"]):
+                n = int(n)
+                st = state.get(src)
+                if st is None:
+                    st = state[src] = [0, n]
+                elif st[1] + n <= PACK_CAPACITY:
+                    st[1] += n
+                else:
+                    st[0] += 1
+                    st[1] = n
+                bin_nos.append(st[0])
+                fills.append(st[1])
+            out = pdf[["doc_id", "source", "n_tokens"]].copy()
+            out["bin_no"] = pd.Series(bin_nos, dtype="int64")
+            out["bin_fill"] = pd.Series(fills, dtype="int64")
+            yield out
 
-    return sized.groupBy("source").applyInPandas(
-        pack, "doc_id long, source string, n_tokens long, bin_no long, bin_fill long"
+    return (
+        sized.repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .mapInPandas(
+            pack, "doc_id long, source string, n_tokens long, bin_no long, bin_fill long"
+        )
     )

@@ -565,10 +565,10 @@ def parse_ncst_items(raw: DataFrame) -> DataFrame:
     rain_raw = F.trim(F.replace(F.col("RN1"), F.lit("mm"), F.lit("")))
     pty_eff = F.when(F.col("PTY").isNull() | (F.col("PTY") == ""), "0").otherwise(F.col("PTY"))
     sky_eff = F.when(F.col("SKY").isNull() | (F.col("SKY") == ""), "1").otherwise(F.col("SKY"))
-    pty_cd_map = {k: v[0] for k, v in PTY_CODES.items() if k != "0"}
-    pty_nm_map = {k: v[1] for k, v in PTY_CODES.items() if k != "0"}
-    sky_cd_map = {k: v[0] for k, v in SKY_CODES.items()}
-    sky_nm_map = {k: v[1] for k, v in SKY_CODES.items()}
+    # The shared module-level maps — one derivation site, so a change to
+    # PTY/SKY code handling cannot silently apply to only one decoder.
+    pty_cd_map, pty_nm_map = _PTY_CD_MAP, _PTY_NM_MAP
+    sky_cd_map, sky_nm_map = _SKY_CD_MAP, _SKY_NM_MAP
 
     return wide.select(
         "nx",
