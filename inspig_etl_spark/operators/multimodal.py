@@ -57,8 +57,13 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         _u16(height),
         _u16(channels),
     )
+    # coalesce: a NULL text yields a well-formed ZERO-payload medium (the
+    # header still renders), never a NULL blob that would crash the decode
+    # kernels downstream; the query oracles mirror the same COALESCE.
     payload = F.substring(
-        F.encode(F.repeat(F.col(text_col), 4), "UTF-8"), 1, width * height * channels
+        F.encode(F.repeat(F.coalesce(F.col(text_col), F.lit("")), 4), "UTF-8"),
+        1,
+        width * height * channels,
     )
     media_type = (
         F.when(F.col(id_col) % 3 == 0, "image")

@@ -332,7 +332,10 @@ def union_all_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand,
        COUNT(*) AS part_cnt,
-       string_agg(p_type, ',' ORDER BY p_type) AS type_list
+       -- COALESCE: an all-NULL group (possible after a data regen) is ''
+       -- like Spark's concat_ws over the NULL-dropping collect_list, not
+       -- string_agg's NULL
+       COALESCE(string_agg(p_type, ',' ORDER BY p_type), '') AS type_list
 FROM (SELECT DISTINCT p_brand, p_type FROM part)
 GROUP BY p_brand
 """,

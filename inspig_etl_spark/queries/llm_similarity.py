@@ -43,6 +43,16 @@ NEARDUP_COS = 0.45
 LSH_PLANES = 4
 IVF_CELLS = 8
 
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table restricted to VALID vectors: NULL or empty
+    embeddings (failed/padded encodes after a data regen) cannot
+    participate in any similarity kernel — DuckDB's list folds even error
+    on empty lists — so every query and every oracle reads through the
+    same guard."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+
+
 _SIGNS = hyperplane_signs(LSH_PLANES, DIM)
 _CENTROIDS = ivf_centroids(IVF_CELLS, DIM)
 
@@ -56,7 +66,7 @@ _SQL_COSINE = f"{sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn)"
 WITH b AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
          {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
 ),
 s AS (
   SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -78,7 +88,7 @@ def embeddings_cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> Data
     """
     from inspig_etl_spark.operators.similarity import dot, norm
 
-    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
+    emb = _vectors(spark, sf_dir).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _SIGNS)
     )
     n = emb.select("bucket", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
@@ -94,7 +104,12 @@ def embeddings_cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> Data
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # nullif: a zero-norm vector would throw DIVIDE_BY_ZERO under Spark 4's
+    # default ANSI mode; DuckDB's x/0 is already NULL, and NULL sim fails
+    # the >= threshold filter identically on both engines.
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("sim", sim)
@@ -109,11 +124,11 @@ def embeddings_cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> Data
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv, {sql_norm('embedding')} AS qn
-  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings WHERE vec_id % {QUERY_MOD} = 0
 ),
 c AS (
   SELECT vec_id AS neighbor_id, embedding AS cv, {sql_norm('embedding')} AS cn
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
 ),
 s AS (
   SELECT query_id, neighbor_id, {_SQL_COSINE} AS sim
@@ -129,7 +144,7 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
 """,
 )
 def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb = _vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
@@ -146,7 +161,7 @@ def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
          {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
@@ -167,7 +182,7 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM r WHERE rank <= {TOP_K}
 """,
 )
 def embeddings_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
+    emb = _vectors(spark, sf_dir).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), _SIGNS)
     )
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -198,7 +213,7 @@ _SQL_IVF_CASE = (
 WITH sc AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
          {_SQL_IVF_SCORES}
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
 ),
 cl AS (
   SELECT vec_id, embedding, nrm, {_SQL_IVF_CASE} AS cell
@@ -233,7 +248,7 @@ def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles O(|corpus|) rows on the cell key — never all-pairs.
     """
     emb = with_ivf_cell(
-        spread(table(spark, sf_dir, "embeddings")), "embedding", _CENTROIDS
+        _vectors(spark, sf_dir), "embedding", _CENTROIDS
     )
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "cell"
@@ -249,7 +264,7 @@ def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="LLM-dedup-cosine (embedding-cosine near-dup pairs; brief: 'embedding-cosine near-dup')",
     oracle=f"""
 WITH n AS (
-  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
 ),
 s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -261,7 +276,7 @@ FROM s WHERE sim >= {NEARDUP_COS}
 """,
 )
 def embeddings_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb = _vectors(spark, sf_dir)
     from inspig_etl_spark.operators.similarity import dot, norm
 
     n = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
@@ -275,7 +290,12 @@ def embeddings_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # nullif: a zero-norm vector would throw DIVIDE_BY_ZERO under Spark 4's
+    # default ANSI mode; DuckDB's x/0 is already NULL, and NULL sim fails
+    # the >= threshold filter identically on both engines.
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     # All-pairs is intentional here (it IS the baseline definition); the
     # bucketed detector above is the scale path. a.vec_id < b.vec_id halves
     # the work; the smaller side is broadcast by AQE.

@@ -4,7 +4,7 @@ video frame sampling.
 All are fully oracle-checked: the synthetic blob is a pure function of
 (doc_id, text), so the decode outputs — dims from the id, byte sums over the
 UTF-8 payload — are DuckDB-expressible by re-deriving the payload bytes from
-``hex(encode(repeat(text, 4)))`` and folding hex digits. Byte means use the
+``hex(encode(repeat(COALESCE(text, ''), 4)))`` and folding hex digits. Byte means use the
 micro-floor contract (``sum*1e6 // n / 1e6``, see operators/multimodal.py)
 so floats are bit-identical across engines.
 """
@@ -67,7 +67,7 @@ WITH m AS (
          CAST(doc_id % 16 + 4 AS INT) AS width,
          CAST(doc_id % 12 + 4 AS INT) AS height,
          CAST(doc_id % 3 + 1 AS INT) AS channels,
-         encode(repeat(text, 4)) AS pay
+         encode(repeat(COALESCE(text, ''), 4)) AS pay
   FROM documents
 ), p AS (
   SELECT doc_id, media_type, width, height, channels,
@@ -114,7 +114,7 @@ WITH m AS (
          CAST(doc_id % 16 + 4 AS INT) AS w,
          CAST(doc_id % 12 + 4 AS INT) AS h,
          CAST(doc_id % 3 + 1 AS INT) AS c,
-         encode(repeat(text, 4)) AS pay
+         encode(repeat(COALESCE(text, ''), 4)) AS pay
   FROM documents
 ), p AS (
   SELECT doc_id, media_type, w, h, c,
@@ -169,7 +169,7 @@ WITH m AS (
          CAST(doc_id % 16 + 4 AS INT) AS w,
          CAST(doc_id % 12 + 4 AS INT) AS h,
          CAST(doc_id % 3 + 1 AS INT) AS c,
-         encode(repeat(text, 4)) AS pay
+         encode(repeat(COALESCE(text, ''), 4)) AS pay
   FROM documents WHERE doc_id % 3 = 2
 ), p AS (
   SELECT doc_id,

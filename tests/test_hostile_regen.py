@@ -17,7 +17,9 @@ import pytest
 from tests.conftest import SF_SMOKE
 from tests.parity import compare, run_oracle
 
-DOC_QUERIES = [
+_FIRST_COHORT = [  # the r6 hand-picked cohort, kept for reference
+    # (the gate now sweeps every oracled query)
+][:0] or [
     "docs_token_stats",
     "docs_quality_by_source",
     "docs_bpe_token_count",
@@ -84,11 +86,79 @@ def hostile_dir(tmp_path_factory):
         ) v(event_id, ts, user_id, event_type, value, props)
     ) TO '{d}/events.parquet' (FORMAT PARQUET)"""
     )
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{SF_SMOKE}/lineitem.parquet')
+        UNION ALL
+        SELECT * FROM (VALUES
+          (990001, 1, 1, 1, NULL, NULL, NULL, NULL, 'N', 'O', TIMESTAMP '1997-02-01'),
+          (990001, 1, 1, 2, -5.0, -100.0, 0.5, 0.0, 'R', 'F', NULL)
+        ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+    ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{SF_SMOKE}/customer.parquet')
+        UNION ALL
+        SELECT * FROM (VALUES
+          (990001, NULL, 0, NULL, NULL)
+        ) v(c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal)
+    ) TO '{d}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{SF_SMOKE}/part.parquet')
+        UNION ALL
+        SELECT * FROM (VALUES
+          (990001, NULL, NULL, NULL, NULL, NULL)
+        ) v(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    ) TO '{d}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{SF_SMOKE}/supplier.parquet')
+        UNION ALL
+        SELECT * FROM (VALUES
+          (990001, NULL, 0, NULL)
+        ) v(s_suppkey, s_name, s_nationkey, s_acctbal)
+    ) TO '{d}/supplier.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{SF_SMOKE}/embeddings.parquet')
+        UNION ALL
+        SELECT vec_id, embedding, label FROM (VALUES
+          (990001, CAST(NULL AS FLOAT[]), 0),
+          (990002, CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS FLOAT[]), NULL)
+        ) v(vec_id, embedding, label)
+    ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    # More event poison: NULL event_type / NULL value (keys and timestamps
+    # stay sane — the regen scenario changes values and dtypes, not keys).
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{d}/events.parquet')
+        UNION ALL
+        SELECT * FROM (VALUES
+          (9900007, TIMESTAMP '2024-01-05 00:00:07', 2, NULL, 1.0, NULL),
+          (9900008, TIMESTAMP '2024-01-05 00:00:08', 2, 'purchase', NULL, NULL)
+        ) v(event_id, ts, user_id, event_type, value, props)
+    ) TO '{d}/events2.parquet' (FORMAT PARQUET)"""
+    )
+    os.replace(f"{d}/events2.parquet", f"{d}/events.parquet")
     con.close()
     return d
 
 
-@pytest.mark.parametrize("name", DOC_QUERIES)
+def _all_oracled():
+    from inspig_etl_spark import queries as reg
+
+    reg._load()
+    return [q.name for q in reg.REGISTRY.values() if q.oracle is not None]
+
+
+@pytest.mark.parametrize("name", _all_oracled())
 def test_parity_survives_hostile_rows(spark, hostile_dir, name):
     from inspig_etl_spark import queries as reg
 
