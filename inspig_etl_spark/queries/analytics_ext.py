@@ -32,6 +32,11 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+-- exact mirror of Spark's empty-input behavior: standard-SQL ROLLUP emits
+-- a COUNT=0 grand-total row over ZERO input rows (the () grouping set),
+-- Spark's rollup() emits nothing; on any non-empty input every grouping-
+-- set row aggregates >= 1 row, so this HAVING is a no-op there
+HAVING COUNT(*) > 0
 """,
 )
 def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

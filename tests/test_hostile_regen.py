@@ -165,3 +165,30 @@ def test_parity_survives_hostile_rows(spark, hostile_dir, name):
     reg._load()
     q = reg.REGISTRY[name]
     compare(q.name, q.fn(spark, hostile_dir), *run_oracle(q.oracle, hostile_dir))
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    """Schema-only clone: every table with zero rows — the degenerate end
+    of the scale-factor axis (and of any filtered regen)."""
+    d = str(tmp_path_factory.mktemp("empty"))
+    con = duckdb.connect()
+    for f in os.listdir(SF_SMOKE):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_SMOKE}/{f}') WHERE 1 = 0) "
+            f"TO '{d}/{f}' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+@pytest.mark.parametrize("name", _all_oracled())
+def test_parity_survives_empty_tables(spark, empty_dir, name):
+    """Zero input rows must yield the SAME (usually zero-row, sometimes
+    spine/zero-fill) result on both engines — no crashes on empty
+    aggregates, windows, folds, or pivots."""
+    from inspig_etl_spark import queries as reg
+
+    reg._load()
+    q = reg.REGISTRY[name]
+    compare(q.name, q.fn(spark, empty_dir), *run_oracle(q.oracle, empty_dir))
