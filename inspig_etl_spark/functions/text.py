@@ -20,17 +20,32 @@ from pyspark.sql import functions as F
 # stay under 2^62, so all arithmetic fits in a BIGINT on both engines.
 HASH_P = 2_147_483_647
 
-# Tokenizer: lowercase, split on any non-alphanumeric run, drop empties.
+# Tokenizer: ASCII-lowercase, split on any non-[a-z0-9] run, drop empties.
 _TOKEN_SPLIT = "[^a-z0-9]+"
+# ASCII-ONLY case fold via translate, NOT lower(): full Unicode lowercasing
+# is locale/engine-dependent — Java lowers 'İ' to "i"+combining-dot (two
+# code points, which the split regex then severs into extra tokens) while
+# DuckDB lowers it to plain "i" — so lower() silently diverges the token
+# stream between the engine and its oracle on non-ASCII text. translate
+# over the 26 ASCII letters is bit-identical everywhere; non-ASCII chars
+# fall through unchanged and act as separators on both engines alike.
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
 
 
 def tokens(col: Column) -> Column:
-    """Lower-cased alphanumeric tokens of a text column (array<string>)."""
-    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
+    """ASCII-lower-cased alphanumeric tokens of a text column (array<string>)."""
+    return F.filter(
+        F.split(F.translate(col, _ASCII_UP, _ASCII_LO), _TOKEN_SPLIT),
+        lambda x: x != "",
+    )
 
 
 def sql_tokens(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array(lower({expr}), '{_TOKEN_SPLIT}'), x -> x <> '')"
+    return (
+        f"list_filter(regexp_split_to_array("
+        f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}'), '{_TOKEN_SPLIT}'), x -> x <> '')"
+    )
 
 
 def token_ngrams(toks: Column, n: int, sep: str = " ") -> Column:

@@ -57,7 +57,11 @@ def hostile_dir(tmp_path_factory):
           (90002, NULL, 'en', 'w', 0),                  -- NULL text, short source
           (90003, '--- !!!', 'en', 'books', 7),         -- token-less, alpha source
           (90004, 'one', 'en', 'wiki99x', 3),           -- <3 tokens (no shingles)
-          (90005, '', 'en', 'src1', 0)                  -- empty string text
+          (90005, '', 'en', 'src1', 0),                 -- empty string text
+          (90006, '돼지 농장 주간 보고서 돼지 농장', 'ko', 'src2', 22),  -- Korean (the reference domain)
+          (90007, 'İstanbul constantinople ISTANBUL istanbul', 'tr', 'src3', 41), -- casefold edge
+          (90008, 'naïve café naïve café résumé', 'fr', 'src4', 28),   -- combining accents
+          (90009, 'mixed 한글 and english words 한글', 'ko', 'src5', 29) -- mixed scripts
         ) v(doc_id, text, lang, source, n_chars)
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
     )
