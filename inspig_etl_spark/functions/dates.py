@@ -177,9 +177,10 @@ def to_locale_us(ts_us: Column, locale: Column) -> Column:
 def us_to_sec(col: Column) -> Column:
     """Epoch-microseconds → whole epoch seconds (flooring).
 
-    DuckDB oracle equivalent: ``epoch_us(ts) // 1000000`` — which FLOORS, so
-    we floor too (a plain cast truncates toward zero and would diverge for
-    pre-1970 timestamps).
+    DuckDB oracle equivalent: ``CAST(FLOOR(epoch_us(ts) / 1000000.0) AS
+    BIGINT)`` — NOT integer ``//``, which in DuckDB truncates toward zero
+    (probed: ``-1 // 1000000 = 0``) and would diverge from this floor for
+    pre-1970 timestamps.
 
     The double division is safe here: with integer-µs inputs the fractional
     part is ≤ 1−1e-6 while the rounding error bound at ~1.7e9 s is ~2e-7,

@@ -28,7 +28,11 @@ from inspig_etl_spark.queries import register
 
 # DuckDB-side expression equal to the catalog's ts_us column.
 SQL_TS_US = "epoch_us(ts)"
-SQL_TS_SEC = "(epoch_us(ts) // 1000000)"
+# FLOOR via double division, NOT integer // : DuckDB's integer // 
+# truncates toward zero (probed: -1 // 1000000 = 0), so a pre-epoch
+# microsecond would land in second 0 while Spark's floor lands it in
+# second -1; floor(x / 1e6) is the identical IEEE op on both engines.
+SQL_TS_SEC = "CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT)"
 
 
 @register(

@@ -19,7 +19,9 @@ from inspig_etl_spark.streaming.sessionize import GAP_SECONDS, sessionize_batch
     operators="W2,A2 + streaming/sessionize (gap-based sessionization, batch form of the stateful operator)",
     oracle=f"""
 WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
+  -- floor via double division, not integer // (DuckDB // truncates)
+  SELECT user_id, event_id, CAST(FLOOR(epoch_us(ts) / 1000000.0) AS BIGINT) AS ts_sec
+  FROM events
 ),
 g AS (
   SELECT user_id, event_id, ts_sec,

@@ -146,7 +146,9 @@ def hostile_dir(tmp_path_factory):
         UNION ALL
         SELECT * FROM (VALUES
           (9900007, TIMESTAMP '2024-01-05 00:00:07', 2, NULL, 1.0, NULL),
-          (9900008, TIMESTAMP '2024-01-05 00:00:08', 2, 'purchase', NULL, NULL)
+          (9900008, TIMESTAMP '2024-01-05 00:00:08', 2, 'purchase', NULL, NULL),
+          (9900009, TIMESTAMP '1969-12-31 23:59:59.999999', 3, 'view', 1.0, NULL),
+          (9900010, TIMESTAMP '2199-06-15 12:00:00', 3, 'purchase', 2.0, NULL)
         ) v(event_id, ts, user_id, event_type, value, props)
     ) TO '{d}/events2.parquet' (FORMAT PARQUET)"""
     )
