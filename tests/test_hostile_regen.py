@@ -61,7 +61,8 @@ def hostile_dir(tmp_path_factory):
           (90006, '돼지 농장 주간 보고서 돼지 농장', 'ko', 'src2', 22),  -- Korean (the reference domain)
           (90007, 'İstanbul constantinople ISTANBUL istanbul', 'tr', 'src3', 41), -- casefold edge
           (90008, 'naïve café naïve café résumé', 'fr', 'src4', 28),   -- combining accents
-          (90009, 'mixed 한글 and english words 한글', 'ko', 'src5', 29) -- mixed scripts
+          (90009, 'mixed 한글 and english words 한글', 'ko', 'src5', 29), -- mixed scripts
+          (90010, 'doc with null source stratum', NULL, NULL, 28)      -- NULL lang AND source
         ) v(doc_id, text, lang, source, n_chars)
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
     )
