@@ -43,6 +43,15 @@ NEARDUP_COS = 0.45
 LSH_PLANES = 4
 IVF_CELLS = 8
 
+# The ORACLE twin of _vectors() below — ONE derivation site for the
+# valid-vector guard on each side (f-strings interpolate this into
+# every oracle).
+_SQL_VECTORS = (
+    "(SELECT * FROM embeddings "
+    "WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings"
+)
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table restricted to VALID vectors: NULL or empty
     embeddings (failed/padded encodes after a data regen) cannot
@@ -66,7 +75,7 @@ _SQL_COSINE = f"{sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn)"
 WITH b AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
          {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
+  FROM {_SQL_VECTORS}
 ),
 s AS (
   SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -124,11 +133,11 @@ def embeddings_cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> Data
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv, {sql_norm('embedding')} AS qn
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings WHERE vec_id % {QUERY_MOD} = 0
+  FROM {_SQL_VECTORS} WHERE vec_id % {QUERY_MOD} = 0
 ),
 c AS (
   SELECT vec_id AS neighbor_id, embedding AS cv, {sql_norm('embedding')} AS cn
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
+  FROM {_SQL_VECTORS}
 ),
 s AS (
   SELECT query_id, neighbor_id, {_SQL_COSINE} AS sim
@@ -161,7 +170,7 @@ def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
          {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
+  FROM {_SQL_VECTORS}
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
@@ -213,7 +222,7 @@ _SQL_IVF_CASE = (
 WITH sc AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
          {_SQL_IVF_SCORES}
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
+  FROM {_SQL_VECTORS}
 ),
 cl AS (
   SELECT vec_id, embedding, nrm, {_SQL_IVF_CASE} AS cell
@@ -264,7 +273,7 @@ def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators="LLM-dedup-cosine (embedding-cosine near-dup pairs; brief: 'embedding-cosine near-dup')",
     oracle=f"""
 WITH n AS (
-  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM {_SQL_VECTORS}
 ),
 s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

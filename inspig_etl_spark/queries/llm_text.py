@@ -544,7 +544,10 @@ rec AS (
   SELECT o.source, o.rn, o.doc_id, o.n,
          CASE WHEN r.fill + o.n <= {{C}} THEN r.bin_no ELSE r.bin_no + 1 END,
          CASE WHEN r.fill + o.n <= {{C}} THEN r.fill + o.n ELSE o.n END
-  FROM rec r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+  -- IS NOT DISTINCT FROM: a NULL source is a real shard; o.source =
+  -- r.source would drop every NULL-source doc after the first from
+  -- the recursion while the Spark fold packs them all
+  FROM rec r JOIN o ON o.source IS NOT DISTINCT FROM r.source AND o.rn = r.rn + 1
 )
 SELECT doc_id, source, n AS n_tokens, bin_no, fill AS bin_fill FROM rec
 """.replace("{C}", str(PACK_CAPACITY)),

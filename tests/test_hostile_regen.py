@@ -17,30 +17,6 @@ import pytest
 from tests.conftest import SF_SMOKE
 from tests.parity import compare, run_oracle
 
-_FIRST_COHORT = [  # the r6 hand-picked cohort, kept for reference
-    # (the gate now sweeps every oracled query)
-][:0] or [
-    "docs_token_stats",
-    "docs_quality_by_source",
-    "docs_bpe_token_count",
-    "docs_repetition_filter",
-    "docs_lang_id",
-    "docs_sequence_packing",
-    "docs_chunk_dedup",
-    "docs_pii_redaction",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_stratified_hash_sample",
-    "docs_reservoir_per_source",
-    "docs_mix_weighted_epochs",
-    "docs_simhash_neardup_pairs",
-    "docs_minhash_neardup_pairs",
-    "docs_ngram_jaccard_pairs",
-    "docs_decontaminate_eval_overlap",
-    "order_value_band_join",
-    "json_props_extract",
-]
-
 
 @pytest.fixture(scope="module")
 def hostile_dir(tmp_path_factory):
@@ -62,7 +38,8 @@ def hostile_dir(tmp_path_factory):
           (90007, 'İstanbul constantinople ISTANBUL istanbul', 'tr', 'src3', 41), -- casefold edge
           (90008, 'naïve café naïve café résumé', 'fr', 'src4', 28),   -- combining accents
           (90009, 'mixed 한글 and english words 한글', 'ko', 'src5', 29), -- mixed scripts
-          (90010, 'doc with null source stratum', NULL, NULL, 28)      -- NULL lang AND source
+          (90010, 'doc with null source stratum', NULL, NULL, 28),     -- NULL lang AND source
+          (90011, 'second null source doc packs after it', NULL, NULL, 38) -- NULL shard size >= 2
         ) v(doc_id, text, lang, source, n_chars)
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
     )
@@ -108,7 +85,7 @@ def hostile_dir(tmp_path_factory):
         UNION ALL
         SELECT * FROM (VALUES
           (990001, NULL, 0, NULL, NULL)
-        ) v(c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal)
+        ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)  -- REAL parquet column order
     ) TO '{d}/customer.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
