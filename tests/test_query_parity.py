@@ -36,31 +36,51 @@ def test_no_oracle_query_runs(spark, case):
 
 
 def test_window_tier_lists_are_consistent():
-    """The driver samples the first 50 oracled registrations; the tier
+    """The driver samples the first 50 registrations (rows-only queries get
+    a record too — see CORRECTNESS_r03's multimodal rows); the tier
     frozensets steer that window, so a typo'd name or an over-full front
     section would silently leave queries unverified."""
     names = {q.name for q in reg.REGISTRY.values()}
     for label, tier_set in [
         ("_NEW_THIS_ROUND", reg._NEW_THIS_ROUND),
-        ("_STALE_R4", reg._STALE_R4),
-        ("_STALE_R4_DEFERRED", reg._STALE_R4_DEFERRED),
+        ("_STALE_R5", reg._STALE_R5),
+        ("_STALE_R5_DEFERRED", reg._STALE_R5_DEFERRED),
     ]:
         unknown = tier_set - names
         assert not unknown, f"{label} references unknown queries: {unknown}"
-    assert not (reg._NEW_THIS_ROUND & reg._STALE_R4), "a query is in both tiers"
-    assert not (reg._STALE_R4 & reg._STALE_R4_DEFERRED), (
-        "a deferred query is still listed in _STALE_R4"
+    assert not (reg._NEW_THIS_ROUND & reg._STALE_R5), "a query is in both tiers"
+    assert not (reg._STALE_R5 & reg._STALE_R5_DEFERRED), (
+        "a deferred query is still listed in _STALE_R5"
     )
     front = [
         q
         for q in reg.REGISTRY.values()
-        if q.oracle is not None
-        and (q.name in reg._STALE_R4 or q.name in reg._NEW_THIS_ROUND)
+        if q.name in reg._STALE_R5 or q.name in reg._NEW_THIS_ROUND
     ]
     assert len(front) <= 50, (
-        f"tier 0 + tier 1 hold {len(front)} oracled queries — more than the "
+        f"tier 0 + tier 1 hold {len(front)} queries — more than the "
         f"driver's 50-query window; trim the tier lists"
     )
+
+
+def test_r7_window_holds_the_stale_records():
+    """Judge r6 verdict item 1: after r7 every registry query's driver
+    record must be ≤2 rounds old, so the 8 stalest records (7 r4-deferred +
+    the never-checked rows-only approx query) must sit inside the first 50
+    registrations."""
+    must_rotate = {
+        "embeddings_cosine_neardup_pairs",
+        "embeddings_knn_bruteforce",
+        "merge_insert_if_absent",
+        "docs_mix_weighted_epochs",
+        "schedule_farm_default",
+        "string_date_roundtrip",
+        "docs_fingerprint",
+        "order_value_percentiles_approx",
+    }
+    window = set(list(reg.REGISTRY)[:50])
+    missing = must_rotate - window
+    assert not missing, f"stale queries outside the r7 window: {missing}"
 
 
 def test_never_driver_verified_queries_sit_inside_window():
