@@ -158,6 +158,10 @@ def main() -> None:
             line += f" ({'+' if d >= 0 else ''}{d:.3f}s vs baseline {base_queries[name]:.3f}s)"
         print(line, file=sys.stderr)
 
+    # The stdout line holds ONLY the driver contract keys — r6's line also
+    # carried the per-query baseline-delta map and blew past the driver's
+    # capture window (BENCH_r06.json: parsed=null, front-truncated tail).
+    # The full record (deltas, baseline total) goes to a side file instead.
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -165,10 +169,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    full = dict(out)
     if base_queries:
-        out["baseline_total"] = round(sum(base_queries.values()), 3)
-        out["delta_vs_baseline"] = deltas
-    print(json.dumps(out))
+        full["baseline_total"] = round(sum(base_queries.values()), 3)
+        full["delta_vs_baseline"] = deltas
+        print(
+            f"# baseline_total={full['baseline_total']} "
+            f"delta_total={round(sum(deltas.values()), 3)}",
+            file=sys.stderr,
+        )
+    (Path(_REPO) / "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1))
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -102,7 +102,21 @@ def handle_run_farm(spark: SparkSession, sf_dir: str, output: str, body: dict) -
         # scopes to THIS week's slice — the engine and the landed tables
         # agree on the sequence by construction.
         seq = result["master_seq"]
-        assert seq == _master_seq(result)
+        if seq != _master_seq(result):
+            # Explicit check (not assert: stripped under `python -O`, and a
+            # mismatch must surface as the endpoint's error contract, not an
+            # unhandled 500) — a drifted seq would land this week's rows
+            # under the wrong replace key and orphan the real slice.
+            return 200, {
+                "status": "error",
+                "farmNo": farm_no,
+                "dayGb": day_gb,
+                "error": "master_seq mismatch",
+                "message": (
+                    f"engine stamped master_seq={seq} but the period derives "
+                    f"{_master_seq(result)} — refusing to land inconsistent rows"
+                ),
+            }
         # Land through the S12 slice semantics: this (master, farm) replaces
         # its own prior rows, other farms/weeks stay (TS_INS_WEEK_SUB /
         # TS_INS_WEEK).

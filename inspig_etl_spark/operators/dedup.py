@@ -103,10 +103,22 @@ def minhash_signature(shingle_hashes: Column, k: int = MINHASH_K) -> Column:
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
-    """Band the signature: array of ``bands`` string keys (joined sig slice)."""
+    """Band the signature: array of ``bands`` BIGINT keys.
+
+    Each band key is the md5-fold (:func:`md5_long`) of the joined sig
+    slice rather than the joined string itself: the banding shuffle carries
+    8 bytes per (doc, band) instead of a ~40-byte string — at 100 TB the
+    candidate equi-join shuffles O(bands x corpus), so key width IS the
+    shuffle width. md5 is engine-portable, so the DuckDB oracles mirror the
+    fold exactly (a 60-bit fold collision merges two buckets identically on
+    both sides, and any extra candidate still faces exact verification)."""
     return F.array(
         *[
-            F.concat_ws("_", *[sig[b * rows + r].cast("string") for r in range(rows)])
+            md5_long(
+                F.concat_ws(
+                    "_", *[sig[b * rows + r].cast("string") for r in range(rows)]
+                )
+            )
             for b in range(bands)
         ]
     )

@@ -132,7 +132,7 @@ WITH {_SQL_DOCS_SHINGLED},
 sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM t WHERE len(sh) > 0),
 band AS (
   SELECT doc_id, band_no,
-         array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key
+         CAST(('0x' || substr(md5(array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_')), 1, 15)) AS BIGINT) AS band_key
   FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
 ),
 cand AS (
@@ -245,7 +245,7 @@ WITH RECURSIVE {_SQL_DOCS_SHINGLED},
 sig AS (SELECT doc_id, sh, {{SIG}} AS sig FROM t WHERE len(sh) > 0),
 band AS (
   SELECT doc_id, band_no,
-         array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_') AS band_key
+         CAST(('0x' || substr(md5(array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_')), 1, 15)) AS BIGINT) AS band_key
   FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
 ),
 cand AS (

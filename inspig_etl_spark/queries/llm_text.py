@@ -323,20 +323,47 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fractions are fixed-point 1e-4 BIGINTs (FLOOR over one double division,
     the docs_token_stats convention) so both engines agree bit-exactly.
-    Expression-only per-row work over the token array — no shuffle, no UDF;
-    the O(distinct x n) token-count fold is bounded by document length, the
-    same envelope as the shingling kernels.
+    Expression-only per-row work over the token array — no shuffle, no UDF.
+
+    The top-token count is the LONGEST EQUAL RUN over ``sort_array(toks)``
+    — one O(n log n) sort plus a single linear ``aggregate`` fold. The
+    naive transform-over-distinct form is O(distinct x n) per document:
+    fine on median docs but a single pathological 1M-unique-token document
+    would pin one task on ~10^10 comparisons. Max-run-over-sorted computes
+    the identical value (the most frequent token's occurrences are adjacent
+    after sorting), so the DuckDB oracle keeps the naive spelling and the
+    engines still agree bit-exactly.
     """
     docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     toks = F.col("toks")
     n = F.size(toks).cast("bigint")
+
+    def _run_step(acc: Column, x: Column) -> Column:
+        # prev is NULL on the first element -> (x == NULL) is NULL -> run=1.
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        return F.struct(
+            F.greatest(acc["best"], run).alias("best"),
+            run.alias("run"),
+            x.alias("prev"),
+        )
+
+    # coalesce: NULL text -> NULL toks -> the fold is NULL, but the oracle's
+    # COALESCE(list_max(...), 0) yields 0.
     top_cnt = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
+        F.aggregate(
+            F.sort_array(toks),
+            F.struct(
+                F.lit(0).cast("bigint").alias("best"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            _run_step,
+            lambda acc: acc["best"],
         ),
         F.lit(0),
     ).cast("bigint")

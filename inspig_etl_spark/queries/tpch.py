@@ -219,7 +219,7 @@ SELECT {sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_di
        CAST(FLOOR(
          {sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
          * 1000000
-         / {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)}
+         / NULLIF({sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)}, 0)
        ) AS BIGINT) AS promo_share_e6
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -249,7 +249,15 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "promo_revenue",
         "total_revenue",
-        F.floor(F.col("promo_revenue") * 1000000 / F.col("total_revenue"))
+        # nullif zero-guard: on a regenerated corpus where the month slice
+        # is non-empty but disc_price sums to 0, Spark-ANSI would throw
+        # DIVIDE_BY_ZERO while DuckDB yields NULL — same guard as the other
+        # ratio queries.
+        F.floor(
+            F.col("promo_revenue")
+            * 1000000
+            / F.nullif(F.col("total_revenue"), F.lit(0))
+        )
         .cast("bigint")
         .alias("promo_share_e6"),
     )

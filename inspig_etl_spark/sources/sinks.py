@@ -317,6 +317,11 @@ def staged_overwrite(
     the same reason (``weather.py:1646-1660``). ``partition_by`` writes the
     staging copy hive-partitioned, preserving a partitioned sink's layout
     through the swap.
+
+    LOCAL-FS ONLY: the swap is ``os.rename``-based, so ``s3://``/``hdfs://``
+    sink paths are unsupported — see :func:`compact` for the upgrade path
+    (Hadoop FileSystem API, or Delta/Iceberg where MERGE/OPTIMIZE replace
+    this machinery wholesale).
     """
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
@@ -403,6 +408,13 @@ def compact(
     to int).
 
     ``coalesce`` (no shuffle) — compaction only ever reduces file count.
+
+    LOCAL-FS ONLY: the hive-partition guard (and ``staged_overwrite``'s
+    rename swap) walk the path with ``os.listdir``/``shutil``, which never
+    sees ``s3://``/``hdfs://`` URIs — on an object store the guard would
+    silently pass and the swap would fail. When object-store sinks land,
+    route the listing/rename through the Hadoop FileSystem API (or switch
+    the sink to Delta/Iceberg, whose OPTIMIZE subsumes this entirely).
     """
     if partition_by is None:
         hive_dirs = [

@@ -129,7 +129,16 @@ def foreach_batch_upsert(
             # discard the newest version before the versioned merge ever
             # sees it, re-introducing the order-dependence version_col
             # exists to eliminate.
-            w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+            # Tiebreak on a full-row hash so two rows carrying the SAME key
+            # and SAME version still elect a deterministic winner (row_number
+            # over version alone would pick whichever row the shuffle
+            # delivered first — replay-order dependence through the back
+            # door). Any stable total order works; xxhash64 over every
+            # column is content-derived, so reruns agree.
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(version_col).desc(),
+                F.xxhash64(*[F.col(c) for c in batch.columns]).desc(),
+            )
             deduped = (
                 batch.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

@@ -39,7 +39,9 @@ def hostile_dir(tmp_path_factory):
           (90008, 'naïve café naïve café résumé', 'fr', 'src4', 28),   -- combining accents
           (90009, 'mixed 한글 and english words 한글', 'ko', 'src5', 29), -- mixed scripts
           (90010, 'doc with null source stratum', NULL, NULL, 28),     -- NULL lang AND source
-          (90011, 'second null source doc packs after it', NULL, NULL, 38) -- NULL shard size >= 2
+          (90011, 'second null source doc packs after it', NULL, NULL, 38), -- NULL shard size >= 2
+          (90012, repeat('spam ', 2000) || 'tail', 'en', 'src6', 10004), -- single-token-dominated long doc (repetition-filter max-run path)
+          (90013, 'alpha beta ' || repeat('gamma delta ', 500), 'en', 'src7', 6011) -- repeated-bigram-dominated doc
         ) v(doc_id, text, lang, source, n_chars)
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
     )
