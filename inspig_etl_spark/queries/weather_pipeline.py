@@ -162,6 +162,40 @@ def weather_pipeline_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return insert_if_absent(daily_short, mid, keys=["nx", "ny", "wk_date"])
 
 
+def observed_daily(spark: SparkSession, sf_dir: str, dates: list[str]) -> DataFrame:
+    """ASOS-style observed daily rows for an arbitrary backfill window —
+    the ST2 lookback source behind the runner's ``weather --backfill-days``
+    (reference ``weather_etl.py:70-88`` ``--asos/--asos-days/--asos-start/
+    --asos-end``; station parse ``weather.py:1064-1151``).
+
+    One row per (grid cell, window date) with deterministic station-style
+    lows/highs, tagged ``src='observed'`` so the MERGE that follows lets
+    measured values overwrite forecast rows for their day (S8 precedence)
+    while every key outside the window stays bit-identical.
+
+    Scale: cells are |farms|-bounded and the window is exploded per row
+    from an array literal (|dates| is CLI-bounded, days not data) — no join
+    node, no driver collect.
+    """
+    cells = _cells(spark, sf_dir)
+    day = F.substring(F.col("wk_date"), 7, 2).cast("int")
+    low = (2 + (F.col("nx") * 5 + F.col("ny") * 3 + day) % 7).cast("int")
+    high = (13 + (F.col("nx") * 2 + F.col("ny") * 7 + day) % 9).cast("int")
+    return cells.select(
+        "nx",
+        "ny",
+        F.explode(F.array(*[F.lit(d) for d in dates])).alias("wk_date"),
+    ).select(
+        "nx",
+        "ny",
+        "wk_date",
+        low.alias("temp_low"),
+        high.alias("temp_high"),
+        ((low + high) * 5).cast("bigint").alias("temp_avg_e1"),
+        F.lit("observed").alias("src"),
+    )
+
+
 _MID_TEXTS = ("맑음", "구름많음", "흐리고 비", "흐림", "비/눈", "눈", "소나기", "구름 많음")
 
 from inspig_etl_spark.functions.weather_codes import (  # noqa: E402

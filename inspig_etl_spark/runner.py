@@ -62,6 +62,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--date-to", help="batch end YYYY-MM-DD")
     p.add_argument("--sf-dir", default=None, help="input table directory")
     p.add_argument("--output", default="runner_out", help="output directory")
+    p.add_argument(
+        "--backfill-days", type=int, default=None, metavar="N",
+        help="weather: re-merge observed daily values over the trailing N "
+             "days ending at --base-date (ref weather_etl.py --asos-days)",
+    )
+    p.add_argument(
+        "--backfill-start", metavar="YYYYMMDD",
+        help="weather: explicit backfill range start (with --backfill-end; "
+             "overrides --backfill-days — ref --asos-start)",
+    )
+    p.add_argument(
+        "--backfill-end", metavar="YYYYMMDD",
+        help="weather: explicit backfill range end (ref --asos-end)",
+    )
     return p.parse_args(argv)
 
 
@@ -109,7 +123,9 @@ def resolve_plan(args: argparse.Namespace) -> dict:
 
     include = _parse_farms(args.farm_list) if args.test else []
     exclude = _parse_farms(args.exclude)
+    backfill = _backfill_window(args, base)
     return {
+        "backfill_dates": backfill,
         "command": args.command,
         "day_gb": args.day_gb,
         "dates": dates,
@@ -120,6 +136,45 @@ def resolve_plan(args: argparse.Namespace) -> dict:
         "sf_dir": args.sf_dir or DEFAULT_SF_DIR,
         "output": args.output,
     }
+
+
+def _backfill_window(args: argparse.Namespace, base: datetime) -> list[str]:
+    """Resolve the ASOS backfill date window (YYYYMMDD strings, ascending).
+
+    Mirrors the reference CLI (``weather_etl.py:70-88``): an explicit
+    ``--backfill-start/--backfill-end`` range wins; otherwise
+    ``--backfill-days N`` means the N days ENDING at the base date
+    (observed data exists for completed days, so the window trails).
+    """
+    if args.backfill_start or args.backfill_end:
+        if not (args.backfill_start and args.backfill_end):
+            print("ERROR: --backfill-start and --backfill-end must be given together",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        try:
+            start = datetime.strptime(args.backfill_start, "%Y%m%d")
+            end = datetime.strptime(args.backfill_end, "%Y%m%d")
+        except ValueError:
+            print("ERROR: backfill dates must be YYYYMMDD", file=sys.stderr)
+            raise SystemExit(1)
+        if start > end:
+            print("ERROR: --backfill-start is after --backfill-end", file=sys.stderr)
+            raise SystemExit(1)
+        days = (end - start).days + 1
+        if days > 370:
+            print(f"ERROR: backfill range of {days} days is over the 370-day cap",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        return [(start + timedelta(days=i)).strftime("%Y%m%d") for i in range(days)]
+    if args.backfill_days is not None:
+        if args.backfill_days < 1:
+            print("ERROR: --backfill-days must be >= 1", file=sys.stderr)
+            raise SystemExit(1)
+        return [
+            (base - timedelta(days=i)).strftime("%Y%m%d")
+            for i in range(args.backfill_days - 1, -1, -1)
+        ]
+    return []
 
 
 def _master_seq(period: dict) -> int:
@@ -247,9 +302,30 @@ def run_collector(spark, plan: dict) -> dict:
     t0 = time.time()
     df = q(spark, plan["sf_dir"])
     staged_overwrite(spark, df, dest)
+    backfilled = 0
+    if name == "weather" and plan["backfill_dates"]:
+        # ST2 lookback MERGE (ref weather_etl.py --asos backfill): observed
+        # daily rows for the window overwrite their (cell, day) keys in the
+        # landed sink — measured wins over forecast (S8 precedence) — and
+        # every key outside the window passes through the full-outer join
+        # bit-identical. Re-running the same backfill is idempotent.
+        from inspig_etl_spark.queries.weather_pipeline import observed_daily
+        from inspig_etl_spark.sources.sinks import merge_upsert
+
+        obs = observed_daily(spark, plan["sf_dir"], plan["backfill_dates"])
+        state = spark.read.parquet(dest)
+        merged = merge_upsert(state, obs, keys=["nx", "ny", "wk_date"])
+        staged_overwrite(spark, merged, dest)
+        backfilled = len(plan["backfill_dates"])
     n = spark.read.parquet(dest).count()
-    return {"status": "success", "command": name, "rows": n,
-            "elapsed_ms": int((time.time() - t0) * 1000), "path": dest}
+    out = {"status": "success", "command": name, "rows": n,
+           "elapsed_ms": int((time.time() - t0) * 1000), "path": dest}
+    if backfilled:
+        out["backfill_days"] = backfilled
+        out["backfill_range"] = (
+            f"{plan['backfill_dates'][0]}..{plan['backfill_dates'][-1]}"
+        )
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -263,11 +339,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.manual and args.farm_no is None:  # farm 0 is a valid farm
         print("ERROR: --manual requires --farm-no", file=sys.stderr)
         return 1
+    if plan["backfill_dates"] and args.command != "weather":
+        print("ERROR: --backfill-* flags only apply to the weather command",
+              file=sys.stderr)
+        return 1
 
     if args.dry_run:
         print("DRY-RUN: resolved plan")
         for k in ("command", "day_gb", "dates", "include_farms", "exclude_farms",
-                  "test_mode", "sf_dir", "output"):
+                  "test_mode", "sf_dir", "output", "backfill_dates"):
             print(f"  {k}: {plan[k]}")
         for period in plan["periods"]:
             print(f"  period {period['ins_date']}: {period['dt_from']}..{period['dt_to']} "

@@ -122,3 +122,82 @@ def test_cli_subprocess_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "ts_ins_week_sub"))
     with open(os.path.join(out, "manifest_20240125-202403.json")) as f:
         assert json.load(f)["status"] == "COMPLETE"
+
+
+def test_backfill_window_resolution():
+    # trailing-N window ends AT the base date
+    plan = _plan(["weather", "--base-date", "2024-01-15", "--backfill-days", "3"])
+    assert plan["backfill_dates"] == ["20240113", "20240114", "20240115"]
+    # explicit range wins over --backfill-days
+    plan = _plan(
+        ["weather", "--backfill-days", "9", "--backfill-start", "20240114",
+         "--backfill-end", "20240116"]
+    )
+    assert plan["backfill_dates"] == ["20240114", "20240115", "20240116"]
+    # no flags → no backfill
+    assert _plan(["weather"])["backfill_dates"] == []
+    # error paths
+    assert runner.main(["weekly", "--backfill-days", "2", "--dry-run"]) == 1
+    for argv in (
+        ["weather", "--backfill-start", "20240101"],     # start without end
+        ["weather", "--backfill-start", "20240105", "--backfill-end", "20240101"],
+        ["weather", "--backfill-start", "2024-01-01", "--backfill-end", "20240102"],
+        ["weather", "--backfill-days", "0"],
+    ):
+        try:
+            runner.main(argv + ["--dry-run"])
+            raise AssertionError("expected SystemExit")
+        except SystemExit as e:
+            assert e.code == 1
+
+
+def test_weather_backfill_overwrites_window_only(spark, tmp_path):
+    """ST2 lookback MERGE through the CLI path (ref weather_etl.py --asos):
+    observed rows replace forecast rows for the backfill window's days;
+    every row outside the window stays bit-identical; rerun is idempotent."""
+    out = str(tmp_path / "wx")
+
+    # Baseline landing: TODAY(20240115) short-term + TOMORROW mid-term rows.
+    plan = _plan(["weather", "--sf-dir", SF_SMOKE, "--output", out])
+    res = runner.run_collector(spark, plan)
+    assert res["status"] == "success" and "backfill_days" not in res
+    dest = os.path.join(out, "tm_weather")
+    before = {
+        (r.nx, r.ny, r.wk_date): (r.temp_low, r.temp_high, r.temp_avg_e1, r.src)
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert {k[2] for k in before} == {"20240115", "20240116"}
+
+    # Backfill 20240114..20240115: 0115 forecast rows must flip to observed,
+    # 0114 rows are new inserts, 0116 (outside the window) must not move.
+    plan_bf = _plan(
+        ["weather", "--sf-dir", SF_SMOKE, "--output", out,
+         "--backfill-start", "20240114", "--backfill-end", "20240115"]
+    )
+    res_bf = runner.run_collector(spark, plan_bf)
+    assert res_bf["backfill_days"] == 2
+    assert res_bf["backfill_range"] == "20240114..20240115"
+    after = {
+        (r.nx, r.ny, r.wk_date): (r.temp_low, r.temp_high, r.temp_avg_e1, r.src)
+        for r in spark.read.parquet(dest).collect()
+    }
+
+    cells = {(k[0], k[1]) for k in before}
+    assert set(after) == set(before) | {(nx, ny, "20240114") for nx, ny in cells}
+    for (nx, ny, d), vals in after.items():
+        if d in ("20240114", "20240115"):
+            assert vals[3] == "observed", (nx, ny, d)
+            day = int(d[6:8])
+            low = 2 + (nx * 5 + ny * 3 + day) % 7
+            high = 13 + (nx * 2 + ny * 7 + day) % 9
+            assert vals[:3] == (low, high, (low + high) * 5), (nx, ny, d)
+        else:
+            assert vals == before[(nx, ny, d)], (nx, ny, d)
+
+    # Idempotent: the same backfill again changes nothing.
+    runner.run_collector(spark, plan_bf)
+    again = {
+        (r.nx, r.ny, r.wk_date): (r.temp_low, r.temp_high, r.temp_avg_e1, r.src)
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert again == after
