@@ -48,7 +48,14 @@ ALLOWED: dict[str, dict[str, str]] = {
     },
     "weekly_report_sections": {
         "nested-loop": "zero-fill cross joins against broadcast LITERAL spines "
-        "(9 status codes, 7 week days) — constant-size broadcast side at any SF",
+        "(status codes, week days, histogram buckets, elapsed bands) plus the "
+        "ALERT band inequality join against the 4-row literal band dim (J9) — "
+        "constant-size broadcast sides at any SF",
+    },
+    "weekly_report_summary": {
+        "nested-loop": "the alert-gate input reuses the ALERT section's band "
+        "join: an inequality join against the broadcast 4-row literal band dim "
+        "(J9) — constant-size broadcast side at any SF",
     },
     "embeddings_knn_bruteforce": {
         "nested-loop": "brute-force all-pairs IS this operator's definition (the "

@@ -123,3 +123,55 @@ def test_run_single_farm_reports_the_requested_period(spark):
     assert days[0] == "20240115" and days[-1] == "20240121" and len(days) == 7
     res["wide_rows"].unpersist()
     res["summary"].unpersist()
+
+
+def test_all_ten_sections_compose(spark):
+    """The full TS_INS_WEEK_SUB GUBUN taxonomy lands in one union
+    (async_processor.py:150-192): every section present, fixed-spine
+    sections zero-filled per farm, DOPE pages pin the ALL total last."""
+    wide, summary = build_weekly_report(spark, SF_SMOKE, master_seq=3)
+    rows = wide.collect()
+    by_gubun = {}
+    for r in rows:
+        by_gubun.setdefault(r.gubun, []).append(r)
+    assert set(by_gubun) == {
+        "MD", "ALERT", "GB", "BM", "EU", "SG", "DOPE", "SH", "SCHEDULE", "CONFIG"
+    }
+    farms = {r.farm_no for r in rows}
+    # Fixed spine widths per farm: ALERT 4 bands, GB 5 buckets, EU 5 types,
+    # SG 5 bands, BM 1 row, CONFIG 1 row — all zero-filled (cnt_1 never NULL).
+    for gubun, width in [("ALERT", 4), ("GB", 5), ("EU", 5), ("SG", 5), ("BM", 1), ("CONFIG", 1)]:
+        sec = by_gubun[gubun]
+        assert len(sec) == width * len(farms), gubun
+        assert all(r.cnt_1 is not None for r in sec), gubun
+    # BM WoW arithmetic holds row-wise.
+    assert all(r.cnt_3 == r.cnt_1 - r.cnt_2 for r in by_gubun["BM"])
+    # DOPE: each farm's LAST page holds the pinned 'ALL' total in its last
+    # filled slot, and the total equals the sum of the item counts.
+    for farm in farms:
+        pages = sorted(
+            (r for r in by_gubun["DOPE"] if r.farm_no == farm),
+            key=lambda r: r.sort_no,
+        )
+        if not pages:
+            continue
+        labels, cnts = [], []
+        for p in pages:
+            for i in (1, 2, 3):
+                if p[f"str_{i}"] is not None:
+                    labels.append(p[f"str_{i}"])
+                    cnts.append(p[f"cnt_{i}"])
+        assert labels[-1] == "ALL"
+        assert cnts[-1] == sum(cnts[:-1])
+        # items are ordered by count desc before the pinned tail
+        item_cnts = cnts[:-1]
+        assert item_cnts == sorted(item_cnts, reverse=True)
+    # SCHEDULE day counts sum to the row total.
+    for r in by_gubun["SCHEDULE"]:
+        assert sum(r[f"cnt_{i}"] or 0 for i in range(1, 8)) == r.cnt_8
+    # Summary carries the grown TS_INS_WEEK columns, one row per farm.
+    srows = summary.collect()
+    assert len(srows) == len({r.farm_no for r in srows})
+    for col in ("alert_total", "bm_wow_delta", "this_total_sum", "kpi_delay_day"):
+        assert col in summary.columns
+    assert all(r.bm_wow_delta == r.last_bm_cnt - r.prior_bm_cnt for r in srows)
