@@ -186,6 +186,8 @@ def connected_components(
     nodes: DataFrame,
     id_col: str,
     max_iters: int = 25,
+    algorithm: str = "auto",
+    switch_after: int = 8,
 ) -> DataFrame:
     """Transitive near-dup clusters: min-label propagation to fixpoint.
 
@@ -218,11 +220,21 @@ def connected_components(
     wall-time at sf0.1 — and buys nothing here (coalescing is moot on
     pre-sized state; skew is handled by the partial agg above).
 
-    At extreme skew (one giant component) the alternating large-star /
-    small-star contraction [Kiveris et al., "Connected Components in
-    MapReduce and Beyond"] converges in O(log^2 n) rounds; the simple
-    propagation here is the right default for dedup graphs, whose
-    components are tiny and diameter-bounded.
+    Propagation needs one round per unit of component DIAMETER, so a long
+    chain (or adversarial path graph) would run to ``max_iters`` without
+    converging. ``algorithm`` picks the escape hatch:
+
+    - ``"auto"`` (default): propagate up to ``switch_after`` rounds; if the
+      fixpoint hasn't been reached — the measured signal that components
+      are still growing, i.e. diameter exceeds the round budget — contract
+      the remaining graph with the alternating large-star / small-star
+      algorithm [Kiveris et al., "Connected Components in MapReduce and
+      Beyond", 2014], which converges in O(log^2 n) rounds regardless of
+      diameter, then compose the two label maps. Dedup graphs (shallow
+      review-chain components) converge in ~3 propagation rounds and never
+      hit the switch, so the default plan is unchanged for them.
+    - ``"propagation"``: plain min-label propagation for ``max_iters``.
+    - ``"star"``: alternating star contraction from round one.
     """
     # persist(): the pair source is typically an expensive detector pipeline
     # (MinHash banding + verification); without materialization every
@@ -292,7 +304,13 @@ def connected_components(
         part_edges.count()
         edges.unpersist()
         edges = part_edges
-        for _ in range(max_iters):
+        converged = False
+        # propagation: full budget, never contracts; auto: bounded budget,
+        # contracts on non-convergence; star: no propagation, contracts always.
+        rounds = {"propagation": max_iters, "auto": min(switch_after, max_iters)}.get(
+            algorithm, 0
+        )
+        for _ in range(rounds):
             contrib = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), "label"
             )
@@ -306,8 +324,48 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        if not converged and algorithm != "propagation":
+            # Components are still growing after the propagation budget —
+            # diameter exceeds the round count. Contract the REMAINING graph
+            # (edges with both endpoints mapped to their current labels,
+            # self-loops dropped — already-converged components vanish here)
+            # with the alternating star algorithm, then compose label maps:
+            # final(id) = star(propagated(id)).
+            lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+            lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+            contracted = (
+                edges.join(lab_src, "src")
+                .join(lab_dst, "dst")
+                .select(
+                    F.least("lu", "lv").alias("u"), F.greatest("lu", "lv").alias("v")
+                )
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .persist()
+            )
+            star_edges, _ = _alternating_star(contracted, max_rounds=max_iters)
+            star_lab = (
+                star_edges.select(F.col("v").alias("sid"), F.col("u").alias("slabel"))
+                .groupBy("sid")
+                .agg(F.min("slabel").alias("slabel"))
+                .persist()
+            )
+            composed = (
+                labels.join(star_lab, labels["label"] == star_lab["sid"], "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("slabel"), F.col("label")).alias("label"),
+                )
+                .persist()
+            )
+            composed.count()
+            labels.unpersist()
+            star_lab.unpersist()
+            star_edges.unpersist()
+            labels = composed
     finally:
         spark.conf.set(aqe_key, aqe_was)
         spark.conf.set(shuf_key, str(shuf_was))
@@ -326,6 +384,92 @@ def connected_components(
     ).select(
         id_col, F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id")
     )
+
+
+def _alternating_star(und: DataFrame, max_rounds: int = 25) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star contraction [Kiveris et al. 2014].
+
+    ``und`` is a canonical undirected edge list ``(u, v)`` with ``u < v``,
+    distinct, persisted (it is unpersisted here after the first round).
+    Returns ``(star_edges, rounds)`` where ``star_edges`` is the converged
+    edge set — a union of depth-1 stars, each edge ``(root, child)`` with
+    ``root`` the component minimum — persisted and materialized.
+
+    Each round runs one large-star then one small-star step:
+
+    - large-star(u): for every neighbor ``v > u``, emit ``(v, m)`` where
+      ``m = min(neighbors(u) + [u])`` — hooks big nodes onto the local min;
+    - small-star(u): over edges oriented high->low, emit ``(lo, m)`` for
+      every low neighbor plus ``(u, m)`` with ``m = min(low neighbors)`` —
+      flattens the low side onto the min.
+
+    Both steps preserve connectivity, labels only ever decrease, and the
+    combination converges to component-min stars in O(log^2 n) rounds on
+    ANY topology — including the long-path / giant-component skew that
+    defeats per-diameter propagation. Convergence is detected by edge-set
+    stability: (count, sum(xxhash64(u, v))) unchanged across a round.
+
+    Every step is groupBy/join/distinct on the (small, contracted) dup
+    graph under the caller's pinned loop confs — per-round shuffle volume
+    is O(|edges|), never all-pairs. Each round's result is cut over to a
+    ``localCheckpoint(eager=True)``, which TRUNCATES the logical plan, not
+    just the physical lineage: a persist() alone leaves every round's
+    operator tree nested inside the next round's plan (the union+join
+    structure multiplies the tree ~4x per round), so Catalyst analysis
+    time goes exponential around round ~10 even though execution reads
+    the cache. The checkpointed blocks live on executors (lost-executor
+    recompute is not needed here — the loop re-derives from the caller's
+    persisted inputs on failure by rerunning, which is the right trade
+    for an iterative driver loop).
+    """
+    # Edge-set signature: count + exact decimal sum of per-edge hashes
+    # (decimal, not long — 2^63-scale hashes summed under ANSI mode overflow).
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).first()
+        return (row[0], int(row[1] or 0))
+
+    rounds = 0
+    prev = _sig(und)
+    for _ in range(max_rounds):
+        sym = und.select("u", "v").unionAll(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: m(u) = min over u's neighborhood incl. u (m < v always,
+        # because m <= u and the emit is gated on v > u).
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        big = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over (u=lo, v=hi): m(v) = min of v's low neighbors.
+        mins2 = big.groupBy("v").agg(F.min("u").alias("m"))
+        nxt = (
+            big.join(mins2, "v")
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .unionAll(mins2.select(F.col("v").alias("a"), F.col("m").alias("b")))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        cur = _sig(nxt)
+        und.unpersist()
+        und = nxt
+        if cur == prev:
+            break
+        prev = cur
+    return und, rounds
 
 
 def simhash32(toks: Column) -> Column:

@@ -253,14 +253,14 @@ class TestConnectedComponents:
     """Transitive near-dup clustering (operators/dedup.connected_components)."""
 
     @staticmethod
-    def _run(spark, pairs, ids):
+    def _run(spark, pairs, ids, **kw):
         from inspig_etl_spark.operators.dedup import connected_components
 
         pdf = spark.createDataFrame(pairs or [(None, None)], "id_a long, id_b long")
         if not pairs:
             pdf = pdf.where("id_a IS NOT NULL")
         nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-        out = connected_components(pdf, nodes, "doc_id")
+        out = connected_components(pdf, nodes, "doc_id", **kw)
         return {r.doc_id: r.cluster_id for r in out.collect()}
 
     def test_chain_collapses_to_min(self, spark):
@@ -275,6 +275,58 @@ class TestConnectedComponents:
     def test_empty_pairs_all_singletons(self, spark):
         got = self._run(spark, [], [10, 20])
         assert got == {10: 10, 20: 20}
+
+    def test_star_agrees_with_propagation(self, spark):
+        # Mixed topology: chain, triangle+tail, singleton, 2-clique.
+        pairs = [(1, 2), (2, 3), (3, 4), (6, 7), (7, 8), (6, 8), (8, 9), (11, 12)]
+        ids = list(range(1, 13))
+        prop = self._run(spark, pairs, ids, algorithm="propagation")
+        star = self._run(spark, pairs, ids, algorithm="star")
+        assert star == prop
+
+    def test_auto_switches_on_long_path(self, spark):
+        # A 40-node path has diameter 39: propagation alone would need ~39
+        # rounds, so with switch_after=3 the auto path MUST hand off to the
+        # star contraction — and still land every node on the component min.
+        n = 40
+        pairs = [(i, i + 1) for i in range(1, n)]
+        got = self._run(
+            spark, pairs, list(range(1, n + 1)), algorithm="auto", switch_after=3
+        )
+        assert got == {i: 1 for i in range(1, n + 1)}
+
+    def test_propagation_budget_is_honored_without_auto(self, spark):
+        # Sanity: explicit propagation with a tiny budget does NOT magically
+        # finish a long path (guards against the auto switch leaking into
+        # the plain algorithm).
+        pairs = [(i, i + 1) for i in range(1, 20)]
+        got = self._run(
+            spark, pairs, list(range(1, 21)), algorithm="propagation", max_iters=2
+        )
+        assert got[20] != 1  # label hasn't reached the far end in 2 rounds
+
+    def test_star_contraction_round_bound_on_path(self, spark):
+        # The Kiveris et al. bound is O(log^2 n) rounds on any topology; a
+        # path graph is the adversarial case for per-diameter propagation
+        # (256 nodes -> diameter 255). Assert the measured round count stays
+        # within log2(n)^2 — orders below the ~n rounds propagation needs.
+        import math
+
+        from inspig_etl_spark.operators.dedup import _alternating_star
+
+        n = 256
+        und = (
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(1, n)], "u long, v long"
+            )
+            .persist()
+        )
+        star, rounds = _alternating_star(und, max_rounds=64)
+        labels = {r.v: r.u for r in star.collect()}
+        star.unpersist()
+        assert all(root == 1 for root in labels.values())
+        assert set(labels) == set(range(2, n + 1))  # depth-1 star over all
+        assert rounds <= int(math.log2(n)) ** 2, rounds
 
 
 class TestLinearInterpolate:

@@ -1,0 +1,62 @@
+"""Isolated min-of-3 drift triage (the repo's measurement protocol).
+
+Re-times a small set of queries in a fresh session, interleaving a control
+query between each subject so host-condition drift is visible in the same
+run: if the subjects return to their earlier levels while the control also
+moves, the cross-round delta was host drift, not a plan regression.
+
+Usage: python tools/drift_probe.py [sf_dir] [name ...]
+Defaults to the r6->r5 top movers at /root/testdata/sf0.1.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SUBJECTS = sys.argv[2:] or [
+    "nearest_station_haversine",
+    "merge_upsert_partial",
+    "weekly_report_sections",
+    "salted_brand_volume",
+]
+CONTROL = "tpch_q1_pricing_summary"
+
+
+def main() -> None:
+    from inspig_etl_spark import queries as reg
+    from inspig_etl_spark.session import get_spark
+
+    spark = get_spark("drift-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qmap = reg.queries()
+
+    def run(name: str) -> float:
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(min(times[1:]), 3)  # first pass warms; min of the rest
+
+    out = {}
+    controls = []
+    for n in SUBJECTS:
+        controls.append(run(CONTROL))
+        out[n] = run(n)
+        print(f"{n:32s} {out[n]:7.3f}s   (control {controls[-1]:.3f}s)")
+    controls.append(run(CONTROL))
+    rec = {"sf_dir": SF_DIR, "control": CONTROL, "control_runs": controls,
+           "subjects": out}
+    print(json.dumps(rec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
