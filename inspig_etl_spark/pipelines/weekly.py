@@ -224,7 +224,10 @@ def _week(events: DataFrame, dt_from: str, dt_to: str) -> DataFrame:
 
 
 def mating_histogram_section(
-    events: DataFrame, dt_from: str = WEEK_FROM, dt_to: str = WEEK_TO
+    events: DataFrame,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+    farms: DataFrame | None = None,
 ) -> DataFrame:
     """gubun='GB': last week's mating (purchase, wk 'G') value histogram —
     floor(value/100) clamped to [0,4], zero-filled per farm (A10; reference
@@ -244,11 +247,16 @@ def mating_histogram_section(
         .agg(F.count(F.lit(1)).alias("cnt_1"))
     )
     spine = [(i + 1, b) for i, b in enumerate(GB_BUCKETS)]
-    return _zero_filled_counts(counts, _farm_spine(events), spine)
+    if farms is None:
+        farms = _farm_spine(events)
+    return _zero_filled_counts(counts, farms, spine)
 
 
 def farrowing_wow_section(
-    events: DataFrame, dt_from: str = WEEK_FROM, dt_to: str = WEEK_TO
+    events: DataFrame,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+    farms: DataFrame | None = None,
 ) -> DataFrame:
     """gubun='BM': farrowing (view, wk 'B') week-over-week — last week's
     count, the prior week's, and the delta, one row per farm (A17)."""
@@ -275,8 +283,10 @@ def farrowing_wow_section(
             ).alias("cnt_2"),
         )
     )
+    if farms is None:
+        farms = _farm_spine(events)
     return (
-        _farm_spine(events)
+        farms
         .join(counts, "farm_no", "left")
         .select(
             "farm_no",
@@ -289,7 +299,10 @@ def farrowing_wow_section(
 
 
 def weaning_next_event_section(
-    events: DataFrame, dt_from: str = WEEK_FROM, dt_to: str = WEEK_TO
+    events: DataFrame,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+    farms: DataFrame | None = None,
 ) -> DataFrame:
     """gubun='EU': what follows a weaning — per user, the event right after
     their FIRST wean (signup, wk 'E') inside the week; counted per farm by
@@ -318,11 +331,16 @@ def weaning_next_event_section(
         .agg(F.count(F.lit(1)).alias("cnt_1"))
     )
     spine = [(i + 1, t) for i, t in enumerate(EU_NEXT_TYPES)]
-    return _zero_filled_counts(counts, _farm_spine(events), spine)
+    if farms is None:
+        farms = _farm_spine(events)
+    return _zero_filled_counts(counts, farms, spine)
 
 
 def accident_elapsed_section(
-    events: DataFrame, dt_from: str = WEEK_FROM, dt_to: str = WEEK_TO
+    events: DataFrame,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+    farms: DataFrame | None = None,
 ) -> DataFrame:
     """gubun='SG': accidents (error, wk 'F') in the week, bucketed by days
     elapsed since the sow's last mating (purchase) — as-of join (J4, single
@@ -359,7 +377,9 @@ def accident_elapsed_section(
         .agg(F.count(F.lit(1)).alias("cnt_1"))
     )
     spine = [(i + 1, b) for i, b in enumerate(SG_BANDS)]
-    return _zero_filled_counts(counts, _farm_spine(events), spine)
+    if farms is None:
+        farms = _farm_spine(events)
+    return _zero_filled_counts(counts, farms, spine)
 
 
 def culling_pages_section(
@@ -414,7 +434,9 @@ def culling_pages_section(
     return keyed.groupBy("farm_no", "sort_no").agg(*aggs)
 
 
-def alert_band_section(last_events: DataFrame, base_date: str) -> DataFrame:
+def alert_band_section(
+    last_events: DataFrame, base_date: str, farms: DataFrame | None = None
+) -> DataFrame:
     """gubun='ALERT': days since each sow's last work event, banded by the
     ALERT_BANDS dim (J9 band join against a broadcast literal), counted per
     farm with zero-fill (reference ``alert.py`` delayed-sow rules)."""
@@ -432,7 +454,10 @@ def alert_band_section(last_events: DataFrame, base_date: str) -> DataFrame:
         .groupBy("farm_no", "code_1")
         .agg(F.count(F.lit(1)).alias("cnt_1"))
     )
-    farms = last_events.select(_farm(F.col("user_id")).alias("farm_no")).distinct()
+    if farms is None:
+        farms = last_events.select(
+            _farm(F.col("user_id")).alias("farm_no")
+        ).distinct()
     spine = [(s, c) for s, c, _lo, _hi in ALERT_BANDS]
     return _zero_filled_counts(counts, farms, spine)
 
@@ -468,7 +493,9 @@ def schedule_crosstab_section(
     )
 
 
-def config_ratio_section(events: DataFrame, dt_to: str = WEEK_TO) -> DataFrame:
+def config_ratio_section(
+    events: DataFrame, dt_to: str = WEEK_TO, farms: DataFrame | None = None
+) -> DataFrame:
     """gubun='CONFIG': per farm, mating share of work per trailing week —
     ratio_e4 per week, then the integer mean of the weekly ratios (A18
     two-stage ratio→mean; reference ``config.py`` per-farm parameter
@@ -497,8 +524,10 @@ def config_ratio_section(events: DataFrame, dt_to: str = WEEK_TO) -> DataFrame:
         F.count(F.lit(1)).alias("cnt_1"),
         F.expr("sum(ratio_e4) DIV count(1)").alias("cnt_2"),
     )
+    if farms is None:
+        farms = _farm_spine(events)
     return (
-        _farm_spine(events)
+        farms
         .join(per_farm, "farm_no", "left")
         .select(
             "farm_no",
@@ -690,6 +719,13 @@ def build_weekly_report(
     from inspig_etl_spark.queries.status_schedule import _last_events
 
     events = table(spark, sf_dir, "events")
+    # The ten sections share the farm spine frame. Measured A/B at sf0.1
+    # (interleaved, same session): persist()ing the shared spine/last frames
+    # is a net LOSS (~+15%) — the cache materializes every column of the
+    # wide latest-event row and union branches race to populate it, while
+    # the uncached branches recompute in parallel on idle cores for free.
+    # So the frames are shared for plan clarity, not cached.
+    farms = _farm_spine(events)
     last = _last_events(spark, sf_dir)
     status = last.select(
         "user_id",
@@ -701,22 +737,34 @@ def build_weekly_report(
     sections = [
         to_wide_rows(herd_status_section(status), master_seq, "MD", "STAT"),
         to_wide_rows(
-            alert_band_section(last, this_from), master_seq, "ALERT", "STAT"
+            alert_band_section(last, this_from, farms=farms),
+            master_seq,
+            "ALERT",
+            "STAT",
         ),
         to_wide_rows(
-            mating_histogram_section(events, dt_from, dt_to), master_seq, "GB", "STAT"
+            mating_histogram_section(events, dt_from, dt_to, farms=farms),
+            master_seq,
+            "GB",
+            "STAT",
         ),
         to_wide_rows(
-            farrowing_wow_section(events, dt_from, dt_to), master_seq, "BM", "STAT"
+            farrowing_wow_section(events, dt_from, dt_to, farms=farms),
+            master_seq,
+            "BM",
+            "STAT",
         ),
         to_wide_rows(
-            weaning_next_event_section(events, dt_from, dt_to),
+            weaning_next_event_section(events, dt_from, dt_to, farms=farms),
             master_seq,
             "EU",
             "STAT",
         ),
         to_wide_rows(
-            accident_elapsed_section(events, dt_from, dt_to), master_seq, "SG", "STAT"
+            accident_elapsed_section(events, dt_from, dt_to, farms=farms),
+            master_seq,
+            "SG",
+            "STAT",
         ),
         to_wide_rows(
             culling_pages_section(events, dt_from, dt_to), master_seq, "DOPE", "LIST"
@@ -730,7 +778,12 @@ def build_weekly_report(
             "SCHEDULE",
             "ROW",
         ),
-        to_wide_rows(config_ratio_section(events, dt_to), master_seq, "CONFIG", "STAT"),
+        to_wide_rows(
+            config_ratio_section(events, dt_to, farms=farms),
+            master_seq,
+            "CONFIG",
+            "STAT",
+        ),
     ]
     wide = sections[0]
     for s in sections[1:]:
