@@ -27,7 +27,7 @@ NAMES = [
     "salted_brand_volume", "order_value_percentiles", "hourly_gap_interpolation",
     "docs_token_stats", "docs_chunk_dedup", "docs_minhash_neardup_pairs",
     "docs_neardup_clusters", "docs_pii_redaction", "docs_sequence_packing",
-    "docs_repetition_filter",
+    "docs_repetition_filter", "weekly_report_sections",
 ]
 
 
