@@ -67,9 +67,10 @@ def _load() -> None:
     explicit priority tiers below (import order alone no longer controls
     it). Round 7, tier 0: the seven r4-verified queries deferred out of the
     r6 window, order_value_percentiles_approx (rows-only, never
-    driver-checked), and the two weekly-report queries extended this round;
-    tier 1: the r05-verified cohort (50 queries minus ten sibling-covered
-    deferrals, see _STALE_R5_DEFERRED); tier 2: everything r06-verified.
+    driver-checked), the two weekly-report queries extended this round, and
+    the new star-contraction clustering kernel; tier 1: the r05-verified
+    cohort (50 queries minus eleven sibling-covered deferrals, see
+    _STALE_R5_DEFERRED); tier 2: everything r06-verified.
     ``test_window_tier_lists_are_consistent`` enforces the ≤50 budget and
     ``test_never_driver_verified_queries_sit_inside_window`` that every
     never-driver-verified oracled query sits inside the window.
@@ -127,13 +128,14 @@ _NEW_THIS_ROUND = frozenset(
         "order_value_percentiles_approx",  # rows-only: first driver record
         "weekly_report_sections",  # extended to the full 10-section union in r7
         "weekly_report_summary",  # extended toward the ~60-col TS_INS_WEEK shape
+        "docs_neardup_clusters_star",  # new in r7: the star-contraction kernel
     }
 )
 
 # Tier 1: the cohort last driver-verified in r05 (everything r6-verified is
-# fresher and waits in tier 2). 50 queries qualify but only 40 slots remain
-# after tier 0 took 10 (9 oracled + the rows-only approx query — the driver
-# records a check for BOTH kinds, so both consume window slots); ten are
+# fresher and waits in tier 2). 50 queries qualify but only 39 slots remain
+# after tier 0 took 11 (10 oracled + the rows-only approx query — the driver
+# records a check for BOTH kinds, so both consume window slots); eleven are
 # deferred to r8, each picked for strongest sibling coverage inside this
 # window:
 # - asos_hourly_decode / asos_daily_decode (fcst_hourly_decode +
@@ -146,16 +148,20 @@ _NEW_THIS_ROUND = frozenset(
 #   row_number-latest kernel in operators/events.py);
 # - customers_urgent_semi_join (quality_threshold_semijoin in-window — same
 #   J8 left-semi kernel);
-# - dedup_union_keys (union_all_branches + intersect_except_nations +
-#   distinct_nation_segment in-window cover the U1-U3/A19 set-op family);
+# - dedup_union_keys (union_all_branches + intersect_except_nations
+#   in-window cover the U1-U3/A19 set-op family);
 # - two_stage_avg_of_daily_avgs (avg_over_valid_only + weighted_avg_price
 #   in-window — same dec_avg decimal-intermediate kernel);
 # - scatter_2d_qty_discount (histogram_zero_fill in-window — same bucketize
 #   + spine zero-fill kernel in operators/pivots.py);
 # - sha2_share_token (json_props_extract + newline_template_block in-window
-#   cover the X-family scalar text/hash functions).
+#   cover the X-family scalar text/hash functions);
+# - distinct_nation_segment (deferred when docs_neardup_clusters_star took
+#   its tier-0 slot: union_all_branches + intersect_except_nations in-window
+#   exercise the same U1-U3/A19 distinct/set-op kernels).
 _STALE_R5_DEFERRED = frozenset(
     {
+        "distinct_nation_segment",
         "asos_hourly_decode",
         "asos_daily_decode",
         "multimodal_resize_decode",
@@ -175,7 +181,6 @@ _STALE_R5 = frozenset(
         "conditional_agg_by_day",
         "customers_inactive_anti_join",
         "daily_orders_calendar_spine",
-        "distinct_nation_segment",
         "docs_decontaminate_eval_overlap",
         "embeddings_cosine_neardup_bucketed",
         "event_gaps_lag_lead",

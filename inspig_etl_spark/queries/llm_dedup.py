@@ -233,10 +233,10 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_neardup_clusters",
-    operators="LLM-dedup-cluster (transitive closure over MinHash near-dup pairs: Pregel-style min-label propagation -> per-doc canonical cluster id; brief: dedup family)",
-    oracle=f"""
+# Shared by the propagation- and star-path cluster queries: both compute
+# the same fixpoint (component-minimum label), so one recursive-CTE
+# oracle hash-checks either kernel.
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_SQL_DOCS_SHINGLED},
 -- zero-shingle docs share the sentinel signature [P]*k: at scale they
 -- would all land in ONE band bucket and the bucket self-join would
@@ -271,7 +271,13 @@ reach(id, label) AS (
 SELECT id AS doc_id, MIN(label) AS cluster_id,
        CAST(MIN(label) = id AS INT) AS is_canonical
 FROM reach GROUP BY id
-""".replace("{SIG}", _sql_minhash_sig()),
+""".replace("{SIG}", _sql_minhash_sig())
+
+
+@register(
+    "docs_neardup_clusters",
+    operators="LLM-dedup-cluster (transitive closure over MinHash near-dup pairs: Pregel-style min-label propagation -> per-doc canonical cluster id; brief: dedup family)",
+    oracle=_CLUSTERS_ORACLE,
 )
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse transitive near-duplicate chains (A~B, B~C => {A,B,C})
@@ -283,6 +289,26 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one distributed join round per component-diameter step); the oracle
     computes the same fixpoint with a recursive CTE.
     """
+    return _clusters(spark, sf_dir, algorithm="auto")
+
+
+@register(
+    "docs_neardup_clusters_star",
+    operators="LLM-dedup-cluster, star kernel (same transitive closure computed by alternating large-star/small-star contraction from round one — the adversarial-skew path, O(log^2 n) rounds on any topology; hash-checked against the same recursive-CTE oracle as the propagation path)",
+    oracle=_CLUSTERS_ORACLE,
+)
+def docs_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-contraction clustering kernel, driver-checked end to end.
+
+    Both algorithms converge to the component-minimum label, so this query
+    must be bit-identical to ``docs_neardup_clusters`` — registering it
+    separately puts the skew-path kernel itself under the driver's
+    hash-compare gate instead of only under unit tests.
+    """
+    return _clusters(spark, sf_dir, algorithm="star")
+
+
+def _clusters(spark: SparkSession, sf_dir: str, algorithm: str) -> DataFrame:
     from inspig_etl_spark.operators.dedup import connected_components
 
     pairs = docs_minhash_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -291,7 +317,7 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the cached shingle frame (whose in-memory batches carry the
     # wide shingle arrays).
     docs = table(spark, sf_dir, "documents")
-    cc = connected_components(pairs, docs, "doc_id")
+    cc = connected_components(pairs, docs, "doc_id", algorithm=algorithm)
     return cc.withColumn(
         "is_canonical", (F.col("cluster_id") == F.col("doc_id")).cast("int")
     )
