@@ -102,6 +102,7 @@ def _load() -> None:
         llm_sampling,
         llm_text,
         llm_dedup,
+        llm_clustering,
         analytics_ext,
     )
 
@@ -129,13 +130,19 @@ _NEW_THIS_ROUND = frozenset(
         "weekly_report_sections",  # extended to the full 10-section union in r7
         "weekly_report_summary",  # extended toward the ~60-col TS_INS_WEEK shape
         "docs_neardup_clusters_star",  # new in r7: the star-contraction kernel
+        # New in r7 (second batch): the clustering/quality kernels — never
+        # driver-verified, so they must hold window slots.
+        "embeddings_kmeans_lloyd",
+        "embeddings_semdedup_prune",
+        "embeddings_knn_ivf_multiprobe",
+        "docs_quality_classifier",
     }
 )
 
 # Tier 1: the cohort last driver-verified in r05 (everything r6-verified is
-# fresher and waits in tier 2). 50 queries qualify but only 39 slots remain
-# after tier 0 took 11 (10 oracled + the rows-only approx query — the driver
-# records a check for BOTH kinds, so both consume window slots); eleven are
+# fresher and waits in tier 2). 50 queries qualify but only 35 slots remain
+# after tier 0 took 15 (14 oracled + the rows-only approx query — the driver
+# records a check for BOTH kinds, so both consume window slots); fifteen are
 # deferred to r8, each picked for strongest sibling coverage inside this
 # window:
 # - asos_hourly_decode / asos_daily_decode (fcst_hourly_decode +
@@ -154,14 +161,27 @@ _NEW_THIS_ROUND = frozenset(
 #   in-window — same dec_avg decimal-intermediate kernel);
 # - scatter_2d_qty_discount (histogram_zero_fill in-window — same bucketize
 #   + spine zero-fill kernel in operators/pivots.py);
-# - sha2_share_token (json_props_extract + newline_template_block in-window
-#   cover the X-family scalar text/hash functions);
+# - sha2_share_token (json_props_extract in-window covers the X-family
+#   scalar text/hash functions);
 # - distinct_nation_segment (deferred when docs_neardup_clusters_star took
 #   its tier-0 slot: union_all_branches + intersect_except_nations in-window
-#   exercise the same U1-U3/A19 distinct/set-op kernels).
+#   exercise the same U1-U3/A19 distinct/set-op kernels);
+# - customers_inactive_anti_join (deferred when the four r7 clustering/
+#   quality kernels took tier-0 slots: merge_insert_if_absent in-window is
+#   the same J7 left-anti kernel);
+# - event_gaps_lag_lead (next_event_after_error in-window — same J2/W2/W5
+#   lag/lead-over-sequence kernel in operators/events.py);
+# - running_max_so_far (ytd_accumulation in-window — same W3/A14 running-
+#   accumulation window kernel);
+# - newline_template_block (json_props_extract in-window covers the
+#   X-family scalar string/template functions).
 _STALE_R5_DEFERRED = frozenset(
     {
         "distinct_nation_segment",
+        "customers_inactive_anti_join",
+        "event_gaps_lag_lead",
+        "running_max_so_far",
+        "newline_template_block",
         "asos_hourly_decode",
         "asos_daily_decode",
         "multimodal_resize_decode",
@@ -179,11 +199,9 @@ _STALE_R5 = frozenset(
         "agg_then_equijoin",
         "avg_over_valid_only",
         "conditional_agg_by_day",
-        "customers_inactive_anti_join",
         "daily_orders_calendar_spine",
         "docs_decontaminate_eval_overlap",
         "embeddings_cosine_neardup_bucketed",
-        "event_gaps_lag_lead",
         "fcst_daily_rollup",
         "fcst_hourly_decode",
         "full_outer_diff_report",
@@ -196,12 +214,10 @@ _STALE_R5 = frozenset(
         "listagg_parts_by_brand",
         "monthly_ratio_then_mean",
         "multimodal_decode_features",
-        "newline_template_block",
         "next_event_after_error",
         "order_value_band_join",
         "purchase_asof_last_view",
         "quality_threshold_semijoin",
-        "running_max_so_far",
         "sorted_pinned_tail_topk",
         "staged_commit_retry",
         "stream_microbatch_upsert",

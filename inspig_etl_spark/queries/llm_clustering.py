@@ -1,0 +1,204 @@
+"""Embedding-clustering queries (LLM-data-pipeline surface): distributed
+k-means and SemDeDup-style semantic dedup over ``embeddings``.
+
+Both are brief-mandated extensions (the reference has no vector engine):
+
+- ``embeddings_kmeans_lloyd`` — Lloyd's k-means, the corpus-bucketing /
+  quantizer-training kernel (MLlib-shaped: per-iteration one scan + one
+  partial-agg groupBy; only k x dim centroid integers reach the driver).
+  Oracle-checkable because every update runs in exact integer micro-units
+  (see operators/clustering.py).
+- ``embeddings_semdedup_prune`` — SemDeDup (Abbas et al. 2023): assign each
+  vector to a quantizer cell, rank within the cell by similarity to the
+  cell centroid, and prune any vector that is >= tau cosine-similar to a
+  higher-ranked (more central) vector in the SAME cell. Candidate pairs
+  form only inside a cell equi-join — O(sum cell^2) work, never all-pairs
+  over the corpus; at 100 TB cells are written ``partitionBy(cell)`` and
+  the prune is per-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspig_etl_spark.catalog import spread, table
+from inspig_etl_spark.operators.clustering import (
+    kmeans_fit_assign,
+    seed_micro_centroids,
+    sql_kmeans_assign_cte,
+)
+from inspig_etl_spark.operators.similarity import (
+    dot,
+    ivf_centroids,
+    norm,
+    sql_centroid,
+    sql_dot,
+    sql_norm,
+)
+from inspig_etl_spark.queries import register
+
+DIM = 64
+KMEANS_K = 6
+KMEANS_UPDATES = 2
+SEMDEDUP_CELLS = 8
+SEMDEDUP_TAU = 0.45
+
+_KM_SEEDS = seed_micro_centroids(ivf_centroids(KMEANS_K, DIM))
+_SD_CENTROIDS = ivf_centroids(SEMDEDUP_CELLS, DIM)
+
+# k-means needs vectors of EXACTLY the quantizer dimension: a short/padded
+# vector would zip-pad to NULL scores, where Spark's argmax yields a NULL
+# cell but a rank-1 window still picks the first cell — so the guard (same
+# on both engines) excludes them outright. The plain >0 guard (shared with
+# llm_similarity) is enough for the NULL-propagating semdedup kernel.
+_SQL_VECTORS_DIM = (
+    "v AS (SELECT vec_id, embedding FROM embeddings "
+    f"WHERE embedding IS NOT NULL AND len(embedding) = {DIM})"
+)
+_SQL_VECTORS = (
+    "(SELECT * FROM embeddings "
+    "WHERE embedding IS NOT NULL AND len(embedding) > 0) embeddings"
+)
+
+
+def _vectors_exact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == DIM))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+
+
+@register(
+    "embeddings_kmeans_lloyd",
+    operators="LLM-cluster-kmeans (iterative Lloyd k-means over embeddings, integer-exact updates; brief: LLM-pipeline clustering/quantizer training — the trained coarse quantizer the IVF scale path assumes)",
+    oracle=f"""
+{sql_kmeans_assign_cte(_SQL_VECTORS_DIM, _KM_SEEDS, DIM, KMEANS_UPDATES)}
+SELECT vec_id,
+       cell AS cluster,
+       COUNT(*) OVER (PARTITION BY cell) AS cluster_size,
+       CAST(FLOOR(sc / 1000000.0) AS BIGINT) AS score_e6
+FROM afinal
+""",
+)
+def embeddings_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd updates from deterministic md5 seeds, then the final
+    assignment with per-cluster sizes. Building this DataFrame runs the
+    (bounded, k x dim) centroid reductions — the same driver-side contract
+    as MLlib KMeans; the returned plan is the pure assignment expression
+    over broadcast literal centroids.
+    """
+    vecs = _vectors_exact_dim(spark, sf_dir)
+    return kmeans_fit_assign(
+        vecs, "embedding", "vec_id", DIM, _KM_SEEDS, KMEANS_UPDATES
+    )
+
+
+_SQL_SD_SCORES = ",\n         ".join(
+    f"{sql_dot('embedding', sql_centroid(c))} AS s{i}"
+    for i, c in enumerate(_SD_CENTROIDS)
+)
+_SQL_SD_BEST = "GREATEST(" + ", ".join(f"s{i}" for i in range(SEMDEDUP_CELLS)) + ")"
+_SQL_SD_CASE = (
+    "(CASE "
+    + " ".join(f"WHEN s{i} = best THEN {i}" for i in range(SEMDEDUP_CELLS))
+    + " END)"
+)
+
+
+@register(
+    "embeddings_semdedup_prune",
+    operators="LLM-dedup-semantic (SemDeDup: within-cell centroid-ranked cosine prune; brief: 'embedding-cosine near-dup' — the cluster-scoped production form)",
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+         {_SQL_SD_SCORES}
+  FROM {_SQL_VECTORS}
+),
+cl AS (
+  SELECT vec_id, embedding, nrm, {_SQL_SD_CASE} AS cell,
+         best / NULLIF(nrm, 0) AS csim
+  FROM (SELECT *, {_SQL_SD_BEST} AS best FROM sc)
+),
+r AS (
+  SELECT vec_id, embedding, nrm, cell, csim,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY csim DESC NULLS LAST, vec_id) AS rnk
+  FROM cl
+),
+p AS (
+  SELECT DISTINCT b.vec_id AS pruned_id
+  FROM r a JOIN r b ON a.cell = b.cell AND a.rnk < b.rnk
+  WHERE {sql_dot('a.embedding', 'b.embedding')} / NULLIF(a.nrm * b.nrm, 0)
+        >= {SEMDEDUP_TAU}
+)
+SELECT r.vec_id, r.cell,
+       CAST(FLOOR(r.csim * 1000000.0) AS BIGINT) AS centroid_sim_e6,
+       CAST(p.pruned_id IS NULL AS INT) AS keep
+FROM r LEFT JOIN p ON r.vec_id = p.pruned_id
+""",
+)
+def embeddings_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each quantizer cell, rank by centroid similarity
+    (most-central first) and prune any vector >= tau-similar to a
+    higher-ranked one. The pair join is cell-local (equi-join on cell id),
+    the rank window is cell-partitioned, and the prune verdict is a
+    left-anti-shaped join against the (small) pruned-id set — every stage
+    shuffles O(|corpus|), never O(n^2).
+
+    The fixed md5-derived quantizer keeps the oracle checkable; production
+    composes this with ``embeddings_kmeans_lloyd``'s trained centroids.
+    """
+    emb = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_CENTROIDS])
+    scored = emb.withColumn(
+        "__s", F.transform(cents, lambda c: dot(F.col("embedding"), c))
+    )
+    cl = (
+        scored.withColumn("best", F.array_max("__s"))
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("__s"), F.col("best")) - 1).cast("int"),
+        )
+        .withColumn("csim", F.col("best") / F.nullif(F.col("nrm"), F.lit(0.0)))
+        .select("vec_id", "embedding", "nrm", "cell", "csim")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("csim").desc_nulls_last(), F.col("vec_id")
+    )
+    r = cl.withColumn("rnk", F.row_number().over(w))
+    a = r.select(
+        F.col("cell").alias("a_cell"),
+        F.col("rnk").alias("a_rnk"),
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = r.select(
+        F.col("cell").alias("b_cell"),
+        F.col("rnk").alias("b_rnk"),
+        F.col("vec_id").alias("pruned_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = dot(F.col("a_vec"), F.col("b_vec")) / F.nullif(
+        F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a_cell") == F.col("b_cell")) & (F.col("a_rnk") < F.col("b_rnk")),
+        )
+        .filter(sim >= SEMDEDUP_TAU)
+        .select("pruned_id")
+        .distinct()
+    )
+    return r.join(pruned, r.vec_id == pruned.pruned_id, "left").select(
+        "vec_id",
+        "cell",
+        F.floor(F.col("csim") * F.lit(1000000.0)).cast("bigint").alias(
+            "centroid_sim_e6"
+        ),
+        F.col("pruned_id").isNull().cast("int").alias("keep"),
+    )

@@ -312,3 +312,91 @@ def embeddings_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return pairs.filter(F.col("sim") >= NEARDUP_COS).select(
         "id_a", "id_b", F.round(F.col("sim"), 6).alias("cosine_sim")
     )
+
+
+P_PROBE = 2  # IVF nprobe: rank-1 cell (the assignment) + 1 spillover cell
+
+_SQL_IVF_STRUCTS = ", ".join(
+    f"{{'cell': {i}, 's': s{i}}}" for i in range(IVF_CELLS)
+)
+
+
+@register(
+    "embeddings_knn_ivf_multiprobe",
+    operators="LLM-ann-ivf-multiprobe (IVF with nprobe=2 recall path; brief: 'recall is tuned by probing top-P cells' — operators/similarity.py's documented upgrade, now implemented)",
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS}
+),
+r AS (
+  SELECT vec_id, embedding, nrm, x.cell AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY x.s DESC, x.cell) AS rn
+  FROM sc, UNNEST([{_SQL_IVF_STRUCTS}]) AS t(x)
+  WHERE x.s IS NOT NULL
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn, cell FROM r WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell
+  FROM r WHERE rn <= {P_PROBE} AND vec_id % {QUERY_MOD} = 0
+),
+s AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS sim
+  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         ROUND(sim, 6) AS cosine_sim
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM rk WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query probes its own cell PLUS the
+    next-best quantizer cell — the standard recall knob over single-probe
+    IVF (a vector near a cell boundary finds neighbors that quantized to
+    the adjacent cell).
+
+    Scale shape: the probe set explodes only the QUERY side (x nprobe);
+    the corpus keeps exactly one row per vector, so the equi-join on the
+    cell id shuffles O(|corpus| + nprobe x |queries|). Each corpus vector
+    has one cell, so a (query, neighbor) pair can form through at most one
+    probed cell — no dedup pass needed. At 100 TB with the corpus written
+    ``partitionBy(cell)``, nprobe=P reads exactly P pruned partitions.
+    """
+    from inspig_etl_spark.operators.similarity import dot
+
+    emb = _vectors(spark, sf_dir)
+    corpus = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
+    )
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _CENTROIDS])
+    # (-score, cell) structs sort lexicographically ascending == score DESC
+    # with first-cell tie-break — the oracle's rank order; NULL scores
+    # (dimension-mismatched vectors) are filtered, matching the oracle's
+    # WHERE x.s IS NOT NULL (such vectors also get a NULL corpus cell on
+    # both sides and drop out of the equi-join).
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-dot(F.col("embedding"), c)).alias("sneg"), i.cast("int").alias("cell")
+        ),
+    )
+    probes = F.slice(
+        F.array_sort(F.filter(scored, lambda p: p["sneg"].isNotNull())),
+        1,
+        P_PROBE,
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("p", F.explode(probes))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("p.cell").alias("cell"),
+        )
+    )
+    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"])

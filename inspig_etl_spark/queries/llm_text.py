@@ -649,3 +649,110 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             pack, "doc_id long, source string, n_tokens long, bin_no long, bin_fill long"
         )
     )
+
+
+# --- linear quality classifier ------------------------------------------
+
+# fastText/CCNet-style document-quality filter: a linear model over cheap
+# per-doc features, scored inline as a codegen'd expression (the weights
+# stand in for trained coefficients — in production they come from a model
+# dump and are broadcast as literals exactly like this). All features are
+# exact integers / 1e-4 fixed-point, so the logit is a BIGINT and the
+# keep/reject verdict is bit-identical on both engines — no sigmoid needed
+# (monotone, so thresholding the logit IS thresholding the probability).
+_CLS_BIAS = 36_000
+_CLS_W_LEN = 350  # tokens, capped at 256 (longer adds no signal)
+_CLS_W_STOP = 9  # stopword ratio (1e-4): natural-language indicator
+_CLS_W_UNIQ = 6  # unique-token ratio (1e-4): anti-boilerplate
+_CLS_W_PUNCT = -8  # non-alnum char ratio (1e-4): markup/junk penalty
+_CLS_W_AWL = -2  # avg token length (1e-4): gibberish/URL penalty
+
+_SQL_CLS_FEATURES = f"""
+  SELECT doc_id, source,
+         LEAST(COALESCE(len(toks), 0), 256) AS f_len,
+         COALESCE(CAST(FLOOR({sql_stopword_count('toks', 'en')} * 10000
+           / CAST(NULLIF(len(toks), 0) AS DOUBLE)) AS BIGINT), 0) AS f_stop_e4,
+         COALESCE(CAST(FLOOR(len(list_distinct(toks)) * 10000
+           / CAST(NULLIF(len(toks), 0) AS DOUBLE)) AS BIGINT), 0) AS f_uniq_e4,
+         COALESCE(CAST(FLOOR(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 10000
+           / CAST(NULLIF(len(text), 0) AS DOUBLE)) AS BIGINT), 0) AS f_punct_e4,
+         COALESCE(CAST(FLOOR({sql_token_len_sum('toks')} * 10000
+           / CAST(NULLIF(len(toks), 0) AS DOUBLE)) AS BIGINT), 0) AS f_awl_e4
+  FROM t
+"""
+
+
+@register(
+    "docs_quality_classifier",
+    operators="LLM-quality-classifier (linear model scoring + keep verdict; brief: 'quality scoring' — the trained-filter form of docs_quality_by_source's heuristic)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+)
+SELECT doc_id, source, f_len, f_stop_e4, f_uniq_e4, f_punct_e4, f_awl_e4,
+       {_CLS_BIAS} + {_CLS_W_LEN} * f_len + {_CLS_W_STOP} * f_stop_e4
+         + {_CLS_W_UNIQ} * f_uniq_e4 + {_CLS_W_PUNCT} * f_punct_e4
+         + {_CLS_W_AWL} * f_awl_e4 AS logit_e4,
+       CAST(({_CLS_BIAS} + {_CLS_W_LEN} * f_len + {_CLS_W_STOP} * f_stop_e4
+         + {_CLS_W_UNIQ} * f_uniq_e4 + {_CLS_W_PUNCT} * f_punct_e4
+         + {_CLS_W_AWL} * f_awl_e4) >= 0 AS INT) AS keep
+FROM f
+""",
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the linear quality model and emit the
+    keep/reject verdict plus the feature vector (for threshold tuning).
+
+    Scale shape: per-row expressions only — embarrassingly parallel, zero
+    shuffle, fully inside whole-stage codegen; at 100 TB this is a pure
+    scan-speed filter, the cheapest possible classifier serving path.
+    Degenerate docs (NULL/token-less text) get all-zero features and fall
+    to the bias, which rejects them.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
+    n = F.size(toks).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+
+    def _ratio_e4(num):
+        return F.coalesce(
+            F.floor(num * 10000 / F.nullif(n, F.lit(0)).cast("double")).cast("bigint"),
+            zero,
+        )
+
+    f_len = F.least(F.coalesce(n, zero), F.lit(256).cast("bigint"))
+    f_stop = _ratio_e4(stopword_count(toks, "en").cast("bigint"))
+    f_uniq = _ratio_e4(F.size(F.array_distinct(toks)).cast("bigint"))
+    f_punct = F.coalesce(
+        F.floor(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("bigint")
+            * 10000
+            / F.nullif(F.length("text"), F.lit(0)).cast("double")
+        ).cast("bigint"),
+        zero,
+    )
+    f_awl = _ratio_e4(token_len_sum(toks))
+    feats = d.select(
+        "doc_id",
+        "source",
+        f_len.alias("f_len"),
+        f_stop.alias("f_stop_e4"),
+        f_uniq.alias("f_uniq_e4"),
+        f_punct.alias("f_punct_e4"),
+        f_awl.alias("f_awl_e4"),
+    )
+    logit = (
+        F.lit(_CLS_BIAS)
+        + F.lit(_CLS_W_LEN) * F.col("f_len")
+        + F.lit(_CLS_W_STOP) * F.col("f_stop_e4")
+        + F.lit(_CLS_W_UNIQ) * F.col("f_uniq_e4")
+        + F.lit(_CLS_W_PUNCT) * F.col("f_punct_e4")
+        + F.lit(_CLS_W_AWL) * F.col("f_awl_e4")
+    )
+    return feats.withColumn("logit_e4", logit).withColumn(
+        "keep", (F.col("logit_e4") >= 0).cast("int")
+    )
