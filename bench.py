@@ -76,6 +76,12 @@ HEADLINE = [
     "docs_pii_redaction",
     "docs_chunk_dedup",
     "docs_sequence_packing",
+    # round-7 additions: clustering / semantic-dedup / multi-probe ANN /
+    # linear quality filter
+    "embeddings_kmeans_lloyd",
+    "embeddings_semdedup_prune",
+    "embeddings_knn_ivf_multiprobe",
+    "docs_quality_classifier",
 ]
 
 
