@@ -144,7 +144,9 @@ cl AS (
 dope_items AS (
   SELECT farm_no, 0 AS is_total, user_id AS uid, CAST(user_id AS VARCHAR) AS label, cnt FROM cl
   UNION ALL
-  SELECT farm_no, 1, CAST(-1 AS BIGINT), 'ALL', SUM(cnt) FROM cl GROUP BY farm_no
+  -- CAST: DuckDB SUM over integers is HUGEINT, which would promote the whole
+  -- union'd cnt column to int128 and break the driver's cross-engine hash.
+  SELECT farm_no, 1, CAST(-1 AS BIGINT), 'ALL', CAST(SUM(cnt) AS BIGINT) FROM cl GROUP BY farm_no
 ),
 dope_numbered AS (
   SELECT *,
@@ -188,7 +190,8 @@ cfg_weekly AS (
   GROUP BY 1, 2
 ),
 cfg_per AS (
-  SELECT farm_no, COUNT(*) AS cnt_1, SUM(ratio_e4) // COUNT(*) AS cnt_2
+  SELECT farm_no, COUNT(*) AS cnt_1,
+         CAST(SUM(ratio_e4) // COUNT(*) AS BIGINT) AS cnt_2
   FROM cfg_weekly GROUP BY 1
 )"""
 
@@ -368,11 +371,13 @@ prior_bm AS (
   GROUP BY 1
 ),
 sg_matched AS (
-  SELECT farm_no, SUM(cnt) AS last_sg_matched_cnt
+  -- CAST: integer SUM is HUGEINT in DuckDB; BIGINT keeps the final column
+  -- arrow-compatible with Spark's long for the driver's value hash.
+  SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS last_sg_matched_cnt
   FROM sg_counts WHERE code_1 <> 'NONE' GROUP BY 1
 ),
 alerts AS (
-  SELECT farm_no, SUM(cnt) AS alert_total
+  SELECT farm_no, CAST(SUM(cnt) AS BIGINT) AS alert_total
   FROM alert_counts
   JOIN alert_bands USING (code_1)
   WHERE alert_bands.sort_no >= 3
@@ -380,11 +385,11 @@ alerts AS (
 ),
 this_week AS (
   SELECT farm_no,
-         SUM(CASE WHEN code_1 IN ('preg_check_1', 'preg_check_2', 'pre_farrow_move')
-                  THEN cnt_8 END) AS this_gb_sum,
-         SUM(CASE WHEN code_1 IN ('piglet_care', 'wean_plan') THEN cnt_8 END) AS this_bm_sum,
-         SUM(CASE WHEN code_1 IN ('remate_check', 'recheck') THEN cnt_8 END) AS this_eu_sum,
-         SUM(cnt_8) AS this_total_sum
+         CAST(SUM(CASE WHEN code_1 IN ('preg_check_1', 'preg_check_2', 'pre_farrow_move')
+                  THEN cnt_8 END) AS BIGINT) AS this_gb_sum,
+         CAST(SUM(CASE WHEN code_1 IN ('piglet_care', 'wean_plan') THEN cnt_8 END) AS BIGINT) AS this_bm_sum,
+         CAST(SUM(CASE WHEN code_1 IN ('remate_check', 'recheck') THEN cnt_8 END) AS BIGINT) AS this_eu_sum,
+         CAST(SUM(cnt_8) AS BIGINT) AS this_total_sum
   FROM sched GROUP BY 1
 ),
 delay AS (
