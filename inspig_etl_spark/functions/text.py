@@ -110,6 +110,21 @@ def token_ngram_hashes(toks: Column, n: int) -> Column:
     return token_ngram_hashes_from(token_hashes(toks), n)
 
 
+def token_ngram_hashes_positional(hashes: Column, n: int) -> Column:
+    """POSITIONAL (non-distinct, in order) hashed n-gram spans — one entry
+    per window start, multiplicity preserved. The span-level dedup detectors
+    need every occurrence: a phrase repeated inside one doc that also occurs
+    in another doc is duplicated text at EACH of its positions."""
+    cnt = F.size(hashes) - (n - 1)
+    acc = F.slice(hashes, F.lit(1), cnt)
+    for k in range(1, n):
+        nxt = F.slice(hashes, F.lit(k + 1), cnt)
+        acc = F.zip_with(acc, nxt, lambda x, y: (x * ROLL_A + y) % HASH_P)
+    return F.when(F.size(hashes) >= n, acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def sql_token_hashes(toks_expr: str) -> str:
     """BIGINT[] of per-token hashes — bind as a named column, then feed
     :func:`sql_token_ngram_hashes_from`."""
@@ -129,6 +144,18 @@ def sql_token_ngram_hashes_from(hashes_col: str, n: int) -> str:
     return (
         f"list_distinct(list_transform("
         f"generate_series(1, len({hashes_col}) - {n - 1}), i -> {inner}))"
+    )
+
+
+def sql_token_ngram_hashes_positional(hashes_col: str, n: int) -> str:
+    """DuckDB twin of :func:`token_ngram_hashes_positional` (no distinct,
+    window order preserved)."""
+    inner = f"{hashes_col}[i]"
+    for k in range(1, n):
+        inner = f"(({inner}) * {ROLL_A} + {hashes_col}[i+{k}]) % {HASH_P}"
+    return (
+        f"list_transform("
+        f"generate_series(1, len({hashes_col}) - {n - 1}), i -> {inner})"
     )
 
 

@@ -65,12 +65,13 @@ def _load() -> None:
     samples the first 50 oracled registrations — so the window is rotated
     each round onto the queries with the stalest driver record via the
     explicit priority tiers below (import order alone no longer controls
-    it). Round 7, tier 0: the seven r4-verified queries deferred out of the
-    r6 window, order_value_percentiles_approx (rows-only, never
-    driver-checked), the two weekly-report queries extended this round, and
-    the new star-contraction clustering kernel; tier 1: the r05-verified
-    cohort (50 queries minus eleven sibling-covered deferrals, see
-    _STALE_R5_DEFERRED); tier 2: everything r06-verified.
+    it). Round 8, tier 0: the four kernels new this round plus the two
+    weekly-report queries (hash-RED in r7 — the HUGEINT oracle leak fixed
+    this round — so they re-verify first); tier 1: the fifteen queries
+    whose latest record is r5 (deferred out of both r6 and r7); tier 2: a
+    29-slot selection of the r6-verified cohort (the 19 r6-verified
+    deferrals each have an in-window or r7-fresh sibling on the same
+    kernel, see _DEFERRED_R6); tier 3: everything r7-verified (freshest).
     ``test_window_tier_lists_are_consistent`` enforces the ≤50 budget and
     ``test_never_driver_verified_queries_sit_inside_window`` that every
     never-driver-verified oracled query sits inside the window.

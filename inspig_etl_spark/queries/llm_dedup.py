@@ -28,9 +28,11 @@ from inspig_etl_spark.functions.text import (
     sql_md5_long,
     sql_token_hashes,
     sql_token_ngram_hashes_from,
+    sql_token_ngram_hashes_positional,
     sql_tokens,
     token_hashes,
     token_ngram_hashes_from,
+    token_ngram_hashes_positional,
     tokens,
 )
 from inspig_etl_spark.operators.dedup import (
@@ -449,4 +451,95 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept_chunks"),
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_removed_chunks"),
+    )
+
+
+SPAN_N = 5  # tokens per span window (the synthetic docs are short; real
+# ExactSubstr uses ~50 chars / 13 tokens — the kernel is length-agnostic)
+SPAN_KEEP_MAX_E4 = 2500  # keep docs whose duplicated-span share is <= 25%
+
+
+@register(
+    "docs_dup_ngram_spans",
+    operators=(
+        "LLM-dedup-exactsubstr (positional duplicate n-gram span detection, "
+        "Lee et al. 'Deduplicating Training Data Makes Language Models "
+        "Better' ExactSubstr approximated at n-gram granularity: every "
+        "5-token window occurring in >=2 distinct docs is a duplicated "
+        "span; per-doc duplicated-position share gates the keep decision)"
+    ),
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, {sql_token_hashes(sql_tokens('text'))} AS hs FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest({sql_token_ngram_hashes_positional('hs', SPAN_N)}) AS h
+  FROM th
+),
+dup AS (
+  SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT sp.doc_id,
+         COUNT(*) AS n_spans,
+         COUNT(CASE WHEN dup.h IS NOT NULL THEN 1 END) AS dup_spans
+  FROM sp LEFT JOIN dup ON sp.h = dup.h
+  GROUP BY sp.doc_id
+)
+SELECT doc_id, n_spans, dup_spans,
+       CAST(FLOOR(dup_spans * 10000 / CAST(n_spans AS DOUBLE)) AS BIGINT)
+         AS dup_ratio_e4,
+       dup_spans * 10000 <= {SPAN_KEEP_MAX_E4} * n_spans AS keep
+FROM per_doc
+""",
+)
+def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection at n-gram granularity.
+
+    Every positional 5-token window (multiplicity preserved — a phrase
+    repeated inside one doc that also appears elsewhere is duplicated text
+    at EACH position) is hashed arithmetically; a span is duplicated when
+    its hash occurs in >= 2 DISTINCT docs. Per doc: span count, duplicated
+    count, fixed-point share, and the keep gate at 25%.
+
+    Scale shape: one shuffle on the span hash (bigint, uniform) for the
+    distinct-doc count, then a semi-join-shaped left join back and one
+    shuffle on doc_id — the same two-exchange profile as docs_chunk_dedup.
+    The keep gate is an integer cross-multiplication, not a float compare.
+    At 100 TB the reference algorithm builds a suffix array; the n-gram
+    approximation is the standard distributed substitute (same recall at
+    window granularity, embarrassingly parallel).
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
+    ).select(
+        "doc_id",
+        F.explode(token_ngram_hashes_positional(F.col("hs"), SPAN_N)).alias("h"),
+    )
+    dup = (
+        d.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        d.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.col("is_dup")).alias("dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        F.floor(F.col("dup_spans") * 10000 / F.col("n_spans").cast("double"))
+        .cast("bigint")
+        .alias("dup_ratio_e4"),
+        (F.col("dup_spans") * 10000 <= F.lit(SPAN_KEEP_MAX_E4) * F.col("n_spans")).alias(
+            "keep"
+        ),
     )

@@ -146,3 +146,56 @@ def docs_mix_weighted_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(1), epochs)).alias("epoch_no"),
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "docs_shard_assignment",
+    operators=(
+        "LLM-shard-shuffle (deterministic hash-based global shuffle into "
+        "training shards: shard id + within-shard position are pure "
+        "functions of the data — the last step of every pretraining "
+        "pipeline before the tokenizer/packer reads shards sequentially)"
+    ),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         {sql_md5_long("'shard' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+         {sql_md5_long("'ord' || CAST(doc_id AS VARCHAR)")} AS ord_h
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_h, doc_id) AS pos
+FROM s
+""",
+)
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into N training shards.
+
+    ``shard`` and the within-shard ``pos`` are md5-derived pure functions
+    of doc_id — re-running on a different cluster, partitioning, or retry
+    yields byte-identical shards (the property ``df.orderBy(rand())``
+    famously lacks). Two INDEPENDENT hashes (domain-separated 'shard'/'ord'
+    prefixes): with a single hash, position within a shard would be ordered
+    by the same residue classes that chose the shard — correlated, not
+    uniform.
+
+    Scale shape: one shuffle on ``shard`` for the position window. At
+    100 TB with millions of rows per shard, swap the global per-shard
+    row_number for (shard, hash-range bucket) composite positions written
+    via ``repartitionByRange(shard, ord_h).sortWithinPartitions`` — same
+    determinism, no single-reducer-per-shard window; kept as the window
+    form here because N_SHARDS bounds the reducer count, not the data.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        (md5_long(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))) % N_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        md5_long(F.concat(F.lit("ord"), F.col("doc_id").cast("string"))).alias("ord_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_h", "doc_id")
+    return s.select("doc_id", "shard", F.row_number().over(w).alias("pos"))

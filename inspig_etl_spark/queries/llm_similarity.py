@@ -400,3 +400,97 @@ def embeddings_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return cosine_topk(queries, corpus, TOP_K, join_on=["cell"])
+
+
+SQ8_SCALE = 127  # int8 symmetric quantization: clamp to [-1, 1], floor * 127
+
+
+def _sq8(vec) -> F.Column:
+    """int8 scalar quantization of a float vector — the ANN compression
+    path (4x smaller than float32, integer-only distance kernels). Exact
+    integer math, so the whole ADC pipeline is oracle-checkable."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0))
+            * F.lit(float(SQ8_SCALE))
+        ).cast("bigint"),
+    )
+
+
+def _sql_sq8(expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> CAST(FLOOR(LEAST(GREATEST("
+        f"CAST(x AS DOUBLE), -1.0), 1.0) * {SQ8_SCALE}) AS BIGINT))"
+    )
+
+
+@register(
+    "embeddings_sq8_adc_knn",
+    operators=(
+        "LLM-ann-sq8 (int8 scalar-quantized inner-product top-k — the ANN "
+        "memory-compression path: 4x smaller vectors, integer-only "
+        "asymmetric-distance-style scoring; brief: 'similarity search ... "
+        "scale path')"
+    ),
+    oracle=f"""
+WITH z AS (
+  SELECT vec_id, {_sql_sq8('embedding')} AS qz FROM {_SQL_VECTORS}
+),
+q AS (SELECT vec_id AS query_id, qz AS qv FROM z WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS neighbor_id, qz AS cv FROM z),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+              AS BIGINT) AS score_q
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score_q FROM r WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_sq8_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized top-k: SQ8 (int8 per dimension) vectors, exact integer
+    inner-product scores, window top-k per probe query.
+
+    This is the memory story for ANN at 100 TB: the corpus is stored and
+    shuffled at 1/4 the float32 width (here bigint arrays for oracle
+    exactness; a production sink packs them to a 64-byte binary column),
+    and the scoring kernel never touches a float — |score| <= dim * 127^2
+    fits a BIGINT with 40+ bits of headroom, so partial aggregation order
+    is irrelevant and the result is bit-stable under any partitioning.
+    Pairs with the IVF cell join (embeddings_knn_ivf*) for the full
+    IVF+SQ compression stack.
+
+    Scale shape: probe set is |corpus|/50 and broadcast; the corpus is
+    scanned once, quantized in-expression (whole-stage codegen), and the
+    only shuffle is the per-query top-k window over candidate rows.
+    """
+    emb = _vectors(spark, sf_dir)
+    z = emb.select("vec_id", _sq8(F.col("embedding")).alias("qz"))
+    q = z.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qz").alias("qv")
+    )
+    c = z.select(F.col("vec_id").alias("neighbor_id"), F.col("qz").alias("cv"))
+    s = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )

@@ -756,3 +756,86 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("logit_e4", logit).withColumn(
         "keep", (F.col("logit_e4") >= 0).cast("int")
     )
+
+
+TFIDF_TOP_K = 3
+IDF_E6 = 1_000_000  # fixed-point idf: (N * 1e6) // df — exact in both engines
+
+
+@register(
+    "docs_tfidf_topterms",
+    operators=(
+        "LLM-text-tfidf (per-doc top-k keyword extraction by integer "
+        "fixed-point tf-idf: tf x ((N * 1e6) // df), ranked with "
+        "deterministic term tie-break; brief: 'text analysis' family)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * ((n.n_docs * {IDF_E6}) // df.df) AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_e6 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, df, score_e6
+FROM r WHERE rank <= {TFIDF_TOP_K}
+""",
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by integer fixed-point tf-idf.
+
+    The usual ``tf * ln(N/df)`` is replaced by ``tf * ((N * 1e6) // df)``:
+    per-term ranking under a per-doc window only needs a score MONOTONE in
+    (tf, 1/df), and the integer form is bit-identical across engines where
+    ``ln`` would be at the mercy of each libm's last ulp. N and df count
+    DISTINCT docs, so in-doc repetition raises tf but never df.
+
+    Scale shape: explode -> (doc, term) partial-agg count (map-side combine
+    collapses in-doc repeats before the shuffle) -> term-keyed shuffle for
+    df -> score join keyed on term (both sides already term-partitioned, no
+    extra exchange) -> one doc-keyed window for top-k. The N scalar joins
+    as a broadcast literal. No float, no UDF, no collect.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = t.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = t.select(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "df",
+            # DIV, not '/': Spark '/' is double division — exact BIGINT
+            # quotient must match DuckDB's '//' (both floor for positives)
+            (F.col("tf") * F.expr(f"(n_docs * {IDF_E6}) DIV df"))
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "score_e6")
+    )
