@@ -94,14 +94,7 @@ def token_ngram_hashes_from(hashes: Column, n: int) -> Column:
     shingle collisions negligible, and both engines compute identical
     values.
     """
-    cnt = F.size(hashes) - (n - 1)
-    acc = F.slice(hashes, F.lit(1), cnt)
-    for k in range(1, n):
-        nxt = F.slice(hashes, F.lit(k + 1), cnt)
-        acc = F.zip_with(acc, nxt, lambda x, y: (x * ROLL_A + y) % HASH_P)
-    return F.array_distinct(
-        F.when(F.size(hashes) >= n, acc).otherwise(F.array().cast("array<bigint>"))
-    )
+    return F.array_distinct(token_ngram_hashes_positional(hashes, n))
 
 
 def token_ngram_hashes(toks: Column, n: int) -> Column:
@@ -138,13 +131,7 @@ def sql_token_ngram_hashes_from(hashes_col: str, n: int) -> str:
     list_transform-with-index form is fine here (unlike Spark, where the
     slice/zip_with form avoids subtree re-evaluation).
     """
-    inner = f"{hashes_col}[i]"
-    for k in range(1, n):
-        inner = f"(({inner}) * {ROLL_A} + {hashes_col}[i+{k}]) % {HASH_P}"
-    return (
-        f"list_distinct(list_transform("
-        f"generate_series(1, len({hashes_col}) - {n - 1}), i -> {inner}))"
-    )
+    return f"list_distinct({sql_token_ngram_hashes_positional(hashes_col, n)})"
 
 
 def sql_token_ngram_hashes_positional(hashes_col: str, n: int) -> str:

@@ -62,19 +62,19 @@ def _load() -> None:
     """Import all query modules (each registers into REGISTRY).
 
     Import order IS registration order, and the driver's correctness gate
-    samples the first 50 oracled registrations — so the window is rotated
-    each round onto the queries with the stalest driver record via the
-    explicit priority tiers below (import order alone no longer controls
-    it). Round 8, tier 0: the four kernels new this round plus the two
-    weekly-report queries (hash-RED in r7 — the HUGEINT oracle leak fixed
-    this round — so they re-verify first); tier 1: the fifteen queries
-    whose latest record is r5 (deferred out of both r6 and r7); tier 2: a
-    29-slot selection of the r6-verified cohort (the 19 r6-verified
-    deferrals each have an in-window or r7-fresh sibling on the same
-    kernel, see _DEFERRED_R6); tier 3: everything r7-verified (freshest).
-    ``test_window_tier_lists_are_consistent`` enforces the ≤50 budget and
-    ``test_never_driver_verified_queries_sit_inside_window`` that every
-    never-driver-verified oracled query sits inside the window.
+    samples the first 50 registrations — so the window is rotated each
+    round onto the queries with the stalest driver record. Since round 9
+    the rotation is MECHANICAL: ``_reorder_for_window`` reads every
+    ``CORRECTNESS_r*.json`` at the repo root and stable-sorts the registry
+    by (latest driver-green round, registration order) ascending, so
+    never-driver-verified queries come first, then the stalest records,
+    and freshly-verified queries rotate to the back automatically when the
+    next round's record file lands. No hand-maintained tier list exists to
+    drift from this docstring (the r8 lesson — the frozensets encoded r7
+    while the docstring described r8, leaving 4 new kernels unverified).
+    ``tests/test_query_parity.py`` guards the invariants: the window is
+    sorted by record age and every never-driver-verified oracled query
+    sits inside it.
     """
     global _LOADED
     if _LOADED:
@@ -111,142 +111,53 @@ def _load() -> None:
     _LOADED = True
 
 
-# Tier 0 (round 7): the 8 queries with the stalest-or-missing driver record —
-# the seven r4-verified queries that were sibling-deferred out of the r6
-# window (the judge's r6 verdict item 1: they MUST rotate in now) plus
-# order_value_percentiles_approx, the one rows-only registry query that has
-# never held a driver record — and the two weekly-report queries whose
-# result shape is extended this round (new sections ⇒ their r6 record no
-# longer describes the current query, so they re-verify).
-_NEW_THIS_ROUND = frozenset(
-    {
-        "embeddings_cosine_neardup_pairs",
-        "embeddings_knn_bruteforce",
-        "merge_insert_if_absent",
-        "docs_mix_weighted_epochs",
-        "schedule_farm_default",
-        "string_date_roundtrip",
-        "docs_fingerprint",
-        "order_value_percentiles_approx",  # rows-only: first driver record
-        "weekly_report_sections",  # extended to the full 10-section union in r7
-        "weekly_report_summary",  # extended toward the ~60-col TS_INS_WEEK shape
-        "docs_neardup_clusters_star",  # new in r7: the star-contraction kernel
-        # New in r7 (second batch): the clustering/quality kernels — never
-        # driver-verified, so they must hold window slots.
-        "embeddings_kmeans_lloyd",
-        "embeddings_semdedup_prune",
-        "embeddings_knn_ivf_multiprobe",
-        "docs_quality_classifier",
-    }
-)
+def driver_verified_rounds() -> dict[str, int]:
+    """query name -> latest round with a driver-green record, derived from
+    the ``CORRECTNESS_r*.json`` files the driver writes at the repo root.
 
-# Tier 1: the cohort last driver-verified in r05 (everything r6-verified is
-# fresher and waits in tier 2). 50 queries qualify but only 35 slots remain
-# after tier 0 took 15 (14 oracled + the rows-only approx query — the driver
-# records a check for BOTH kinds, so both consume window slots); fifteen are
-# deferred to r8, each picked for strongest sibling coverage inside this
-# window:
-# - asos_hourly_decode / asos_daily_decode (fcst_hourly_decode +
-#   fcst_daily_rollup in-window exercise the same REST-payload decode and
-#   hourly→daily rollup kernels in sources/weather_api.py);
-# - multimodal_resize_decode / multimodal_frame_sample
-#   (multimodal_decode_features in-window covers the same Arrow-batched
-#   mapInPandas blob kernel in operators/multimodal.py);
-# - latest_order_per_customer (latest_event_per_user in-window — same W1
-#   row_number-latest kernel in operators/events.py);
-# - customers_urgent_semi_join (quality_threshold_semijoin in-window — same
-#   J8 left-semi kernel);
-# - dedup_union_keys (union_all_branches + intersect_except_nations
-#   in-window cover the U1-U3/A19 set-op family);
-# - two_stage_avg_of_daily_avgs (avg_over_valid_only + weighted_avg_price
-#   in-window — same dec_avg decimal-intermediate kernel);
-# - scatter_2d_qty_discount (histogram_zero_fill in-window — same bucketize
-#   + spine zero-fill kernel in operators/pivots.py);
-# - sha2_share_token (json_props_extract in-window covers the X-family
-#   scalar text/hash functions);
-# - distinct_nation_segment (deferred when docs_neardup_clusters_star took
-#   its tier-0 slot: union_all_branches + intersect_except_nations in-window
-#   exercise the same U1-U3/A19 distinct/set-op kernels);
-# - customers_inactive_anti_join (deferred when the four r7 clustering/
-#   quality kernels took tier-0 slots: merge_insert_if_absent in-window is
-#   the same J7 left-anti kernel);
-# - event_gaps_lag_lead (next_event_after_error in-window — same J2/W2/W5
-#   lag/lead-over-sequence kernel in operators/events.py);
-# - running_max_so_far (ytd_accumulation in-window — same W3/A14 running-
-#   accumulation window kernel);
-# - newline_template_block (json_props_extract in-window covers the
-#   X-family scalar string/template functions).
-_STALE_R5_DEFERRED = frozenset(
-    {
-        "distinct_nation_segment",
-        "customers_inactive_anti_join",
-        "event_gaps_lag_lead",
-        "running_max_so_far",
-        "newline_template_block",
-        "asos_hourly_decode",
-        "asos_daily_decode",
-        "multimodal_resize_decode",
-        "multimodal_frame_sample",
-        "latest_order_per_customer",
-        "customers_urgent_semi_join",
-        "dedup_union_keys",
-        "two_stage_avg_of_daily_avgs",
-        "scatter_2d_qty_discount",
-        "sha2_share_token",
-    }
-)
-_STALE_R5 = frozenset(
-    {
-        "agg_then_equijoin",
-        "avg_over_valid_only",
-        "conditional_agg_by_day",
-        "daily_orders_calendar_spine",
-        "docs_decontaminate_eval_overlap",
-        "embeddings_cosine_neardup_bucketed",
-        "fcst_daily_rollup",
-        "fcst_hourly_decode",
-        "full_outer_diff_report",
-        "histogram_zero_fill",
-        "include_exclude_rewrite",
-        "intersect_except_nations",
-        "json_props_extract",
-        "last_value_before_cutoff",
-        "latest_event_per_user",
-        "listagg_parts_by_brand",
-        "monthly_ratio_then_mean",
-        "multimodal_decode_features",
-        "next_event_after_error",
-        "order_value_band_join",
-        "purchase_asof_last_view",
-        "quality_threshold_semijoin",
-        "sorted_pinned_tail_topk",
-        "staged_commit_retry",
-        "stream_microbatch_upsert",
-        "top_customers_by_spend",
-        "totals_domain_rule",
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "union_all_branches",
-        "user_event_mode",
-        "weekly_delta_wow",
-        "weighted_avg_price",
-        "ytd_accumulation",
-    }
-)
+    "Green" = a full oracle match (rows+schema+hash, err None) or the
+    completed rows-only check for oracle-less queries (err ``no_oracle``
+    with a row count). A RED record does NOT refresh a query — it must
+    re-verify, so it keeps its old (or no) round and stays near the front.
+    Missing/empty record files degrade to {} (registration order then
+    stands, which is the correct cold-start behaviour).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            records = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, rec in records.items():
+            err = rec.get("err")
+            green = (
+                err is None
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ) or (err == "no_oracle" and rec.get("spark_rows") is not None)
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
 
 
 def _reorder_for_window() -> None:
-    """Stable-sort the registry into verification-priority tiers (the sort
-    keeps registration order within a tier)."""
-
-    def tier(q: Query) -> int:
-        if q.name in _NEW_THIS_ROUND:
-            return 0
-        if q.name in _STALE_R5:
-            return 1
-        return 2
-
-    ordered = sorted(REGISTRY.values(), key=tier)
+    """Stable-sort the registry by driver-record staleness: queries with no
+    driver-green record ever come first (round -1), then ascending by the
+    round of their latest green record; registration order breaks ties.
+    The driver's 50-query window therefore always lands on the stalest
+    records — a pure function of the CORRECTNESS files, nothing to hand-
+    rotate per round."""
+    latest = driver_verified_rounds()
+    ordered = sorted(REGISTRY.values(), key=lambda q: latest.get(q.name, -1))
     REGISTRY.clear()
     REGISTRY.update({q.name: q for q in ordered})

@@ -7,7 +7,7 @@ the hashes are md5-derived and the statistics are exact integer folds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inspig_etl_spark.catalog import spread, table
@@ -831,8 +831,6 @@ def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_e6"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -73,6 +73,19 @@ ALLOWED: dict[str, dict[str, str]] = {
         "baseline; MinHash-LSH banding (docs_minhash_neardup_groups) is the "
         "bucketed scale path and lints clean",
     },
+    "docs_tfidf_topterms": {
+        "nested-loop": "the corpus-size scalar N joins as a crossJoin against a "
+        "broadcast 1-row aggregate — a constant-size broadcast side at any SF "
+        "(the only Spark-native way to attach a computed scalar without a "
+        "global window or a driver collect)",
+    },
+    "embeddings_sq8_adc_knn": {
+        "nested-loop": "brute-force ADC scoring over the broadcast probe set "
+        "(theta join query_id != neighbor_id) IS this operator's definition — "
+        "the exact integer-scoring baseline, same shape as the allowlisted "
+        "embeddings_knn_bruteforce; embeddings_knn_ivf_multiprobe is the "
+        "cell-join scale path and lints clean",
+    },
 }
 
 

@@ -35,76 +35,54 @@ def test_no_oracle_query_runs(spark, case):
     assert len(df.columns) > 0
 
 
-def test_window_tier_lists_are_consistent():
-    """The driver samples the first 50 registrations (rows-only queries get
-    a record too — see CORRECTNESS_r03's multimodal rows); the tier
-    frozensets steer that window, so a typo'd name or an over-full front
-    section would silently leave queries unverified."""
-    names = {q.name for q in reg.REGISTRY.values()}
-    for label, tier_set in [
-        ("_NEW_THIS_ROUND", reg._NEW_THIS_ROUND),
-        ("_STALE_R5", reg._STALE_R5),
-        ("_STALE_R5_DEFERRED", reg._STALE_R5_DEFERRED),
-    ]:
-        unknown = tier_set - names
-        assert not unknown, f"{label} references unknown queries: {unknown}"
-    assert not (reg._NEW_THIS_ROUND & reg._STALE_R5), "a query is in both tiers"
-    assert not (reg._STALE_R5 & reg._STALE_R5_DEFERRED), (
-        "a deferred query is still listed in _STALE_R5"
+def test_window_is_sorted_by_record_staleness():
+    """The registry must be stable-sorted ascending by each query's latest
+    driver-green round (never-verified = -1 first) — the mechanical
+    rotation that replaced the hand-maintained tier frozensets after they
+    silently drifted in r8. A non-monotone sequence means someone
+    re-introduced manual ordering or broke ``_reorder_for_window``."""
+    latest = reg.driver_verified_rounds()
+    rounds = [latest.get(name, -1) for name in reg.REGISTRY]
+    assert rounds == sorted(rounds), (
+        "registry is not sorted by driver-record staleness; "
+        f"first inversion near {[n for n in reg.REGISTRY][:5]}"
     )
-    front = [
-        q
-        for q in reg.REGISTRY.values()
-        if q.name in reg._STALE_R5 or q.name in reg._NEW_THIS_ROUND
-    ]
-    assert len(front) <= 50, (
-        f"tier 0 + tier 1 hold {len(front)} queries — more than the "
-        f"driver's 50-query window; trim the tier lists"
-    )
-
-
-def test_r7_window_holds_the_stale_records():
-    """Judge r6 verdict item 1: after r7 every registry query's driver
-    record must be ≤2 rounds old, so the 8 stalest records (7 r4-deferred +
-    the never-checked rows-only approx query) must sit inside the first 50
-    registrations."""
-    must_rotate = {
-        "embeddings_cosine_neardup_pairs",
-        "embeddings_knn_bruteforce",
-        "merge_insert_if_absent",
-        "docs_mix_weighted_epochs",
-        "schedule_farm_default",
-        "string_date_roundtrip",
-        "docs_fingerprint",
-        "order_value_percentiles_approx",
-    }
-    window = set(list(reg.REGISTRY)[:50])
-    missing = must_rotate - window
-    assert not missing, f"stale queries outside the r7 window: {missing}"
 
 
 def test_never_driver_verified_queries_sit_inside_window():
-    """Any oracled query with no row in ANY CORRECTNESS_r*.json must be in
-    the first 50 oracled registrations, else its oracle never gets a driver
-    check (the r5 analytics_ext gap — see ADVICE r5)."""
-    import json
+    """Any query with no driver-green record in ANY CORRECTNESS_r*.json
+    must be in the first 50 registrations, else its oracle never gets a
+    driver check (the r5 analytics_ext gap and the r8 four-kernel gap).
+    With the mechanical sort this can only fail if >50 queries are
+    never-verified at once — which is itself worth failing on."""
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    records = list(root.glob("CORRECTNESS_r*.json"))
-    if not records:
+    if not list(root.glob("CORRECTNESS_r*.json")):
         pytest.skip("no driver correctness records present")
-    seen: set[str] = set()
-    for p in records:
-        seen.update(json.loads(p.read_text()).keys())
-    window = [q.name for q in reg.REGISTRY.values() if q.oracle is not None][:50]
-    never = [
-        q.name
-        for q in reg.REGISTRY.values()
-        if q.oracle is not None and q.name not in seen
-    ]
+    latest = reg.driver_verified_rounds()
+    window = list(reg.REGISTRY)[:50]
+    never = [name for name in reg.REGISTRY if name not in latest]
     outside = [n for n in never if n not in window]
     assert not outside, (
-        f"never-driver-verified oracled queries outside the 50-query window: "
-        f"{outside} — rotate them into _NEW_THIS_ROUND"
+        f"never-driver-verified queries outside the 50-query window: "
+        f"{outside} — more than 50 unverified queries pending?"
     )
+
+
+def test_stalest_records_sit_inside_window():
+    """No query outside the 50-query window may have a staler record than
+    any query inside it: max(round inside) <= min(round outside). This is
+    the invariant the r8 round broke (15 r5-stale queries sat outside while
+    r7-fresh queries re-verified)."""
+    latest = reg.driver_verified_rounds()
+    if not latest:
+        pytest.skip("no driver correctness records present")
+    names = list(reg.REGISTRY)
+    inside = [latest.get(n, -1) for n in names[:50]]
+    outside = [latest.get(n, -1) for n in names[50:]]
+    if outside:
+        assert max(inside) <= min(outside), (
+            f"window holds a fresher record (r{max(inside)}) than one left "
+            f"outside (r{min(outside)})"
+        )
