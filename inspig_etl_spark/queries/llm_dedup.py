@@ -543,3 +543,109 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+@register(
+    "docs_dup_span_runs",
+    operators=(
+        "LLM-dedup-exactsubstr-runs (maximal duplicated-substring removal "
+        "intervals: adjacent/overlapping duplicated 5-token windows per doc "
+        "coalesce into runs — the span-merge step of Lee et al. ExactSubstr, "
+        "which removes the LONGEST duplicated substring, not fixed windows)"
+    ),
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, {sql_token_ngram_hashes_positional(sql_token_hashes(sql_tokens('text')), SPAN_N)} AS hl
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, s.pos, s.h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(hl)),
+                                 i -> {{'pos': i - 1, 'h': hl[i]}})) AS s
+    FROM th)
+),
+dup AS (
+  SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dp AS (
+  SELECT sp.doc_id, CAST(sp.pos AS BIGINT) AS pos
+  FROM sp JOIN dup ON sp.h = dup.h
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_N} THEN 0 ELSE 1 END AS new_run
+  FROM dp
+),
+rid AS (
+  SELECT doc_id, pos,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_seq
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(run_seq AS BIGINT) AS run_seq,
+       MIN(pos) AS start_tok,
+       MAX(pos) + {SPAN_N - 1} AS end_tok,
+       MAX(pos) + {SPAN_N} - MIN(pos) AS run_len_toks,
+       COUNT(*) AS n_windows
+FROM rid
+GROUP BY doc_id, run_seq
+""",
+)
+def docs_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring runs: the ExactSubstr span-merge step.
+
+    ``docs_dup_ngram_spans`` flags each duplicated 5-token WINDOW; the
+    reference algorithm (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") removes the longest duplicated SUBSTRING, so
+    consecutive flagged windows must coalesce. Two duplicated windows at
+    token positions p < q merge into one run when their token intervals
+    [p, p+4] and [q, q+4] overlap or touch (q - p <= 5); each maximal run
+    is emitted as a per-doc removal interval [start_tok, end_tok] — what a
+    downstream pass would cut from the training text.
+
+    Scale shape: one shuffle on the span hash (bigint, uniform) for the
+    >=2-distinct-docs gate, a hash join back on that key, then one shuffle
+    onto doc_id for the run-merge window — whose state is bounded by a
+    single document's duplicated positions, never the corpus. The gaps-and-
+    islands merge itself is the lag + running-sum kernel already proven in
+    operators/events.py (J2/W2); no UDF, no float, no collect.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    sp = docs.select(
+        "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
+    ).select(
+        "doc_id",
+        F.posexplode(token_ngram_hashes_positional(F.col("hs"), SPAN_N)).alias(
+            "pos", "h"
+        ),
+    )
+    dup = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dp = sp.join(dup, "h").select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = dp.withColumn(
+        "new_run",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_N, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_seq", F.sum("new_run").over(run))
+    return r.groupBy("doc_id", "run_seq").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(SPAN_N - 1)).alias("end_tok"),
+        (F.max("pos") + F.lit(SPAN_N) - F.min("pos")).alias("run_len_toks"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
