@@ -97,6 +97,7 @@ def _load() -> None:
         skew,
         status_schedule,
         weekly_report,
+        on_demand,
         schedule_ext,
         weather_pipeline,
         productivity,

@@ -50,15 +50,19 @@ _SQL_SPINE = "spine(sort_no, status_cd) AS (VALUES " + ", ".join(
     f"({i + 1}, '{s}')" for i, s in enumerate(STATUS_SPINE)
 ) + ")"
 
-_SQL_WEEK_PURCHASES = f"""
+def _sql_week_purchases(wf: str, wt: str) -> str:
+    return f"""
 purch AS (
   SELECT user_id % 10 AS farm_no, CAST(ts AS DATE) AS d,
          COUNT(*) AS cnt, ROUND({sql_dec_sum('value', 6)}, 6) AS val
   FROM events
   WHERE event_type = 'purchase'
-    AND CAST(ts AS DATE) BETWEEN DATE '{WEEK_FROM}' AND DATE '{WEEK_TO}'
+    AND CAST(ts AS DATE) BETWEEN DATE '{wf}' AND DATE '{wt}'
   GROUP BY 1, 2
 )"""
+
+
+_SQL_WEEK_PURCHASES = _sql_week_purchases(WEEK_FROM, WEEK_TO)
 
 _SQL_FARMS = "farms AS (SELECT DISTINCT user_id % 10 AS farm_no FROM events)"
 
@@ -71,7 +75,11 @@ _ALERT_SPINE = ", ".join(
 
 # Shared section CTE block: every per-farm section of the wide-row union,
 # each projecting (farm_no, sort_no, plus the columns it fills).
-_SQL_SECTION_CTES = f"""
+def _sql_section_ctes(wf: str, wt: str) -> str:
+    prior_from, prior_to = _shift(wf, -7), _shift(wf, -1)
+    this_from, this_to = _shift(wt, 1), _shift(wt, 7)
+    config_from = _shift(wt, -(7 * CONFIG_WEEKS - 1))
+    return f"""
 counts AS (
   SELECT farm_no, status_cd, COUNT(*) AS cnt FROM status GROUP BY 1, 2
 ),
@@ -82,14 +90,14 @@ gb_counts AS (
          COUNT(*) AS cnt
   FROM events
   WHERE event_type = 'purchase' AND value IS NOT NULL
-    AND CAST(ts AS DATE) BETWEEN DATE '{WEEK_FROM}' AND DATE '{WEEK_TO}'
+    AND CAST(ts AS DATE) BETWEEN DATE '{wf}' AND DATE '{wt}'
   GROUP BY 1, 2
 ),
 gb_spine(sort_no, code_1) AS (VALUES {_GB_SPINE}),
 bm_counts AS (
   SELECT user_id % 10 AS farm_no,
-         COUNT(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{WEEK_FROM}' AND DATE '{WEEK_TO}' THEN 1 END) AS c1,
-         COUNT(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{PRIOR_FROM}' AND DATE '{PRIOR_TO}' THEN 1 END) AS c2
+         COUNT(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{wf}' AND DATE '{wt}' THEN 1 END) AS c1,
+         COUNT(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '{prior_from}' AND DATE '{prior_to}' THEN 1 END) AS c2
   FROM events WHERE event_type = 'view' GROUP BY 1
 ),
 evw AS (
@@ -97,7 +105,7 @@ evw AS (
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type,
          ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS srn
   FROM events
-  WHERE CAST(ts AS DATE) BETWEEN DATE '{WEEK_FROM}' AND DATE '{WEEK_TO}'
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{wf}' AND DATE '{wt}'
 ),
 eu_counts AS (
   SELECT user_id % 10 AS farm_no, next_type AS code_1, COUNT(*) AS cnt
@@ -130,7 +138,7 @@ sg_counts AS (
          COUNT(*) AS cnt
   FROM sg_filled
   WHERE event_type = 'error'
-    AND eday BETWEEN DATE '{WEEK_FROM}' AND DATE '{WEEK_TO}'
+    AND eday BETWEEN DATE '{wf}' AND DATE '{wt}'
   GROUP BY 1, 2
 ),
 sg_spine(sort_no, code_1) AS (VALUES {_SG_SPINE}),
@@ -138,7 +146,7 @@ cl AS (
   SELECT user_id % 10 AS farm_no, user_id, COUNT(*) AS cnt
   FROM events
   WHERE event_type = 'click'
-    AND CAST(ts AS DATE) BETWEEN DATE '{WEEK_FROM}' AND DATE '{WEEK_TO}'
+    AND CAST(ts AS DATE) BETWEEN DATE '{wf}' AND DATE '{wt}'
   GROUP BY 1, 2
 ),
 dope_items AS (
@@ -158,7 +166,7 @@ alert_farms AS (SELECT DISTINCT user_id % 10 AS farm_no FROM last),
 alert_counts AS (
   SELECT user_id % 10 AS farm_no, b.code_1, COUNT(*) AS cnt
   FROM last JOIN alert_bands b
-    ON date_diff('day', event_day, DATE '{THIS_FROM}') BETWEEN b.lo AND b.hi
+    ON date_diff('day', event_day, DATE '{this_from}') BETWEEN b.lo AND b.hi
   GROUP BY 1, 2
 ),
 sched_rows AS (
@@ -166,27 +174,27 @@ sched_rows AS (
          CAST(event_day + pass_day * INTERVAL 1 DAY AS DATE) AS pass_dt
   FROM last JOIN {sql_rules_values()} USING (wk_gubun)
   WHERE event_day + pass_day * INTERVAL 1 DAY
-        BETWEEN DATE '{THIS_FROM}' AND DATE '{THIS_TO}'
+        BETWEEN DATE '{this_from}' AND DATE '{this_to}'
 ),
 sched AS (
   SELECT farm_no, task_seq AS sort_no, wk_nm AS code_1, std_cd AS str_1,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 1 THEN 1 END) AS cnt_1,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 2 THEN 1 END) AS cnt_2,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 3 THEN 1 END) AS cnt_3,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 4 THEN 1 END) AS cnt_4,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 5 THEN 1 END) AS cnt_5,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 6 THEN 1 END) AS cnt_6,
-         COUNT(CASE WHEN date_diff('day', DATE '{THIS_FROM}', pass_dt) + 1 = 7 THEN 1 END) AS cnt_7,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 1 THEN 1 END) AS cnt_1,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 2 THEN 1 END) AS cnt_2,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 3 THEN 1 END) AS cnt_3,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 4 THEN 1 END) AS cnt_4,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 5 THEN 1 END) AS cnt_5,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 6 THEN 1 END) AS cnt_6,
+         COUNT(CASE WHEN date_diff('day', DATE '{this_from}', pass_dt) + 1 = 7 THEN 1 END) AS cnt_7,
          COUNT(*) AS cnt_8
   FROM sched_rows
   GROUP BY 1, 2, 3, 4
 ),
 cfg_weekly AS (
   SELECT user_id % 10 AS farm_no,
-         CAST(FLOOR(date_diff('day', DATE '{CONFIG_FROM}', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk_no,
+         CAST(FLOOR(date_diff('day', DATE '{config_from}', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk_no,
          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) * 10000 // COUNT(*) AS ratio_e4
   FROM events
-  WHERE CAST(ts AS DATE) BETWEEN DATE '{CONFIG_FROM}' AND DATE '{WEEK_TO}'
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{config_from}' AND DATE '{wt}'
   GROUP BY 1, 2
 ),
 cfg_per AS (
@@ -196,17 +204,17 @@ cfg_per AS (
 )"""
 
 
-@register(
-    "weekly_report_sections",
-    operators=(
-        "pipeline: the full TS_INS_WEEK_SUB wide-row union — MD(A15/UD1) + "
-        "ALERT(J9) + GB(A10) + BM(A17) + EU(W5/A9) + SG(J4/A10) + DOPE(T3/T4) "
-        "+ SH(J10) + SCHEDULE(UD2/J12) + CONFIG(A18) "
-        "(ref async_processor.py:150-192, TS_INS_WEEK_SUB taxonomy)"
-    ),
-    oracle=f"""
-WITH {_SQL_LAST_EVENT}, {_SQL_STATUS}, {_SQL_SPINE}, {_SQL_WEEK_PURCHASES},
-{_SQL_FARMS}, {_SQL_SECTION_CTES},
+_SQL_SECTION_CTES = _sql_section_ctes(WEEK_FROM, WEEK_TO)
+
+
+def sections_oracle_sql(wf: str, wt: str) -> str:
+    """The full TS_INS_WEEK_SUB wide-row oracle for an ARBITRARY report
+    week — the batch query below instantiates it at (WEEK_FROM, WEEK_TO);
+    the on-demand single-farm query (queries/on_demand.py) reuses it at
+    its own Mon..Sun period."""
+    return f"""
+WITH {_SQL_LAST_EVENT}, {_SQL_STATUS}, {_SQL_SPINE}, {_sql_week_purchases(wf, wt)},
+{_SQL_FARMS}, {_sql_section_ctes(wf, wt)},
 md AS (
   SELECT md_farms.farm_no, 'MD' AS gubun, 'STAT' AS sub_gubun, spine.sort_no,
          spine.status_cd AS code_1,
@@ -276,8 +284,8 @@ dope AS (
 ),
 days AS (
   SELECT CAST(d AS DATE) AS d,
-         CAST(date_diff('day', DATE '{WEEK_FROM}', CAST(d AS DATE)) + 1 AS INT) AS sort_no
-  FROM generate_series(DATE '{WEEK_FROM}', DATE '{WEEK_TO}', INTERVAL 1 DAY) t(d)
+         CAST(date_diff('day', DATE '{wf}', CAST(d AS DATE)) + 1 AS INT) AS sort_no
+  FROM generate_series(DATE '{wf}', DATE '{wt}', INTERVAL 1 DAY) t(d)
 ),
 sh AS (
   SELECT farms.farm_no, 'SH', 'CHART', days.sort_no, CAST(NULL AS VARCHAR),
@@ -312,7 +320,18 @@ UNION ALL SELECT * FROM dope
 UNION ALL SELECT * FROM sh
 UNION ALL SELECT * FROM schedule
 UNION ALL SELECT * FROM config
-""",
+"""
+
+
+@register(
+    "weekly_report_sections",
+    operators=(
+        "pipeline: the full TS_INS_WEEK_SUB wide-row union — MD(A15/UD1) + "
+        "ALERT(J9) + GB(A10) + BM(A17) + EU(W5/A9) + SG(J4/A10) + DOPE(T3/T4) "
+        "+ SH(J10) + SCHEDULE(UD2/J12) + CONFIG(A18) "
+        "(ref async_processor.py:150-192, TS_INS_WEEK_SUB taxonomy)"
+    ),
+    oracle=sections_oracle_sql(WEEK_FROM, WEEK_TO),
 )
 def weekly_report_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide, _summary = build_weekly_report(spark, sf_dir)

@@ -79,6 +79,13 @@ ALLOWED: dict[str, dict[str, str]] = {
         "(the only Spark-native way to attach a computed scalar without a "
         "global window or a driver collect)",
     },
+    "on_demand_farm_report": {
+        "nested-loop": "inherits weekly_report_sections' zero-fill cross joins "
+        "against broadcast LITERAL spines plus the 4-row ALERT band theta "
+        "join, and adds one 1-row broadcast cross join attaching the "
+        "period/token contract columns — every BNLJ side is constant-size "
+        "at any SF",
+    },
     "embeddings_sq8_adc_knn": {
         "nested-loop": "brute-force ADC scoring over the broadcast probe set "
         "(theta join query_id != neighbor_id) IS this operator's definition — "
