@@ -28,6 +28,12 @@ NAMES = [
     "docs_token_stats", "docs_chunk_dedup", "docs_minhash_neardup_pairs",
     "docs_neardup_clusters", "docs_pii_redaction", "docs_sequence_packing",
     "docs_repetition_filter", "weekly_report_sections",
+    # r7 kernels (clustering / semantic dedup / multiprobe ANN / quality)
+    "embeddings_kmeans_lloyd", "embeddings_semdedup_prune",
+    "embeddings_knn_ivf_multiprobe", "docs_quality_classifier",
+    # r8/r9 kernels (span dedup, shard assignment, tf-idf, SQ8 ANN, on-demand)
+    "docs_dup_ngram_spans", "docs_dup_span_runs", "docs_shard_assignment",
+    "docs_tfidf_topterms", "embeddings_sq8_adc_knn", "on_demand_farm_report",
 ]
 
 
