@@ -82,6 +82,17 @@ HEADLINE = [
     "embeddings_semdedup_prune",
     "embeddings_knn_ivf_multiprobe",
     "docs_quality_classifier",
+    # round-8/9 additions: ExactSubstr span detection + merge, deterministic
+    # shard assignment, TF-IDF top-terms, SQ8 quantized ANN scoring, and the
+    # on-demand single-farm endpoint path
+    "docs_dup_ngram_spans",
+    "docs_dup_span_runs",
+    "docs_shard_assignment",
+    "docs_tfidf_topterms",
+    "embeddings_sq8_adc_knn",
+    "on_demand_farm_report",
+    "docs_quality_bucket_sample",
+    "docs_token_budget_curation",
 ]
 
 

@@ -51,18 +51,20 @@ def hyperplane_signs(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def ivf_centroids(cells: int, dim: int) -> list[list[float]]:
+def ivf_centroids(cells: int, dim: int, seed: str = "c") -> list[list[float]]:
     """Deterministic unit-norm centroids from md5(cell_dim) draws in [-1, 1].
 
     A real deployment would k-means these on a sample; for an
     oracle-checkable IVF the coarse quantizer just has to be a FIXED set of
     unit vectors shared by both engines, so they are derived (like the LSH
     hyperplanes) from md5 parity and embedded as literals on both sides.
+    ``seed`` namespaces independent banks (the two-level SemDeDup quantizer
+    needs a fine bank decorrelated from the coarse one).
     """
     cents = []
     for c in range(cells):
         raw = [
-            (int(hashlib.md5(f"c{c}_d{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            (int(hashlib.md5(f"{seed}{c}_d{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
             / 1000.0
             for d in range(dim)
         ]

@@ -41,11 +41,14 @@ from inspig_etl_spark.queries import register
 DIM = 64
 KMEANS_K = 6
 KMEANS_UPDATES = 2
-SEMDEDUP_CELLS = 8
+SEMDEDUP_CELLS = 8  # coarse quantizer bank
+SEMDEDUP_FINE_MAX = 8  # fine bank size; active count scales with corpus
+SEMDEDUP_TARGET_CELL = 250  # target vectors per composed cell
 SEMDEDUP_TAU = 0.45
 
 _KM_SEEDS = seed_micro_centroids(ivf_centroids(KMEANS_K, DIM))
 _SD_CENTROIDS = ivf_centroids(SEMDEDUP_CELLS, DIM)
+_SD_FINE = ivf_centroids(SEMDEDUP_FINE_MAX, DIM, seed="f")
 
 # k-means needs vectors of EXACTLY the quantizer dimension: a short/padded
 # vector would zip-pad to NULL scores, where Spark's argmax yields a NULL
@@ -107,19 +110,31 @@ _SQL_SD_CASE = (
     + " ".join(f"WHEN s{i} = best THEN {i}" for i in range(SEMDEDUP_CELLS))
     + " END)"
 )
+_SQL_SD_FS = (
+    "[" + ", ".join(sql_dot("embedding", sql_centroid(c)) for c in _SD_FINE) + "]"
+)
 
 
 @register(
     "embeddings_semdedup_prune",
-    operators="LLM-dedup-semantic (SemDeDup: within-cell centroid-ranked cosine prune; brief: 'embedding-cosine near-dup' — the cluster-scoped production form)",
+    operators="LLM-dedup-semantic (SemDeDup: within-cell centroid-ranked cosine prune under a corpus-scaled two-level quantizer; brief: 'embedding-cosine near-dup' — the cluster-scoped production form)",
     oracle=f"""
-WITH sc AS (
+WITH nf AS (
+  SELECT GREATEST(1, LEAST({SEMDEDUP_FINE_MAX},
+         CAST(CEIL(COUNT(*) / {SEMDEDUP_CELLS * SEMDEDUP_TARGET_CELL}.0) AS INT))) AS f
+  FROM {_SQL_VECTORS}
+),
+sc AS (
   SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
-         {_SQL_SD_SCORES}
+         {_SQL_SD_SCORES},
+         {_SQL_SD_FS} AS fs
   FROM {_SQL_VECTORS}
 ),
 cl AS (
-  SELECT vec_id, embedding, nrm, {_SQL_SD_CASE} AS cell,
+  SELECT vec_id, embedding, nrm,
+         {_SQL_SD_CASE} * (SELECT f FROM nf)
+           + (list_position(fs[1:(SELECT f FROM nf)],
+                list_aggregate(fs[1:(SELECT f FROM nf)], 'max')) - 1) AS cell,
          best / NULLIF(nrm, 0) AS csim
   FROM (SELECT *, {_SQL_SD_BEST} AS best FROM sc)
 ),
@@ -145,23 +160,55 @@ def embeddings_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (most-central first) and prune any vector >= tau-similar to a
     higher-ranked one. The pair join is cell-local (equi-join on cell id),
     the rank window is cell-partitioned, and the prune verdict is a
-    left-anti-shaped join against the (small) pruned-id set — every stage
-    shuffles O(|corpus|), never O(n^2).
+    left-anti-shaped join against the (small) pruned-id set.
 
-    The fixed md5-derived quantizer keeps the oracle checkable; production
-    composes this with ``embeddings_kmeans_lloyd``'s trained centroids.
+    The within-cell pair join is n²/k work, so k MUST grow with the corpus
+    (the r9 10x probe measured the fixed-k=8 version at 23.9x on 10x rows —
+    quadratic). The quantizer is therefore TWO-LEVEL: 8 coarse cells times
+    an ACTIVE fine-cell count f = clamp(ceil(n / (8*250)), 1, 8) derived
+    from the measured corpus size, composing cell = coarse*f + fine —
+    pairs-per-cell stays ~TARGET² and total pair work grows linearly until
+    the 64-cell bank saturates. At sf<=0.1 f=1 and the result is
+    bit-identical to the single-level form; production swaps the md5 banks
+    for ``embeddings_kmeans_lloyd``-trained codebooks sized to the corpus
+    (SemDeDup paper: k grows with n, cells stay ~constant-size).
+
+    The corpus-size scalar attaches via a 1-row broadcast cross join — the
+    same declared pattern as docs_tfidf_topterms.
     """
     emb = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    nf = emb.agg(
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(SEMDEDUP_FINE_MAX),
+                F.ceil(
+                    F.count(F.lit(1))
+                    / F.lit(float(SEMDEDUP_CELLS * SEMDEDUP_TARGET_CELL))
+                ).cast("int"),
+            ),
+        ).alias("f")
+    )
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_CENTROIDS])
-    scored = emb.withColumn(
-        "__s", F.transform(cents, lambda c: dot(F.col("embedding"), c))
+    fine = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_FINE])
+    scored = (
+        emb.crossJoin(F.broadcast(nf))
+        .withColumn("__s", F.transform(cents, lambda c: dot(F.col("embedding"), c)))
+        .withColumn("__fs", F.transform(fine, lambda c: dot(F.col("embedding"), c)))
     )
     cl = (
         scored.withColumn("best", F.array_max("__s"))
         .withColumn(
-            "cell",
+            "ccell",
             (F.array_position(F.col("__s"), F.col("best")) - 1).cast("int"),
         )
+        .withColumn("__fss", F.slice(F.col("__fs"), F.lit(1), F.col("f")))
+        .withColumn("fbest", F.array_max("__fss"))
+        .withColumn(
+            "fcell",
+            (F.array_position(F.col("__fss"), F.col("fbest")) - 1).cast("int"),
+        )
+        .withColumn("cell", (F.col("ccell") * F.col("f") + F.col("fcell")).cast("int"))
         .withColumn("csim", F.col("best") / F.nullif(F.col("nrm"), F.lit(0.0)))
         .select("vec_id", "embedding", "nrm", "cell", "csim")
     )

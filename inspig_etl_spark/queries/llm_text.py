@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.functions.text import (
     HASH_P,
+    md5_long,
+    sql_md5_long,
     sql_stopword_count,
     sql_token_len_sum,
     sql_tokens,
@@ -712,6 +714,14 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate docs (NULL/token-less text) get all-zero features and fall
     to the bias, which rejects them.
     """
+    return _cls_logit_frame(spark, sf_dir).withColumn(
+        "keep", (F.col("logit_e4") >= 0).cast("int")
+    )
+
+
+def _cls_logit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared classifier scoring: (doc_id, source, features, logit_e4) —
+    used by the keep-verdict query above and the bucket resampler below."""
     docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     toks = F.col("toks")
@@ -753,8 +763,160 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_CLS_W_PUNCT) * F.col("f_punct_e4")
         + F.lit(_CLS_W_AWL) * F.col("f_awl_e4")
     )
-    return feats.withColumn("logit_e4", logit).withColumn(
-        "keep", (F.col("logit_e4") >= 0).cast("int")
+    return feats.withColumn("logit_e4", logit)
+
+
+# CCNet-style quality-bucket resampling: bucket by classifier logit, then
+# keep each bucket at its own deterministic hash-gate rate. Thresholds are
+# broadcast literals exactly as a production model dump would be.
+_QBS_HEAD = 2_500  # logit_e4 >= head threshold → 'head' bucket
+_QBS_TAIL = -2_500  # logit_e4 < tail threshold → 'tail' bucket
+_QBS_RATES = {"head": 1_000_000, "middle": 500_000, "tail": 100_000}  # ppm
+
+_SQL_CLS_LOGIT = (
+    f"{_CLS_BIAS} + {_CLS_W_LEN} * f_len + {_CLS_W_STOP} * f_stop_e4"
+    f" + {_CLS_W_UNIQ} * f_uniq_e4 + {_CLS_W_PUNCT} * f_punct_e4"
+    f" + {_CLS_W_AWL} * f_awl_e4"
+)
+
+
+@register(
+    "docs_quality_bucket_sample",
+    operators=(
+        "LLM-quality-bucket-sample (CCNet-style head/middle/tail resampling: "
+        "linear-classifier logit buckets x per-bucket deterministic hash-gate "
+        "rates — keep all head, half of middle, a tenth of tail; brief: "
+        "quality scoring + sampling composed)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+b AS (
+  SELECT doc_id, source, {_SQL_CLS_LOGIT} AS logit_e4,
+         CASE WHEN {_SQL_CLS_LOGIT} >= {_QBS_HEAD} THEN 'head'
+              WHEN {_SQL_CLS_LOGIT} >= {_QBS_TAIL} THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CAST(CASE WHEN {_SQL_CLS_LOGIT} >= {_QBS_HEAD} THEN {_QBS_RATES['head']}
+              WHEN {_SQL_CLS_LOGIT} >= {_QBS_TAIL} THEN {_QBS_RATES['middle']}
+              ELSE {_QBS_RATES['tail']} END AS BIGINT) AS rate_ppm
+  FROM f
+)
+SELECT doc_id, source, logit_e4, bucket, rate_ppm
+FROM b
+WHERE {sql_md5_long("'qbs' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+""",
+)
+def docs_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bucket resampling (Wenzek et al.): documents are bucketed
+    head/middle/tail by model score (here the linear classifier's logit;
+    CCNet uses LM perplexity terciles — the thresholds are precomputed
+    constants either way), then each bucket keeps a different deterministic
+    fraction — all of head, half of middle, 10% of tail — so low-quality
+    text is down-weighted without being zeroed out.
+
+    Scale shape: the score, the bucket CASE, and the md5 hash gate are all
+    per-row codegen'd expressions on the scan — zero shuffle, reproducible
+    under any partitioning/retry (the same property every sampler in
+    queries/llm_sampling.py guarantees).
+    """
+    scored = _cls_logit_frame(spark, sf_dir)
+    bucket = (
+        F.when(F.col("logit_e4") >= _QBS_HEAD, F.lit("head"))
+        .when(F.col("logit_e4") >= _QBS_TAIL, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    rate = (
+        F.when(F.col("logit_e4") >= _QBS_HEAD, F.lit(_QBS_RATES["head"]))
+        .when(F.col("logit_e4") >= _QBS_TAIL, F.lit(_QBS_RATES["middle"]))
+        .otherwise(F.lit(_QBS_RATES["tail"]))
+        .cast("bigint")
+    )
+    gate = md5_long(F.concat(F.lit("qbs"), F.col("doc_id").cast("string"))) % 1_000_000
+    return (
+        scored.select("doc_id", "source", "logit_e4",
+                      bucket.alias("bucket"), rate.alias("rate_ppm"))
+        .where(gate < F.col("rate_ppm"))
+    )
+
+
+# Per-source token budget for the curation query: sources average ~1350
+# tokens at sf0.01, so 600 forces every source to cut its tail while
+# keeping a meaningful head.
+_CURATION_BUDGET = 600
+
+
+@register(
+    "docs_token_budget_curation",
+    operators=(
+        "LLM-budget-curation (quality-ranked selection under a per-source "
+        "token budget: rank by classifier logit, keep while the running "
+        "token sum fits — the budgeted data-selection step after scoring; "
+        "brief: quality scoring + token counting composed; W3 running-sum "
+        "kernel per stratum)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+s AS (
+  SELECT f.doc_id, f.source, {_SQL_CLS_LOGIT} AS logit_e4,
+         COALESCE(len(t.toks), 0) AS n_tokens
+  FROM f JOIN t ON f.doc_id = t.doc_id
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY logit_e4 DESC, doc_id) AS quality_rank,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY logit_e4 DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, source, logit_e4, n_tokens,
+       CAST(quality_rank AS INT) AS quality_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= {_CURATION_BUDGET}
+""",
+)
+def docs_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data selection: after quality scoring, real pipelines don't
+    keep "everything above a threshold" — they keep the best N tokens per
+    source to hit a target mixture size. Rank each source's docs by
+    classifier logit and keep the prefix whose running token sum fits the
+    budget (a doc that would overflow the budget is cut, and everything
+    after it with it — the deterministic greedy rule).
+
+    Scale shape: one shuffle onto source for the rank + running-sum window
+    (the W3 kernel per stratum); the score and token count are per-row
+    expressions. Window state is one source's docs — at 100 TB with few
+    huge sources, swap in the two-stage pre-aggregated top-k
+    (operators/skew.py) exactly as docs_reservoir_per_source documents.
+    """
+    scored = _cls_logit_frame(spark, sf_dir)
+    docs = spread(table(spark, sf_dir, "documents"))
+    n_tokens = F.coalesce(
+        F.size(tokens(F.col("text"))).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    sized = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    s = scored.select("doc_id", "source", "logit_e4").join(sized, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("logit_e4").desc(), F.col("doc_id")
+    )
+    r = s.withColumn("quality_rank", F.row_number().over(w).cast("int")).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return r.where(F.col("cum_tokens") <= _CURATION_BUDGET).select(
+        "doc_id", "source", "logit_e4", "n_tokens", "quality_rank", "cum_tokens"
     )
 
 
