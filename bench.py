@@ -93,6 +93,7 @@ HEADLINE = [
     "on_demand_farm_report",
     "docs_quality_bucket_sample",
     "docs_token_budget_curation",
+    "docs_dsir_importance_sample",
 ]
 
 

@@ -29,8 +29,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from inspig_etl_spark.catalog import table
-from inspig_etl_spark.functions.text import md5_long, sql_md5_long
+from inspig_etl_spark.catalog import spread, table
+from inspig_etl_spark.functions.text import (
+    md5_long,
+    sql_md5_long,
+    sql_token_hashes,
+    sql_token_ngram_hashes_positional,
+    sql_tokens,
+    token_hashes,
+    token_ngram_hashes_positional,
+    tokens,
+)
 from inspig_etl_spark.queries import register
 
 PPM = 1_000_000
@@ -199,3 +208,214 @@ def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("shard").orderBy("ord_h", "doc_id")
     return s.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+
+
+# DSIR hashed-bigram feature space. Production uses ~10k buckets (Xie et
+# al. 2023 use 10^4 hashed unigram+bigram features); 256 keeps the sf0.01
+# bucket table readable while exercising the identical plan shape.
+DSIR_B = 256
+
+
+@register(
+    "docs_dsir_importance_sample",
+    operators=(
+        "LLM-sample-dsir (DSIR-style data selection: hashed-bigram "
+        "importance ratios target/raw per feature bucket, per-doc mean "
+        "ratio, importance-proportional deterministic hash gate — the "
+        "distribution-matching selection step between quality filtering "
+        "and mixing; integer fixed-point end-to-end)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, COALESCE(lang = 'en', FALSE) AS is_t,
+         {sql_tokens('text')} AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, source, is_t, {sql_token_hashes('toks')} AS hs FROM t
+),
+g AS (
+  SELECT doc_id, source, is_t,
+         list_transform({sql_token_ngram_hashes_positional('hs', 2)},
+                        x -> x % {DSIR_B}) AS bs
+  FROM h
+),
+e AS (SELECT doc_id, is_t, unnest(bs) AS b FROM g),
+bt AS (
+  SELECT b,
+         (COUNT(*) FILTER (WHERE is_t) + 1) * {PPM} // (COUNT(*) + 1)
+           AS ratio_e6
+  FROM e GROUP BY b
+),
+ds AS (
+  SELECT e.doc_id, COUNT(*) AS n_grams,
+         SUM(ratio_e6) // COUNT(*) AS avg_ratio_e6
+  FROM e JOIN bt USING (b) GROUP BY e.doc_id
+),
+base AS (
+  SELECT g.doc_id, g.source,
+         CAST(COALESCE(ds.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(ds.avg_ratio_e6, 0) AS BIGINT) AS avg_ratio_e6
+  FROM g LEFT JOIN ds USING (doc_id)
+),
+m AS (
+  SELECT CAST(SUM(avg_ratio_e6) // COUNT(*) AS BIGINT) AS mean_e6 FROM base
+)
+SELECT doc_id, source, n_grams, avg_ratio_e6,
+       CAST(CASE WHEN {sql_md5_long("'dsir' || CAST(doc_id AS VARCHAR)")}
+                      % NULLIF(2 * mean_e6, 0) < avg_ratio_e6
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM base CROSS JOIN m
+""",
+)
+def docs_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed-bigram distribution is, then keep docs with
+    probability proportional to that importance — matching the selected
+    corpus to the target distribution instead of hard-filtering.
+
+    Deterministic integer re-expression of the paper's estimator:
+
+    - features: positional hashed bigrams mod ``DSIR_B`` buckets (the
+      paper's hashed n-gram generative model);
+    - per-bucket importance ratio with add-one smoothing,
+      ``(cnt_target+1) * 1e6 div (cnt_raw+1)`` — the target here is the
+      ``lang='en'`` slice (production points this at the curated corpus);
+      Laplace smoothing keeps unseen buckets finite, exactly the paper's
+      smoothed bag-of-hashed-ngrams;
+    - per-doc weight: integer mean bucket ratio over the doc's bigrams
+      (the log-sum becomes a ratio-mean — same ordering for docs of equal
+      length, and bit-stable across engines where float log is not);
+    - selection: md5 gate modulo twice the corpus-mean weight — keep
+      probability ``min(1, w/(2*mean))``, importance-proportional and
+      reproducible under any partitioning/retry (Gumbel-top-k in the paper,
+      the repo's standard hash gate here).
+
+    Scale shape: two linear shuffles over the exploded bigrams (bucket agg,
+    doc re-agg) + one doc-level left join; the 256-row bucket table and the
+    1-row corpus mean attach as broadcasts (the declared 1-row-scalar
+    crossJoin pattern). BIGINT headroom: per-bucket counts would overflow
+    the e6 product only past ~9e12 bigrams PER BUCKET — at 100 TB with the
+    production 10k-bucket space that is ~1e17 tokens of corpus, far beyond
+    the data; the bucket table stays broadcast-sized at any corpus.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    g = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("lang") == "en", F.lit(False)).alias("is_t"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .withColumn("hs", token_hashes(F.col("toks")))
+        .select(
+            "doc_id",
+            "source",
+            "is_t",
+            F.transform(
+                token_ngram_hashes_positional(F.col("hs"), 2),
+                lambda x: x % DSIR_B,
+            ).alias("bs"),
+        )
+    )
+    e = g.select("doc_id", "is_t", F.explode("bs").alias("b"))
+    bt = e.groupBy("b").agg(
+        F.expr(f"(count_if(is_t) + 1) * {PPM} div (count(*) + 1)").alias("ratio_e6")
+    )
+    ds = (
+        e.join(F.broadcast(bt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr("sum(ratio_e6) div count(*)").alias("avg_ratio_e6"),
+        )
+    )
+    base = (
+        g.select("doc_id", "source")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("avg_ratio_e6"), F.lit(0))
+            .cast("bigint")
+            .alias("avg_ratio_e6"),
+        )
+    )
+    m = base.agg(
+        F.expr("cast(sum(avg_ratio_e6) div count(*) as bigint)").alias("mean_e6")
+    )
+    gate = md5_long(F.concat(F.lit("dsir"), F.col("doc_id").cast("string")))
+    return base.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "avg_ratio_e6",
+        F.when(
+            gate % F.nullif(F.lit(2) * F.col("mean_e6"), F.lit(0))
+            < F.col("avg_ratio_e6"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+@register(
+    "docs_training_mix_report",
+    operators=(
+        "LLM-mix-report (training-mixture accounting: per source x language "
+        "doc/token counts and ppm token shares — the table every mixing- "
+        "weight decision reads; integer shares via the 1-row broadcast "
+        "total)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT source, COALESCE(lang, '??') AS lang,
+         COALESCE(len({sql_tokens('text')}), 0) AS n_toks
+  FROM documents
+),
+agg AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source, lang
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM agg)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens * {PPM} // NULLIF(tot_tokens, 0) AS BIGINT) AS share_ppm
+FROM agg CROSS JOIN tot
+""",
+)
+def docs_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: per (source, language) doc and token counts
+    plus each cell's ppm share of all tokens — the observability table a
+    pipeline reads before setting the mixing weights that
+    ``docs_mix_weighted_epochs`` then applies.
+
+    Scale shape: one partial-aggregated groupBy to source x lang cells (a
+    bounded-cardinality frame at any corpus size), then the corpus total
+    attaches as the declared 1-row broadcast scalar; shares are integer ppm
+    (bit-stable; NULLIF-guarded for the empty corpus).
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.coalesce(F.col("lang"), F.lit("??")).alias("lang"),
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)).alias("n_toks"),
+    )
+    agg = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("bigint").alias("tot_tokens"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"cast(n_tokens * {PPM} div nullif(tot_tokens, 0) as bigint)").alias(
+            "share_ppm"
+        ),
+    )

@@ -93,6 +93,17 @@ ALLOWED: dict[str, dict[str, str]] = {
         "period/token contract columns — every BNLJ side is constant-size "
         "at any SF",
     },
+    "docs_dsir_importance_sample": {
+        "nested-loop": "the corpus-mean importance weight joins as a crossJoin "
+        "against a broadcast 1-row aggregate (the declared 1-row-scalar "
+        "pattern); the 256-row bucket table itself attaches via a broadcast "
+        "EQUI-join and is not part of this exception",
+    },
+    "docs_training_mix_report": {
+        "nested-loop": "the corpus token total joins as a crossJoin against a "
+        "broadcast 1-row aggregate over the already-bounded source x lang "
+        "cells — constant-size at any SF",
+    },
     "embeddings_sq8_adc_knn": {
         "nested-loop": "brute-force ADC scoring over the broadcast probe set "
         "(theta join query_id != neighbor_id) IS this operator's definition — "
