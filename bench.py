@@ -94,6 +94,8 @@ HEADLINE = [
     "docs_quality_bucket_sample",
     "docs_token_budget_curation",
     "docs_dsir_importance_sample",
+    "embeddings_ivfpq_adc_knn",
+    "stream_incremental_dedup",
 ]
 
 

@@ -73,6 +73,31 @@ def ivf_centroids(cells: int, dim: int, seed: str = "c") -> list[list[float]]:
     return cents
 
 
+def pq_codebooks(m: int, k: int, dsub: int, seed: str = "pq") -> list[list[list[int]]]:
+    """Deterministic integer PQ codebooks: ``m`` subspace books of ``k``
+    centroids over ``dsub`` dims, entries md5-drawn in [-127, 127] — the
+    same value space as SQ8-quantized vectors, so encode distances and ADC
+    lookup scores are exact BIGINT arithmetic on both engines.
+
+    Like :func:`ivf_centroids`, this is pure shared data: a production
+    deployment trains each book with the adjacent Lloyd kernel
+    (``operators/clustering.py``) on a corpus sample; the oracle contract
+    only needs a FIXED codebook embedded as literals on both sides.
+    """
+    return [
+        [
+            [
+                int(hashlib.md5(f"{seed}{mm}_{kk}_{dd}".encode()).hexdigest()[:15], 16)
+                % 255
+                - 127
+                for dd in range(dsub)
+            ]
+            for kk in range(k)
+        ]
+        for mm in range(m)
+    ]
+
+
 def with_ivf_cell(
     df: DataFrame,
     vec_col: str,

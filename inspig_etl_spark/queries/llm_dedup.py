@@ -19,7 +19,7 @@ candidate count grows with shingle collisions); MinHash banding is the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inspig_etl_spark.catalog import spread, table
@@ -322,6 +322,78 @@ def _clusters(spark: SparkSession, sf_dir: str, algorithm: str) -> DataFrame:
     cc = connected_components(pairs, docs, "doc_id", algorithm=algorithm)
     return cc.withColumn(
         "is_canonical", (F.col("cluster_id") == F.col("doc_id")).cast("int")
+    )
+
+
+def _keep_best_oracle() -> str:
+    """Composed oracle: near-dup clusters (recursive-CTE fixpoint, scoped
+    inside a derived table so its th/t CTEs cannot collide with the
+    classifier's) joined to the linear quality logit; the cluster winner is
+    (logit DESC, doc_id)."""
+    from inspig_etl_spark.queries.llm_text import (
+        _SQL_CLS_FEATURES,
+        _SQL_CLS_LOGIT,
+        _SQL_TOKS,
+    )
+
+    return f"""
+WITH cc AS (SELECT doc_id, cluster_id FROM ({_CLUSTERS_ORACLE}) cx),
+t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+l AS (SELECT doc_id, {_SQL_CLS_LOGIT} AS logit_e4 FROM f),
+j AS (
+  SELECT cc.doc_id, cc.cluster_id, l.logit_e4 FROM cc JOIN l USING (doc_id)
+),
+r AS (
+  SELECT doc_id, cluster_id, logit_e4,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY logit_e4 DESC, doc_id) AS rn
+  FROM j
+)
+SELECT doc_id, cluster_id, logit_e4, CAST(rn = 1 AS INT) AS kept FROM r
+"""
+
+
+@register(
+    "docs_neardup_keep_best",
+    operators=(
+        "LLM-dedup-keep-best (quality-aware survivor selection: per near-dup "
+        "cluster keep the HIGHEST-quality-logit doc, not the min-id — the "
+        "duplicate-resolution policy production pipelines actually run; "
+        "composes the CC clusters with the linear quality classifier)"
+    ),
+    oracle=_keep_best_oracle(),
+)
+def docs_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choose WHICH duplicate survives: min-id canonicalization (the
+    ``is_canonical`` flag above) is arbitrary; a curation pipeline keeps
+    the best-written copy. Per transitive near-dup cluster, rank members
+    by the linear quality logit (``docs_quality_classifier``'s model) and
+    keep the top one (doc_id tiebreak).
+
+    Scale shape: the cluster map is the CC output (one bigint pair per
+    doc), the logit is a zero-shuffle scan-time expression, and survivor
+    election is one window over cluster_id — bounded groups (cluster
+    sizes), one extra shuffle on top of the CC the pipeline already ran.
+    """
+    from inspig_etl_spark.queries.llm_text import _cls_logit_frame
+
+    cc = _clusters(spark, sf_dir, algorithm="auto").select("doc_id", "cluster_id")
+    logit = _cls_logit_frame(spark, sf_dir).select("doc_id", "logit_e4")
+    j = cc.join(logit, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("logit_e4").desc(), "doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "logit_e4",
+            (F.col("rn") == 1).cast("int").alias("kept"),
+        )
     )
 
 

@@ -28,6 +28,7 @@ from inspig_etl_spark.operators.similarity import (
     hyperplane_signs,
     ivf_centroids,
     lsh_bucket,
+    pq_codebooks,
     sql_centroid,
     sql_dot,
     sql_lsh_bucket,
@@ -485,6 +486,215 @@ def embeddings_sq8_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("score_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )
+
+
+# --- IVF-PQ: product-quantized ADC scoring inside IVF cells -----------------
+#
+# The full compression stack a 100 TB ANN deployment actually runs
+# (Jegou et al. 2011, "Product Quantization for Nearest Neighbor Search";
+# the FAISS IVFPQ index): the coarse quantizer prunes the corpus to one
+# cell per query (the IVF equi-join above), and within the cell every
+# corpus vector is stored as M sub-space code ids — here 8 codes over
+# 8-dim sub-spaces, 16 centroids per book — instead of 64 floats. The
+# query precomputes a per-book lookup table of inner products against all
+# centroids once, and each candidate scores as M table lookups (ADC:
+# asymmetric distance computation) — no per-pair vector fold at all.
+PQ_M = 8  # sub-spaces
+PQ_DSUB = DIM // PQ_M  # dims per sub-space
+PQ_K = 16  # centroids per book -> a 4-bit code per sub-space
+
+_PQ_BOOKS = pq_codebooks(PQ_M, PQ_K, PQ_DSUB)
+
+# Exact-dimension guard: PQ slices assume DIM dims (a short vector would
+# encode garbage sub-spaces); both sides read through len == DIM.
+_SQL_VECTORS_D64 = (
+    "(SELECT * FROM embeddings "
+    f"WHERE embedding IS NOT NULL AND len(embedding) = {DIM}) embeddings"
+)
+
+
+def _pq_cb() -> F.Column:
+    """The M x K x dsub codebook as ONE nested literal (see with_ivf_cell's
+    note on why per-column forms blow up Catalyst analysis)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)).cast("bigint") for v in cent])
+                    for cent in book
+                ]
+            )
+            for book in _PQ_BOOKS
+        ]
+    )
+
+
+def _fold_i(pairs: F.Column) -> F.Column:
+    return F.aggregate(
+        pairs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def _sql_book(book: list[list[int]]) -> str:
+    return "[" + ", ".join("[" + ", ".join(str(v) for v in c) + "]" for c in book) + "]"
+
+
+def _sql_pq_dists(m: int) -> str:
+    sub = f"list_slice(qz, {m * PQ_DSUB + 1}, {m * PQ_DSUB + PQ_DSUB})"
+    return (
+        f"list_transform({_sql_book(_PQ_BOOKS[m])}, cent -> "
+        f"list_reduce(list_transform(list_zip({sub}, cent), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (a, x) -> a + x))"
+    )
+
+
+_SQL_PQ_CODES = (
+    "["
+    + ", ".join(
+        f"(list_position({_sql_pq_dists(m)}, list_min({_sql_pq_dists(m)})) - 1)"
+        for m in range(PQ_M)
+    )
+    + "]"
+)
+
+
+def _sql_pq_lut(m: int) -> str:
+    sub = f"list_slice(qz, {m * PQ_DSUB + 1}, {m * PQ_DSUB + PQ_DSUB})"
+    return (
+        f"list_transform({_sql_book(_PQ_BOOKS[m])}, cent -> "
+        f"list_reduce(list_transform(list_zip({sub}, cent), "
+        f"p -> p[1] * p[2]), (a, x) -> a + x))"
+    )
+
+
+_SQL_PQ_LUT = "[" + ", ".join(_sql_pq_lut(m) for m in range(PQ_M)) + "]"
+
+
+@register(
+    "embeddings_ivfpq_adc_knn",
+    operators=(
+        "LLM-ann-ivfpq (IVF-PQ: coarse-quantizer cell equi-join + product-"
+        "quantized codes + ADC lookup-table scoring — the FAISS-style "
+        "compression stack for ANN at 100 TB; brief: 'an IVF or LSH-"
+        "bucketed variant as the scale path')"
+    ),
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, {_sql_sq8('embedding')} AS qz,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+cl AS (
+  SELECT vec_id, qz, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+enc AS (
+  SELECT vec_id AS neighbor_id, cell, {_SQL_PQ_CODES} AS codes FROM cl
+),
+q AS (
+  SELECT vec_id AS query_id, cell, {_SQL_PQ_LUT} AS lut
+  FROM cl WHERE vec_id % {QUERY_MOD} = 0
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_reduce(list_transform(list_zip(lut, codes),
+                                         p -> p[1][p[2] + 1]),
+                          (a, x) -> a + x) AS BIGINT) AS score_q
+  FROM q JOIN enc USING (cell) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score_q FROM r WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_ivfpq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with ADC scoring — the composed ANN compression stack.
+
+    Three stages, all whole-stage-codegen expressions:
+
+    - **coarse quantize**: every vector gets its IVF cell (argmax-cosine
+      against the shared unit centroids — same quantizer as
+      ``embeddings_knn_ivf``);
+    - **encode**: the SQ8-quantized vector is split into ``PQ_M`` 8-dim
+      sub-spaces, each mapped to its nearest codebook centroid by exact
+      integer L2 (argmin via array_min over (dist, k) structs — ties break
+      to the lowest code, matching the oracle's first-position-of-min);
+      the corpus row shrinks to (cell, 8 x 4-bit codes) — a 32x storage
+      and shuffle compression over float32;
+    - **score (ADC)**: each probe query folds its own sub-vectors against
+      every centroid ONCE into an M x K lookup table, and every candidate
+      in its cell scores as M integer table lookups — O(M) per pair
+      instead of O(DIM).
+
+    Scale shape: the equi-join on the cell id shuffles O(|corpus|) rows of
+    codes (not vectors); the LUT travels only with the |corpus|/50 query
+    side. |score| <= M * dsub * 127^2 ~ 1e6 — BIGINT-exact under any
+    partial-aggregation order, so the whole stack is oracle-checkable. At
+    100 TB the enc table is the persisted index (written partitionBy(cell),
+    8 bytes/vector); re-encoding is a one-pass scan. Codebooks here are
+    fixed md5-derived literals (pure shared data); production trains them
+    per sub-space with the adjacent Lloyd kernel (operators/clustering.py).
+    """
+    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    )
+    cb = _pq_cb()
+
+    def sub(m):
+        return F.slice(F.col("qz"), m * PQ_DSUB + 1, PQ_DSUB)
+
+    codes = F.transform(
+        cb,
+        lambda book, m: F.array_min(
+            F.transform(
+                book,
+                lambda cent, k: F.struct(
+                    _fold_i(
+                        F.zip_with(sub(m), cent, lambda x, y: (x - y) * (x - y))
+                    ).alias("d"),
+                    k.cast("int").alias("k"),
+                ),
+            )
+        )["k"],
+    )
+    lut = F.transform(
+        cb,
+        lambda book, m: F.transform(
+            book, lambda cent: _fold_i(F.zip_with(sub(m), cent, lambda x, y: x * y))
+        ),
+    )
+    enc = cl.select(F.col("vec_id").alias("neighbor_id"), "cell", codes.alias("codes"))
+    q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", lut.alias("lut")
+    )
+    s = (
+        enc.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _fold_i(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + F.lit(1)),
+                )
+            ).alias("score_q"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_q").desc(), F.col("neighbor_id")

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from inspig_etl_spark.catalog import table
 from inspig_etl_spark.functions.rounding import dec_sum, sql_dec_sum
+from inspig_etl_spark.functions.text import sql_tokens
 from inspig_etl_spark.queries import register
 from inspig_etl_spark.sources.sinks import merge_upsert, staged_overwrite
 from inspig_etl_spark.streaming.incremental import RunManifest
@@ -218,3 +219,112 @@ def stream_microbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
     return out.select("user_id", "evt_cnt", "last_ts_us")
+
+
+@register(
+    "stream_incremental_dedup",
+    operators=(
+        "ST1 + LLM-dedup-incremental (exact dedup AT INGEST: each doc "
+        "micro-batch keeps only fingerprints absent from the running "
+        "dedup ledger, first-writer-wins — the streaming form of "
+        "docs_exact_dedup a continuously-fed corpus needs; driven through "
+        "a real availableNow file stream + versioned foreachBatch MERGE)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (
+  SELECT doc_id,
+         md5(COALESCE(array_to_string(toks, ' '), '')) AS fp,
+         doc_id % 3 + 1 AS batch
+  FROM t
+),
+r AS (
+  SELECT fp, doc_id, batch,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
+  FROM f
+)
+SELECT fp, doc_id AS first_doc_id, CAST(batch AS BIGINT) AS first_batch
+FROM r WHERE rn = 1
+""",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: documents arrive in micro-batches, and only
+    docs whose normalization fingerprint has never been seen before enter
+    the ledger — the at-ingest form of ``docs_exact_dedup`` that a
+    continuously-fed 100 TB corpus runs instead of repeated full-corpus
+    passes.
+
+    Mechanics: three per-batch doc slices land as parquet files in a
+    stream source dir (``availableNow`` + ``maxFilesPerTrigger=1`` replays
+    them as three micro-batches); each micro-batch runs the VERSIONED
+    foreachBatch MERGE into the fingerprint ledger keyed on ``fp``. The
+    version is ``-(batch * 2^50 + doc_id)`` so "greatest version wins"
+    implements FIRST-writer-wins with a lowest-doc-id tiebreak — the final
+    ledger is one row per fingerprint naming the earliest (batch, doc_id)
+    that carried it, independent of the order the file source happens to
+    replay batches in (same replay-robustness argument as
+    ``stream_microbatch_upsert``; the 2^50 stride keeps the packed version
+    monotone for any |doc_id| < 2^49).
+
+    Scale shape: per batch the ledger merge is one equi-join on ``fp`` —
+    at 100 TB the ledger is a Delta/Iceberg MERGE target partitioned by a
+    fingerprint prefix so a batch touches only its partitions
+    (``foreach_batch_upsert``'s documented ``partition_by`` path);
+    fingerprints are computed in-expression at ingest, never re-derived
+    from history.
+    """
+    import tempfile as _tf
+
+    from inspig_etl_spark.catalog import spread
+    from inspig_etl_spark.functions.text import tokens
+    from inspig_etl_spark.streaming.incremental import start_upsert_stream
+
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    f = docs.select(
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp"),
+        "doc_id",
+        (F.col("doc_id") % 3 + 1).cast("bigint").alias("batch"),
+    ).withColumn(
+        "ver", -(F.col("batch") * F.lit(1 << 50).cast("bigint") + F.col("doc_id"))
+    )
+    schema = "fp STRING, doc_id BIGINT, batch BIGINT, ver BIGINT"
+    tmpdir = _tf.mkdtemp(prefix="stream_dedup_")
+    src = f"{tmpdir}/src"
+    sink = f"{tmpdir}/sink"
+    ckpt = f"{tmpdir}/ckpt"
+    try:
+        for k in range(3):
+            f.where(F.col("batch") == k + 1).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_upsert_stream(
+            stream,
+            sink,
+            keys=["fp"],
+            schema=schema,
+            checkpoint=ckpt,
+            version_col="ver",
+        ).start()
+        q.awaitTermination()
+
+        final = spark.read.schema(schema).parquet(sink)
+        rows = final.collect()  # ledger-sized (one row per distinct fp)
+        out = spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return out.select(
+        "fp",
+        F.col("doc_id").alias("first_doc_id"),
+        F.col("batch").alias("first_batch"),
+    )

@@ -24,6 +24,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "scale the same rule yields many partitions, so this is adaptive "
         "state-sizing, not a static bottleneck",
     },
+    "docs_neardup_keep_best": {
+        "single-partition": "inherits docs_neardup_clusters' adaptive "
+        "state-sized label-propagation loop (same CC kernel feeds the "
+        "survivor-election window) — see that entry; 1 partition only "
+        "because the sf0.1 dup graph has ~469 nodes",
+    },
     "weekly_delta_wow": {
         "global-window": "input is the per-ISO-week aggregate (<=105 rows for the "
         "2-year scan window) — bounded BEFORE the window, documented invariant",

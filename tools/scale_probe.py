@@ -34,6 +34,9 @@ NAMES = [
     # r8/r9 kernels (span dedup, shard assignment, tf-idf, SQ8 ANN, on-demand)
     "docs_dup_ngram_spans", "docs_dup_span_runs", "docs_shard_assignment",
     "docs_tfidf_topterms", "embeddings_sq8_adc_knn", "on_demand_farm_report",
+    # r9 kernels (quality resampling, budgeted curation, DSIR, IVF-PQ)
+    "docs_quality_bucket_sample", "docs_token_budget_curation",
+    "docs_dsir_importance_sample", "embeddings_ivfpq_adc_knn",
 ]
 
 
