@@ -96,6 +96,8 @@ HEADLINE = [
     "docs_dsir_importance_sample",
     "embeddings_ivfpq_adc_knn",
     "stream_incremental_dedup",
+    "docs_vocab_hll_by_source",
+    "docs_bpe_merge_candidates",
 ]
 
 

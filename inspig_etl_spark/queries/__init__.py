@@ -105,6 +105,7 @@ def _load() -> None:
         llm_text,
         llm_dedup,
         llm_clustering,
+        llm_sketches,
         analytics_ext,
     )
 

@@ -419,3 +419,63 @@ def docs_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+PRIORITY_K = 25
+
+
+@register(
+    "docs_weighted_priority_sample",
+    operators=(
+        "LLM-sample-weighted (size-weighted priority sample: each doc draws "
+        "a deterministic md5 uniform and races at speed proportional to its "
+        "char count — one global top-k, no shuffle of the corpus; brief: "
+        "training-data pipeline ops)"
+    ),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         GREATEST(COALESCE(n_chars, 1), 1) AS weight,
+         {sql_md5_long("'wps' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, source, weight, h // weight AS priority
+FROM w
+ORDER BY priority, doc_id
+LIMIT {PRIORITY_K}
+""",
+)
+def docs_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k sample where longer documents are proportionally likelier —
+    the curation pass that oversamples substantive pages without a
+    per-stratum rate table.
+
+    Policy: doc i draws the 60-bit md5 uniform ``h_i`` and gets priority
+    ``h_i div w_i`` (w = char count, floored at 1); the k smallest
+    priorities win. This is a deterministic uniform race — selection odds
+    rise monotonically with weight, and the kept set is a pure function of
+    the data (same reproducibility contract as the hash-gate samplers
+    above). The float-exact Efraimidis-Spirakis scheme replaces h with
+    -ln(h); it needs ln() so it cannot be bit-gated cross-engine — the
+    integer race is the oracle-checkable analogue with the same one-pass
+    plan.
+
+    Scale shape: priority is a scan-time expression and the global top-k
+    compiles to TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver) — no corpus shuffle at any size. DuckDB ``//`` and Spark
+    ``div`` agree on the non-negative operands here.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1))
+        .cast("bigint")
+        .alias("weight"),
+        md5_long(F.concat(F.lit("wps"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("priority", F.expr("h div weight"))
+    return (
+        d.orderBy("priority", "doc_id")
+        .limit(PRIORITY_K)
+        .select("doc_id", "source", "weight", "priority")
+    )

@@ -999,3 +999,65 @@ def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "rank", "term", "tf", "df", "score_e6")
     )
+
+
+BPE_TOP = 20
+
+
+@register(
+    "docs_bpe_merge_candidates",
+    operators=(
+        "LLM-vocab-bpe-merge (corpus-wide most-frequent ADJACENT token "
+        "pairs — the candidate-scoring step of one BPE merge round, the "
+        "vocabulary-induction pass a tokenizer build runs over the whole "
+        "corpus; brief: training-data pipeline ops)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT {_SQL_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT unnest(list_transform(
+           list_zip(list_slice(toks, 1, len(toks) - 1),
+                    list_slice(toks, 2, len(toks))),
+           z -> z[1] || ' ' || z[2])) AS pair
+  FROM t WHERE len(toks) >= 2
+)
+SELECT pair, COUNT(*) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP}
+""",
+)
+def docs_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring pass of one BPE merge round: count every ADJACENT token
+    pair occurrence across the corpus (multiplicity preserved — the same
+    bigram twice in one doc counts twice, exactly what the merge objective
+    maximizes) and surface the top candidates. A full tokenizer build
+    loops this kernel, re-pairing after each merge; each round is this
+    same plan.
+
+    Scale shape: pairing is a per-row zip_with over two shifted slices
+    (no joins, no per-position shuffle), the count is one partial-
+    aggregated groupBy on the pair string, and the top-k compiles to
+    TakeOrderedAndProject. Ties at the cut rank break on the pair string —
+    tokens are ASCII by construction (the tokenizer folds/splits away
+    everything else), so both engines' binary string order agrees.
+    """
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select(tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 2)
+    cnt = F.size(F.col("toks")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), cnt),
+        F.slice(F.col("toks"), F.lit(2), cnt),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        t.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP)
+    )

@@ -34,10 +34,21 @@ NAMES = [
     # r8/r9 kernels (span dedup, shard assignment, tf-idf, SQ8 ANN, on-demand)
     "docs_dup_ngram_spans", "docs_dup_span_runs", "docs_shard_assignment",
     "docs_tfidf_topterms", "embeddings_sq8_adc_knn", "on_demand_farm_report",
-    # r9 kernels (quality resampling, budgeted curation, DSIR, IVF-PQ)
+    # r9 kernels (quality resampling, budgeted curation, DSIR, IVF-PQ,
+    # survivor election, streaming dedup ledger)
     "docs_quality_bucket_sample", "docs_token_budget_curation",
     "docs_dsir_importance_sample", "embeddings_ivfpq_adc_knn",
+    "docs_neardup_keep_best", "stream_incremental_dedup",
+    "docs_vocab_hll_by_source", "docs_weighted_priority_sample",
+    "docs_bpe_merge_candidates",
 ]
+
+# Optional comma-separated subset (probe only these names) — lets a round
+# measure its new kernels without re-running the whole table.
+_ONLY = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+if _ONLY:
+    only = {n.strip() for n in _ONLY.split(",")}
+    NAMES = [n for n in NAMES if n in only]
 
 
 def main() -> None:
