@@ -90,15 +90,23 @@ HEADLINE = [
     "docs_shard_assignment",
     "docs_tfidf_topterms",
     "embeddings_sq8_adc_knn",
-    "on_demand_farm_report",
     "docs_quality_bucket_sample",
     "docs_token_budget_curation",
     "docs_dsir_importance_sample",
     "embeddings_ivfpq_adc_knn",
-    "stream_incremental_dedup",
     "docs_vocab_hll_by_source",
     "docs_bpe_merge_candidates",
 ]
+
+# Deliberately NOT in the bench (measured in SCALE.md's 10x probe instead):
+# on_demand_farm_report is a one-farm subset of weekly_report_sections
+# (already a headline row) at >10 s/run, and stream_incremental_dedup
+# stages temp parquet through a real micro-batch stream — both would add
+# ~50 s of session work per bench (3 runs each), and session length is the
+# documented inflation mechanism for every reading after them (SCALE.md
+# r8/r9 drift triages: in-session numbers drift up with query count while
+# isolated floors stay at baseline). The bench is the BASELINE-comparison
+# instrument; keeping it bounded keeps its ratios meaningful.
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -173,45 +173,47 @@ def embeddings_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ``embeddings_kmeans_lloyd``-trained codebooks sized to the corpus
     (SemDeDup paper: k grows with n, cells stay ~constant-size).
 
-    The corpus-size scalar attaches via a 1-row broadcast cross join — the
-    same declared pattern as docs_tfidf_topterms.
+    The corpus size is read with ONE O(1)-result count job and f becomes a
+    plan-time constant — the same runtime-sizing contract as the kmeans
+    kernel's bounded driver reduce (and AQE's runtime re-plan): the scan
+    count is metadata-cheap, and baking f into the plan lets the f=1 case
+    (any corpus under cells*target vectors) skip the fine-level scoring
+    and the 1-row broadcast join entirely instead of paying them per row.
     """
     emb = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
-    nf = emb.agg(
-        F.greatest(
-            F.lit(1),
-            F.least(
-                F.lit(SEMDEDUP_FINE_MAX),
-                F.ceil(
-                    F.count(F.lit(1))
-                    / F.lit(float(SEMDEDUP_CELLS * SEMDEDUP_TARGET_CELL))
-                ).cast("int"),
-            ),
-        ).alias("f")
-    )
+    n = emb.count()  # single scalar to the driver — quantizer sizing only
+    # Integer ceil: matches the oracle's CEIL(n / (cells*target).0) exactly.
+    target = SEMDEDUP_CELLS * SEMDEDUP_TARGET_CELL
+    f = max(1, min(SEMDEDUP_FINE_MAX, (n + target - 1) // target))
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_CENTROIDS])
-    fine = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_FINE])
-    scored = (
-        emb.crossJoin(F.broadcast(nf))
-        .withColumn("__s", F.transform(cents, lambda c: dot(F.col("embedding"), c)))
-        .withColumn("__fs", F.transform(fine, lambda c: dot(F.col("embedding"), c)))
+    scored = emb.withColumn(
+        "__s", F.transform(cents, lambda c: dot(F.col("embedding"), c))
     )
-    cl = (
-        scored.withColumn("best", F.array_max("__s"))
-        .withColumn(
-            "ccell",
-            (F.array_position(F.col("__s"), F.col("best")) - 1).cast("int"),
-        )
-        .withColumn("__fss", F.slice(F.col("__fs"), F.lit(1), F.col("f")))
-        .withColumn("fbest", F.array_max("__fss"))
-        .withColumn(
-            "fcell",
-            (F.array_position(F.col("__fss"), F.col("fbest")) - 1).cast("int"),
-        )
-        .withColumn("cell", (F.col("ccell") * F.col("f") + F.col("fcell")).cast("int"))
-        .withColumn("csim", F.col("best") / F.nullif(F.col("nrm"), F.lit(0.0)))
-        .select("vec_id", "embedding", "nrm", "cell", "csim")
+    cl = scored.withColumn("best", F.array_max("__s")).withColumn(
+        "ccell",
+        (F.array_position(F.col("__s"), F.col("best")) - 1).cast("int"),
     )
+    if f > 1:
+        # Only the f ACTIVE fine centroids are scored (the oracle slices
+        # fs[1:f] of the full bank — same argmax, fewer dot products).
+        fine = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_FINE[:f]])
+        cl = (
+            cl.withColumn(
+                "__fs", F.transform(fine, lambda c: dot(F.col("embedding"), c))
+            )
+            .withColumn("fbest", F.array_max("__fs"))
+            .withColumn(
+                "fcell",
+                (F.array_position(F.col("__fs"), F.col("fbest")) - 1).cast("int"),
+            )
+            .withColumn("cell", (F.col("ccell") * f + F.col("fcell")).cast("int"))
+        )
+    else:
+        # f = 1: fcell is identically 0 and cell = ccell * 1 + 0.
+        cl = cl.withColumn("cell", F.col("ccell"))
+    cl = cl.withColumn(
+        "csim", F.col("best") / F.nullif(F.col("nrm"), F.lit(0.0))
+    ).select("vec_id", "embedding", "nrm", "cell", "csim")
     w = Window.partitionBy("cell").orderBy(
         F.col("csim").desc_nulls_last(), F.col("vec_id")
     )

@@ -79,13 +79,6 @@ ALLOWED: dict[str, dict[str, str]] = {
         "baseline; MinHash-LSH banding (docs_minhash_neardup_groups) is the "
         "bucketed scale path and lints clean",
     },
-    "embeddings_semdedup_prune": {
-        "nested-loop": "the corpus-size scalar (active fine-cell count f) "
-        "joins as a crossJoin against a broadcast 1-row aggregate — "
-        "constant-size broadcast side at any SF; it is what makes the "
-        "quantizer scale with the corpus instead of going n²/k-quadratic "
-        "(r9 probe: 23.9x on 10x rows with fixed k)",
-    },
     "docs_tfidf_topterms": {
         "nested-loop": "the corpus-size scalar N joins as a crossJoin against a "
         "broadcast 1-row aggregate — a constant-size broadcast side at any SF "
