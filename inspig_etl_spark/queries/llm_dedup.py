@@ -163,6 +163,88 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, sh, "doc_id", "sh", JACCARD_THRESHOLD)
 
 
+# The "arriving batch" slice for the incremental detector: every third doc
+# plays the new micro-batch, the rest play the already-indexed ledger (the
+# same deterministic split stream_incremental_dedup uses for its batches).
+INCR_BATCH_MOD = 3
+
+
+@register(
+    "docs_minhash_incremental_neardup",
+    operators=(
+        "LLM-dedup-minhash-incremental (near-dup detection AT INGEST: the "
+        "arriving batch's LSH bands probe the persisted band index of the "
+        "ledger — candidate pairs only ever form batch-vs-ledger inside a "
+        "band bucket, so the incremental cost is O(batch), not O(corpus); "
+        "the streaming-corpus form of docs_minhash_neardup_pairs)"
+    ),
+    oracle=f"""
+WITH {_SQL_DOCS_SHINGLED},
+sig AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM t WHERE len(sh) > 0),
+band AS (
+  SELECT doc_id, band_no,
+         CAST(('0x' || substr(md5(array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_')), 1, 15)) AS BIGINT) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM band l JOIN band r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key
+   AND l.doc_id % {INCR_BATCH_MOD} = 0 AND r.doc_id % {INCR_BATCH_MOD} <> 0
+)
+SELECT id_a AS new_id, id_b AS ledger_id, {_SQL_JACCARD} AS jaccard
+FROM cand JOIN t a ON cand.id_a = a.doc_id JOIN t b ON cand.id_b = b.doc_id
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+""",
+)
+def docs_minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection for an ARRIVING batch against the indexed corpus.
+
+    A continuously-fed pipeline cannot re-run all-pairs (or even
+    all-bands-self-join) LSH per ingest; it keeps the corpus's banded
+    signatures as a persisted index and probes it with only the new
+    batch's bands. Here every third doc plays the arriving batch and the
+    rest the ledger: both are banded with the shared MinHash(16)/4x4
+    machinery, candidates form ONLY where a batch band key equals a
+    ledger band key, and survivors are exactly Jaccard-verified — same
+    guarantees as the batch detector, per-ingest cost proportional to the
+    batch.
+
+    Scale shape: at 100 TB the ledger band table is written once,
+    partitioned/bucketed by band_key (8-byte keys — see lsh_band_keys),
+    so the probe equi-join shuffles ONLY the batch side; after
+    verification the batch's own bands append to the index, keeping it
+    current without recomputation. Ref pattern: the same probe-then-merge
+    contract as sources/sinks.py merge_upsert, applied to a sketch index.
+    """
+    sh = _shingled(spark, sf_dir)
+    signed = sh.filter(F.size("sh") > 0).withColumn(
+        "sig", minhash_signature(F.col("sh"))
+    )
+    keyed = signed.select(
+        "doc_id",
+        F.posexplode(lsh_band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)).alias(
+            "band_no", "band_key"
+        ),
+    )
+    batch = keyed.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select(
+        F.col("doc_id").alias("id_a"), "band_no", "band_key"
+    )
+    ledger = keyed.filter(F.col("doc_id") % INCR_BATCH_MOD != 0).select(
+        F.col("doc_id").alias("id_b"), "band_no", "band_key"
+    )
+    cand = (
+        batch.join(ledger, ["band_no", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, "doc_id", "sh", JACCARD_THRESHOLD).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("ledger_id"),
+        "jaccard",
+    )
+
+
 _SQL_TOKS = sql_tokens("text")
 
 # 32-bit SimHash in DuckDB: per-bit +-1 sums over token hashes, sign -> bit.
@@ -617,16 +699,10 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_dup_span_runs",
-    operators=(
-        "LLM-dedup-exactsubstr-runs (maximal duplicated-substring removal "
-        "intervals: adjacent/overlapping duplicated 5-token windows per doc "
-        "coalesce into runs — the span-merge step of Lee et al. ExactSubstr, "
-        "which removes the LONGEST duplicated substring, not fixed windows)"
-    ),
-    oracle=f"""
-WITH th AS (
+# Shared CTE chain for the ExactSubstr span-merge family: positional span
+# hashes -> >=2-distinct-doc duplicate gate -> per-doc gaps-and-islands run
+# ids. Both the runs report and the scrub reconstruction build on `rid`.
+_SPAN_RID_CTES = f"""th AS (
   SELECT doc_id, {sql_token_ngram_hashes_positional(sql_token_hashes(sql_tokens('text')), SPAN_N)} AS hl
   FROM documents
 ),
@@ -655,7 +731,19 @@ rid AS (
          SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS UNBOUNDED PRECEDING) AS run_seq
   FROM flagged
-)
+)"""
+
+
+@register(
+    "docs_dup_span_runs",
+    operators=(
+        "LLM-dedup-exactsubstr-runs (maximal duplicated-substring removal "
+        "intervals: adjacent/overlapping duplicated 5-token windows per doc "
+        "coalesce into runs — the span-merge step of Lee et al. ExactSubstr, "
+        "which removes the LONGEST duplicated substring, not fixed windows)"
+    ),
+    oracle=f"""
+WITH {_SPAN_RID_CTES}
 SELECT doc_id,
        CAST(run_seq AS BIGINT) AS run_seq,
        MIN(pos) AS start_tok,
@@ -685,6 +773,14 @@ def docs_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands merge itself is the lag + running-sum kernel already proven in
     operators/events.py (J2/W2); no UDF, no float, no collect.
     """
+    return _span_runs_frame(spark, sf_dir)
+
+
+def _span_runs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, run_seq, start_tok, end_tok, run_len_toks, n_windows) — the
+    maximal duplicated-run intervals shared by the runs report and the
+    scrub reconstruction (Spark twin of ``_SPAN_RID_CTES`` + the final
+    per-run group)."""
     from pyspark.sql.window import Window
 
     docs = spread(table(spark, sf_dir, "documents"))
@@ -720,4 +816,89 @@ def docs_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + F.lit(SPAN_N - 1)).alias("end_tok"),
         (F.max("pos") + F.lit(SPAN_N) - F.min("pos")).alias("run_len_toks"),
         F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+@register(
+    "docs_dup_span_scrub",
+    operators=(
+        "LLM-dedup-exactsubstr-scrub (the cut step of Lee et al. "
+        "ExactSubstr: per doc, drop every token inside a maximal "
+        "duplicated-run interval and re-emit the cleaned training text — "
+        "the end product the span detection + run merge exist for)"
+    ),
+    oracle=f"""
+WITH {_SPAN_RID_CTES},
+runs AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_N - 1} AS e
+  FROM rid GROUP BY doc_id, run_seq
+),
+iv AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs FROM runs GROUP BY doc_id
+),
+tt AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT tt.doc_id, len(tt.toks) AS n_toks,
+         CASE WHEN iv.ivs IS NULL THEN tt.toks
+              ELSE list_filter(tt.toks, (x, i) ->
+                     len(list_filter(iv.ivs,
+                         r -> i - 1 BETWEEN r.s AND r.e)) = 0)
+         END AS kept
+  FROM tt LEFT JOIN iv ON tt.doc_id = iv.doc_id
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text
+FROM k
+""",
+)
+def docs_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's final act: CUT the duplicated runs out of the text.
+
+    ``docs_dup_span_runs`` names the per-doc removal intervals; this
+    kernel applies them — collect each doc's intervals into one array
+    (bounded by the doc's own run count), left-join back to the corpus,
+    and keep exactly the tokens whose position falls in no interval
+    (docs with no duplicated runs pass through whole). The membership
+    test is a positional array filter with an exists over the interval
+    list — order-independent, so collect_list's nondeterministic order
+    cannot affect the result.
+
+    Scale shape: on top of the runs kernel's shuffles this adds ONE
+    doc_id-keyed aggregation (intervals per doc) and ONE equi-join back
+    to the corpus scan; the reconstruction itself is a per-row expression
+    whose cost is tokens x runs-in-this-doc, never corpus-sized. Index
+    conventions differ — Spark's filter lambda index is 0-based, DuckDB's
+    is 1-based — both sides compare in 0-based span positions.
+    """
+    runs = _span_runs_frame(spark, sf_dir)
+    iv = runs.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_tok").alias("s"), F.col("end_tok").alias("e")
+            )
+        ).alias("ivs")
+    )
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    tt = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    j = tt.join(iv, "doc_id", "left")
+    kept = F.when(F.col("ivs").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.exists(
+                F.col("ivs"), lambda r: (i >= r["s"]) & (i <= r["e"])
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
