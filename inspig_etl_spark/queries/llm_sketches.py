@@ -50,6 +50,19 @@ _ONE_SCALED = 1 << RHO_CLAMP  # an all-zero register's term
 _ALPHA_E6 = 709_340
 ALPHA_NUM = _ALPHA_E6 * HLL_M * HLL_M * _ONE_SCALED * 1000  # ~3.05e18 < 2^63
 
+# Small-range (linear counting) correction: when zero registers remain and
+# the raw estimate is under 2.5m, the unbiased estimator is m*ln(m/V) with
+# V = zero-register count (Flajolet et al. §4). ln() would break cross-
+# engine bit parity — but V has only m possible values, so the correction
+# ships as a PRECOMPUTED integer table (1e-3 fixed point), indexed by V on
+# both engines: exactness by construction, no float at query time.
+import math as _math
+
+LC_EST_E3 = [
+    int(HLL_M * _math.log(HLL_M / v) * 1000 + 0.5) for v in range(1, HLL_M + 1)
+]
+LC_RAW_CUTOFF_E3 = int(2.5 * HLL_M) * 1000  # raw_e3 <= this -> sparse regime
+
 
 def _sql_rho(rest: str) -> str:
     """First-one position (from the MSB of the REST_BITS-wide value) in
@@ -106,11 +119,18 @@ e AS (
 ),
 x AS (
   SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM b GROUP BY source
+),
+est AS (
+  SELECT source, regs_used, s_scaled,
+         CAST({ALPHA_NUM} AS BIGINT) // (s_scaled * 1000000) AS raw_e3
+  FROM e
 )
-SELECT e.source, e.regs_used, e.s_scaled,
-       CAST({ALPHA_NUM} AS BIGINT) // (e.s_scaled * 1000000) AS hll_est_e3,
+SELECT est.source, est.regs_used, est.s_scaled,
+       CASE WHEN {HLL_M} - est.regs_used > 0 AND est.raw_e3 <= {LC_RAW_CUTOFF_E3}
+            THEN [{", ".join(str(v) for v in LC_EST_E3)}][{HLL_M} - est.regs_used]
+            ELSE est.raw_e3 END AS hll_est_e3,
        x.exact_distinct
-FROM e JOIN x USING (source)
+FROM est JOIN x USING (source)
 """,
 )
 def docs_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,10 +151,12 @@ def docs_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     witness (at m=64 the expected relative error is ~13%); a deployment
     drops that column and the exact-distinct shuffle with it.
 
-    Small-range note: the classic linear-counting correction for sparse
-    registers needs ln() and is deliberately omitted — floats would break
-    cross-engine bit-parity; the raw estimator is still deterministic and
-    its bias is documented rather than patched.
+    Small-range correction: the classic linear-counting switch (zero
+    registers present AND raw estimate under 2.5m) is applied through the
+    precomputed integer table ``LC_EST_E3`` — ln() never runs at query
+    time, so the corrected estimate stays bit-identical across engines
+    (the invariant test pins it within the sketch's error band of the
+    exact count on every source).
     """
     docs = spread(table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
@@ -170,12 +192,25 @@ def docs_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_scaled"),
     )
     x = b.groupBy("source").agg(F.countDistinct("tok").alias("exact_distinct"))
-    return e.join(x, "source").select(
-        "source",
-        "regs_used",
-        "s_scaled",
-        F.expr(
-            f"CAST({ALPHA_NUM} AS BIGINT) div (s_scaled * CAST(1000000 AS BIGINT))"
-        ).alias("hll_est_e3"),
-        "exact_distinct",
+    raw = F.expr(
+        f"CAST({ALPHA_NUM} AS BIGINT) div (s_scaled * CAST(1000000 AS BIGINT))"
+    )
+    zero_regs = (F.lit(HLL_M) - F.col("regs_used")).cast("int")
+    lc = F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in LC_EST_E3]), zero_regs
+    )
+    return (
+        e.join(x, "source")
+        .withColumn("raw_e3", raw)
+        .select(
+            "source",
+            "regs_used",
+            "s_scaled",
+            F.when(
+                (zero_regs > 0) & (F.col("raw_e3") <= LC_RAW_CUTOFF_E3), lc
+            )
+            .otherwise(F.col("raw_e3"))
+            .alias("hll_est_e3"),
+            "exact_distinct",
+        )
     )

@@ -164,3 +164,64 @@ def test_quality_classifier_verdict_is_threshold_consistent(spark):
         for f in (r.f_stop_e4, r.f_uniq_e4, r.f_punct_e4):
             assert 0 <= f <= 10000
         assert r.f_awl_e4 >= 0
+
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    """The HLL estimate must be in the right ballpark of the exact count
+    on every source: at m=64 the standard error is ~13%, so a 3-sigma
+    band (+-40%) is a loose-but-meaningful correctness property on real
+    data — a broken rho/bucket computation lands orders of magnitude off,
+    not 40% off. (Bit-exactness vs DuckDB is the parity gate's job.)"""
+    rows = Q["docs_vocab_hll_by_source"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        est = r.hll_est_e3 / 1000.0
+        assert r.exact_distinct > 0
+        assert 0.6 * r.exact_distinct <= est <= 1.4 * r.exact_distinct, (
+            f"{r.source}: est {est} vs exact {r.exact_distinct}"
+        )
+
+
+def test_span_scrub_consistent_with_runs(spark):
+    """The scrub must remove tokens exactly where the runs kernel says:
+    per doc, n_removed equals the total length of its (non-overlapping,
+    maximal) removal intervals clipped to the doc's token count; docs
+    with no runs keep every token and their clean_text joins all tokens."""
+    runs = Q["docs_dup_span_runs"](spark, SF_CORRECT).collect()
+    scrub = {r.doc_id: r for r in Q["docs_dup_span_scrub"](spark, SF_CORRECT).collect()}
+    expected: dict[int, int] = {}
+    for r in runs:
+        n_toks = scrub[r.doc_id].n_toks
+        lo, hi = r.start_tok, min(r.end_tok, n_toks - 1)
+        if hi >= lo:
+            expected[r.doc_id] = expected.get(r.doc_id, 0) + (hi - lo + 1)
+    for doc_id, s in scrub.items():
+        assert s.n_removed == expected.get(doc_id, 0), f"doc {doc_id}"
+        if s.n_removed == 0 and s.n_toks > 0:
+            assert len(s.clean_text.split(" ")) == s.n_toks
+
+
+def test_incremental_minhash_is_batch_ledger_slice_of_full(spark):
+    """Batch-vs-ledger probing must agree with the full self-join detector
+    on the pairs it covers: every incremental pair appears in the full
+    detector's output (under its id_a < id_b orientation) with the SAME
+    verified jaccard, and every full-detector pair that crosses the
+    batch/ledger split is found incrementally (no recall loss from the
+    restructuring — both band identically)."""
+    full = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.jaccard
+        for r in Q["docs_minhash_neardup_pairs"](spark, SF_CORRECT).collect()
+    }
+    incr = {
+        (min(r.new_id, r.ledger_id), max(r.new_id, r.ledger_id)): r.jaccard
+        for r in Q["docs_minhash_incremental_neardup"](spark, SF_CORRECT).collect()
+    }
+    assert set(incr) <= set(full)
+    crossing = {
+        k: v
+        for k, v in full.items()
+        if (k[0] % 3 == 0) != (k[1] % 3 == 0)
+    }
+    assert set(crossing) == set(incr)
+    for k in incr:
+        assert incr[k] == full[k]
