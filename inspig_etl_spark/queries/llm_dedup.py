@@ -819,15 +819,7 @@ def _span_runs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_dup_span_scrub",
-    operators=(
-        "LLM-dedup-exactsubstr-scrub (the cut step of Lee et al. "
-        "ExactSubstr: per doc, drop every token inside a maximal "
-        "duplicated-run interval and re-emit the cleaned training text — "
-        "the end product the span detection + run merge exist for)"
-    ),
-    oracle=f"""
+_SCRUB_ORACLE = f"""
 WITH {_SPAN_RID_CTES},
 runs AS (
   SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_N - 1} AS e
@@ -854,7 +846,18 @@ SELECT doc_id,
        CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
        COALESCE(array_to_string(kept, ' '), '') AS clean_text
 FROM k
-""",
+"""
+
+
+@register(
+    "docs_dup_span_scrub",
+    operators=(
+        "LLM-dedup-exactsubstr-scrub (the cut step of Lee et al. "
+        "ExactSubstr: per doc, drop every token inside a maximal "
+        "duplicated-run interval and re-emit the cleaned training text — "
+        "the end product the span detection + run merge exist for)"
+    ),
+    oracle=_SCRUB_ORACLE,
 )
 def docs_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr's final act: CUT the duplicated runs out of the text.
@@ -902,3 +905,163 @@ def docs_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def _funnel_oracle() -> str:
+    """Composed funnel oracle: the classifier CTEs (t/f/l), the exact-dedup
+    window, and the keep-best + scrub oracles wrapped as derived tables so
+    their internal CTE names cannot collide at this level."""
+    from inspig_etl_spark.queries.llm_text import (
+        _SQL_CLS_FEATURES,
+        _SQL_CLS_LOGIT,
+        _SQL_TOKS,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+l AS (SELECT doc_id, {_SQL_CLS_LOGIT} AS logit_e4 FROM f),
+canon AS (
+  SELECT doc_id,
+         CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+  FROM documents WHERE text IS NOT NULL
+),
+kb AS (SELECT doc_id, kept FROM ({_keep_best_oracle()}) zkb),
+sc AS (SELECT doc_id, n_toks, n_removed FROM ({_SCRUB_ORACLE}) zsc),
+flags AS (
+  SELECT sc.doc_id, sc.n_toks, sc.n_removed,
+         (canon.is_dup = 0) AS s1,
+         (canon.is_dup = 0 AND (kb.doc_id IS NULL OR kb.kept = 1)) AS s2,
+         (canon.is_dup = 0 AND (kb.doc_id IS NULL OR kb.kept = 1)
+          AND l.logit_e4 >= 0) AS s3
+  FROM sc
+  JOIN canon USING (doc_id)
+  LEFT JOIN kb USING (doc_id)
+  JOIN l USING (doc_id)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d0,
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS t0,
+         CAST(COALESCE(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+         CAST(COALESCE(SUM(CASE WHEN s1 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t1,
+         CAST(COALESCE(SUM(CASE WHEN s2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2,
+         CAST(COALESCE(SUM(CASE WHEN s2 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t2,
+         CAST(COALESCE(SUM(CASE WHEN s3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3,
+         CAST(COALESCE(SUM(CASE WHEN s3 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t3,
+         CAST(COALESCE(SUM(CASE WHEN s3 THEN n_toks - n_removed ELSE 0 END), 0)
+              AS BIGINT) AS t4
+  FROM flags
+)
+SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name, d0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT CAST(1 AS BIGINT), 'exact_canonical', d1, t1 FROM agg
+UNION ALL SELECT CAST(2 AS BIGINT), 'neardup_survivor', d2, t2 FROM agg
+UNION ALL SELECT CAST(3 AS BIGINT), 'quality_pass', d3, t3 FROM agg
+UNION ALL SELECT CAST(4 AS BIGINT), 'span_scrubbed', d3, t4 FROM agg
+"""
+
+
+@register(
+    "docs_curation_funnel",
+    operators=(
+        "LLM-curation-funnel (end-to-end observability over the dedup/"
+        "quality stack: raw -> exact-canonical -> near-dup survivor -> "
+        "quality gate -> span-scrubbed token budget, one doc/token row per "
+        "stage — the report a pipeline owner reads before training)"
+    ),
+    oracle=_funnel_oracle(),
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one funnel report.
+
+    Five stages, each a FILTER computed from the globally-materialized
+    artifacts the individual kernels already produce (this is
+    observability over the pipeline's outputs, not a per-stage
+    re-derivation): exact canonicalization (md5 min-id), near-dup survivor
+    election (CC clusters x quality logit — ``docs_neardup_keep_best``),
+    the linear quality gate (logit >= 0), and the ExactSubstr span scrub's
+    per-doc token removal. Emits (stage, stage_name, n_docs, n_tokens) —
+    the tokens-surviving-by-stage curve that decides whether a corpus
+    meets its training token budget.
+
+    Scale shape: every input frame is a per-doc table keyed on doc_id, so
+    the composition is three doc_id equi-joins over already-shuffled
+    artifacts, ONE aggregation to a single row of conditional sums, and an
+    explode to the 5 stage rows — no new quadratic term beyond what the
+    underlying kernels already measured in SCALE.md; at 100 TB each input
+    is a persisted table and this query is a cheap join-scan over them.
+    """
+    from inspig_etl_spark.operators.dedup import canonicalize, with_content_hash
+    from inspig_etl_spark.queries.llm_text import _cls_logit_frame
+
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    canon = canonicalize(
+        with_content_hash(docs, "text"), "doc_id", "content_hash"
+    ).select("doc_id", "is_dup")
+    kb = docs_neardup_keep_best(spark, sf_dir).select("doc_id", "kept")
+    logit = _cls_logit_frame(spark, sf_dir).select("doc_id", "logit_e4")
+    sc = docs_dup_span_scrub(spark, sf_dir).select("doc_id", "n_toks", "n_removed")
+    s1 = F.col("is_dup") == 0
+    s2 = s1 & (F.col("kept").isNull() | (F.col("kept") == 1))
+    s3 = s2 & (F.col("logit_e4") >= 0)
+    flags = (
+        sc.join(canon, "doc_id")
+        .join(kb, "doc_id", "left")
+        .join(logit, "doc_id")
+        .select(
+            "n_toks",
+            "n_removed",
+            s1.alias("s1"),
+            s2.alias("s2"),
+            s3.alias("s3"),
+        )
+    )
+
+    def _cnt(flag):
+        return F.coalesce(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint"), F.lit(0)
+        )
+
+    def _tok(flag, col):
+        return F.coalesce(
+            F.sum(F.when(flag, col).otherwise(0)).cast("bigint"), F.lit(0)
+        )
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d0"),
+        F.coalesce(F.sum("n_toks").cast("bigint"), F.lit(0)).alias("t0"),
+        _cnt(F.col("s1")).alias("d1"),
+        _tok(F.col("s1"), F.col("n_toks")).alias("t1"),
+        _cnt(F.col("s2")).alias("d2"),
+        _tok(F.col("s2"), F.col("n_toks")).alias("t2"),
+        _cnt(F.col("s3")).alias("d3"),
+        _tok(F.col("s3"), F.col("n_toks")).alias("t3"),
+        _tok(F.col("s3"), F.col("n_toks") - F.col("n_removed")).alias("t4"),
+    )
+
+    def _stage(no, name, d, t):
+        return F.struct(
+            F.lit(no).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(d).alias("n_docs"),
+            F.col(t).alias("n_tokens"),
+        )
+
+    # explode, not UNION: a 5-way union would recompute the whole funnel
+    # aggregation once per stage row.
+    return agg.select(
+        F.explode(
+            F.array(
+                _stage(0, "raw", "d0", "t0"),
+                _stage(1, "exact_canonical", "d1", "t1"),
+                _stage(2, "neardup_survivor", "d2", "t2"),
+                _stage(3, "quality_pass", "d3", "t3"),
+                _stage(4, "span_scrubbed", "d3", "t4"),
+            )
+        ).alias("s")
+    ).select("s.*")

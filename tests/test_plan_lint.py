@@ -30,6 +30,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "survivor-election window) — see that entry; 1 partition only "
         "because the sf0.1 dup graph has ~469 nodes",
     },
+    "docs_curation_funnel": {
+        "single-partition": "composes docs_neardup_keep_best, so it "
+        "inherits the same adaptive state-sized CC loop partitions — see "
+        "docs_neardup_clusters; every funnel-specific stage is a doc_id "
+        "equi-join + one conditional-sum aggregation",
+    },
     "weekly_delta_wow": {
         "global-window": "input is the per-ISO-week aggregate (<=105 rows for the "
         "2-year scan window) — bounded BEFORE the window, documented invariant",
