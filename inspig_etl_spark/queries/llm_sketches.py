@@ -214,3 +214,124 @@ def docs_vocab_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# --- Count-Min frequency sketch -------------------------------------------
+#
+# The frequency-side companion to the HLL above (Cormode & Muthukrishnan
+# 2005): d independent hash rows of w counters; a token's estimate is the
+# MIN of its d bucket sums. One-sided error (estimate >= truth, never
+# under), mergeable across shards by element-wise sum — the sketch a
+# pipeline keeps per shard/day to answer "how often does this token /
+# url / fingerprint appear" without a corpus-wide groupBy per question.
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+CMS_TOP = 20  # witness set: the exact top-k tokens ride along
+
+
+def _cms_bucket(row: int, tok: F.Column) -> F.Column:
+    return md5_long(F.concat(F.lit(f"cms{row}"), tok)) % CMS_W
+
+
+def _sql_cms_bucket(row: int, tok: str) -> str:
+    expr = f"'cms{row}' || {tok}"
+    return f"({sql_md5_long(expr)} % {CMS_W})"
+
+
+def _sql_cms_coords(tok: str) -> str:
+    """[(row, bucket)] coord list for a token — as a flat struct list."""
+    return (
+        "["
+        + ", ".join(
+            f"{{'r': {r}, 'b': {_sql_cms_bucket(r, tok)}}}" for r in range(CMS_D)
+        )
+        + "]"
+    )
+
+
+@register(
+    "docs_token_cms_topk",
+    operators=(
+        "LLM-sketch-countmin (deterministic Count-Min frequency sketch: d "
+        "md5 hash rows x w counters, mergeable by element-wise sum; the "
+        "exact top-k tokens ride along as the one-sided-error witness — "
+        "estimate >= truth always; brief: training-data pipeline ops)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT unnest({sql_tokens('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+ct AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM t GROUP BY tok
+),
+sk AS (
+  SELECT c.r AS r, c.b AS b, CAST(SUM(exact_cnt) AS BIGINT) AS bucket_sum
+  FROM (SELECT tok, exact_cnt, unnest({_sql_cms_coords('tok')}) AS c FROM ct)
+  GROUP BY c.r, c.b
+),
+top AS (
+  SELECT tok, exact_cnt FROM ct ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOP}
+),
+est AS (
+  SELECT q.tok, q.exact_cnt, MIN(sk.bucket_sum) AS cms_est_cnt
+  FROM (SELECT tok, exact_cnt, unnest({_sql_cms_coords('tok')}) AS c FROM top) q
+  JOIN sk ON q.c.r = sk.r AND q.c.b = sk.b
+  GROUP BY q.tok, q.exact_cnt
+)
+SELECT tok, exact_cnt, cms_est_cnt FROM est
+""",
+)
+def docs_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies through a Count-Min sketch, with the exact
+    top-k as witness.
+
+    Build: exact per-token counts feed the sketch (equivalent to hashing
+    the raw stream — addition is associative — but shuffles one row per
+    DISTINCT token instead of per occurrence), then each token adds its
+    count to one counter per hash row; the sketch is d*w = {CMS_D}x{CMS_W}
+    cells TOTAL, regardless of corpus size, and two shards' sketches merge
+    by element-wise sum. Query: a token's estimate is the MIN of its d
+    counters — >= the true count by construction (collisions only ever
+    add), which the invariant test pins. The exact top-{CMS_TOP} tokens
+    ride along so the driver hash-gates estimate AND truth side by side.
+
+    Scale shape: one partial-aggregated groupBy(tok), one constant-size
+    (d*w) aggregation, and a {CMS_TOP}-row TakeOrdered probe joined back
+    against the constant-size sketch — nothing here grows with the corpus
+    except the first count pass.
+    """
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    ct = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+
+    def coords(tok_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_bucket(r, tok_col).alias("b")
+                )
+                for r in range(CMS_D)
+            ]
+        )
+
+    sk = (
+        ct.select("exact_cnt", F.explode(coords(F.col("tok"))).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .agg(F.sum("exact_cnt").cast("bigint").alias("bucket_sum"))
+    )
+    top = ct.orderBy(F.col("exact_cnt").desc(), "tok").limit(CMS_TOP)
+    q = top.select(
+        "tok", "exact_cnt", F.explode(coords(F.col("tok"))).alias("c")
+    ).select("tok", "exact_cnt", F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+    return (
+        q.join(sk, ["r", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("bucket_sum").alias("cms_est_cnt"))
+        .select("tok", "exact_cnt", "cms_est_cnt")
+    )

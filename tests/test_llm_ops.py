@@ -225,3 +225,14 @@ def test_incremental_minhash_is_batch_ledger_slice_of_full(spark):
     assert set(crossing) == set(incr)
     for k in incr:
         assert incr[k] == full[k]
+
+
+def test_cms_estimate_is_one_sided(spark):
+    """Count-Min error is one-sided by construction: every estimate must
+    be >= the exact count (collisions only add), and with d=4 rows x 1024
+    counters over this vocabulary at least one witness token should
+    estimate exactly (some row collision-free)."""
+    rows = Q["docs_token_cms_topk"](spark, SF_CORRECT).collect()
+    assert rows
+    assert all(r.cms_est_cnt >= r.exact_cnt for r in rows)
+    assert any(r.cms_est_cnt == r.exact_cnt for r in rows)

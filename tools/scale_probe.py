@@ -42,6 +42,7 @@ NAMES = [
     "docs_vocab_hll_by_source", "docs_weighted_priority_sample",
     "docs_bpe_merge_candidates", "docs_dup_span_scrub",
     "docs_minhash_incremental_neardup", "docs_curation_funnel",
+    "docs_token_cms_topk",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
