@@ -96,6 +96,7 @@ HEADLINE = [
     "embeddings_ivfpq_adc_knn",
     "docs_vocab_hll_by_source",
     "docs_bpe_merge_candidates",
+    "docs_token_cms_topk",
 ]
 
 # Deliberately NOT in the bench (measured in SCALE.md's 10x probe instead):
