@@ -73,6 +73,7 @@ def run_single_farm(
     ins_date: str,
     day_gb: str = "WEEK",
     master_seq: int | None = None,
+    cache_results: bool = True,
 ) -> dict:
     """The run-farm endpoint's engine half: build last week's report for ONE
     farm and return the response contract.
@@ -118,19 +119,25 @@ def run_single_farm(
     # keep the session hot can `.unpersist()` them after landing. The
     # share-token column is attached BEFORE the persist so the returned
     # ``summary`` is the cached frame itself, not a derived child whose
-    # unpersist would be a no-op.
-    wide_farm = wide.filter(F.col("farm_no") == farm_no).persist()
+    # unpersist would be a no-op. ``cache_results=False`` skips the persist
+    # entirely for one-shot callers that execute the result exactly once
+    # (the oracle query, scale probes) — otherwise every invocation in a
+    # long-lived session accumulates two cached farm slices (ADVICE r9).
+    wide_farm = wide.filter(F.col("farm_no") == farm_no)
     summary_farm = (
         summary.filter(F.col("farm_no") == farm_no)
         .withColumn("share_token", F.lit(token))
-        .persist()
     )
+    if cache_results:
+        wide_farm = wide_farm.persist()
+        summary_farm = summary_farm.persist()
 
     # Existence gate (the reference 404s an unknown farm): a limit-1 probe
     # on the pushed-down farm predicate, not a full count.
     if not summary_farm.limit(1).count():
-        wide_farm.unpersist()
-        summary_farm.unpersist()
+        if cache_results:
+            wide_farm.unpersist()
+            summary_farm.unpersist()
         return {
             "status": "error",
             "farm_no": farm_no,

@@ -85,7 +85,12 @@ def on_demand_farm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed below every section's scan (one farm's slice read, not the
     fleet); the contract CTE is a 1-row broadcast via the cross join.
     """
-    res = run_single_farm(spark, sf_dir, farm_no=FARM_NO, ins_date=INS_DATE)
+    # cache_results=False: this query executes the result exactly once per
+    # driver/bench invocation — persisting would leave two farm slices cached
+    # in the session every run (ADVICE r9).
+    res = run_single_farm(
+        spark, sf_dir, farm_no=FARM_NO, ins_date=INS_DATE, cache_results=False
+    )
     if res["status"] == "error":
         # Unknown farm is the endpoint's 404, not an exception — and the
         # oracle agrees: zero section rows for a farm with no events.

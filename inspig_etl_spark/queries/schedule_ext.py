@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from inspig_etl_spark.operators.schedule import (
     expand_schedule,
     farm_default_schedule,
+    parse_seq_filter,
     rules_df,
     sql_rules_values,
 )
@@ -62,23 +63,28 @@ GROUP BY mode, wk_nm
 """,
 )
 def schedule_seq_filter_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three protocol values through :func:`expand_schedule`: '-1'
-    expands every task, '{_SUBSET}' only those SEQs, '' none (the empty
-    branch is unioned in and contributes zero rows, exactly the reference's
-    skip-the-count behavior)."""
+    """All three protocol values ('-1' every task, '{_SUBSET}' only those
+    SEQs, '' none — zero rows, the reference's skip-the-count behavior)
+    resolved through :func:`parse_seq_filter` and evaluated in ONE pass:
+    each mode's rule subset is tagged and unioned on the RULES side (a few
+    dozen broadcast rows), so the events scan + last-event window shuffle —
+    the dominant cost — happens once, not once per mode. The r5-era shape
+    ran :func:`expand_schedule` per mode, re-scanning events 3x; at 100 TB
+    that is 3 full passes over the fact table for a constant-size protocol
+    fan-out that belongs on the dimension side."""
     last = _last_events(spark, sf_dir)
     rules = rules_df(spark)
 
-    def mode(tag: str, seq_filter: str) -> DataFrame:
-        out = expand_schedule(
-            last, rules, "event_day", WINDOW_FROM, WINDOW_TO, seq_filter=seq_filter
-        )
-        return out.select(F.lit(tag).alias("mode"), "wk_nm")
+    def tagged(tag: str, seq_filter: str) -> DataFrame:
+        sel = parse_seq_filter(seq_filter)
+        sub = rules if sel is None else rules.filter(F.col("task_seq").isin(sel))
+        return sub.withColumn("mode", F.lit(tag))
 
-    unioned = mode("all", "-1").unionByName(mode("subset", _SUBSET)).unionByName(
-        mode("none", "")
+    mode_rules = tagged("all", "-1").unionByName(tagged("subset", _SUBSET)).unionByName(
+        tagged("none", "")
     )
-    return unioned.groupBy("mode", "wk_nm").agg(F.count(F.lit(1)).alias("task_cnt"))
+    out = expand_schedule(last, mode_rules, "event_day", WINDOW_FROM, WINDOW_TO)
+    return out.groupBy("mode", "wk_nm").agg(F.count(F.lit(1)).alias("task_cnt"))
 
 
 @register(
