@@ -115,13 +115,16 @@ _SQL_SD_FS = (
 )
 
 
-@register(
-    "embeddings_semdedup_prune",
-    operators="LLM-dedup-semantic (SemDeDup: within-cell centroid-ranked cosine prune under a corpus-scaled two-level quantizer; brief: 'embedding-cosine near-dup' — the cluster-scoped production form)",
-    oracle=f"""
+def semdedup_oracle_sql(target_cell: int = SEMDEDUP_TARGET_CELL) -> str:
+    """The SemDeDup oracle with the per-cell sizing target as a parameter —
+    the registered query uses the production SEMDEDUP_TARGET_CELL (f=1 at
+    test SFs), and the f>1 parity test shrinks it so the SAME corpus forces
+    the two-level path on both engines (ADVICE r9: the f>1 branch was never
+    hash-verified because the driver's corpus sizes to f=1)."""
+    return f"""
 WITH nf AS (
   SELECT GREATEST(1, LEAST({SEMDEDUP_FINE_MAX},
-         CAST(CEIL(COUNT(*) / {SEMDEDUP_CELLS * SEMDEDUP_TARGET_CELL}.0) AS INT))) AS f
+         CAST(CEIL(COUNT(*) / {SEMDEDUP_CELLS * target_cell}.0) AS INT))) AS f
   FROM {_SQL_VECTORS}
 ),
 sc AS (
@@ -153,9 +156,21 @@ SELECT r.vec_id, r.cell,
        CAST(FLOOR(r.csim * 1000000.0) AS BIGINT) AS centroid_sim_e6,
        CAST(p.pruned_id IS NULL AS INT) AS keep
 FROM r LEFT JOIN p ON r.vec_id = p.pruned_id
-""",
+"""
+
+
+@register(
+    "embeddings_semdedup_prune",
+    operators="LLM-dedup-semantic (SemDeDup: within-cell centroid-ranked cosine prune under a corpus-scaled two-level quantizer; brief: 'embedding-cosine near-dup' — the cluster-scoped production form)",
+    oracle=semdedup_oracle_sql(),
 )
 def embeddings_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_prune_frame(spark, sf_dir)
+
+
+def semdedup_prune_frame(
+    spark: SparkSession, sf_dir: str, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> DataFrame:
     """SemDeDup: within each quantizer cell, rank by centroid similarity
     (most-central first) and prune any vector >= tau-similar to a
     higher-ranked one. The pair join is cell-local (equi-join on cell id),
@@ -183,7 +198,7 @@ def embeddings_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
     n = emb.count()  # single scalar to the driver — quantizer sizing only
     # Integer ceil: matches the oracle's CEIL(n / (cells*target).0) exactly.
-    target = SEMDEDUP_CELLS * SEMDEDUP_TARGET_CELL
+    target = SEMDEDUP_CELLS * target_cell
     f = max(1, min(SEMDEDUP_FINE_MAX, (n + target - 1) // target))
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_CENTROIDS])
     scored = emb.withColumn(

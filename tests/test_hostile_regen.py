@@ -178,3 +178,21 @@ def test_parity_survives_empty_tables(spark, empty_dir, name):
     reg._load()
     q = reg.REGISTRY[name]
     compare(q.name, q.fn(spark, empty_dir), *run_oracle(q.oracle, empty_dir))
+
+
+def test_semdedup_two_level_survives_hostile_rows(spark, hostile_dir):
+    """f>1 + poison together: target_cell=10 over the ~501-vector hostile
+    corpus forces f=7, so the short 8-length vector's NULL fine scores flow
+    through the composed-cell argmax on BOTH engines (the oracle's fs[1:f]
+    slice vs Spark's zip-pad NULL dot) — the one combination neither the
+    registered query (f=1 at driver SFs) nor the plain hostile sweep
+    reaches (ADVICE r9)."""
+    from inspig_etl_spark.queries.llm_clustering import (
+        semdedup_oracle_sql,
+        semdedup_prune_frame,
+    )
+    from tests.parity import compare, run_oracle
+
+    df = semdedup_prune_frame(spark, hostile_dir, target_cell=10)
+    cols, rows = run_oracle(semdedup_oracle_sql(target_cell=10), hostile_dir)
+    compare("semdedup_f7_hostile", df, cols, rows)

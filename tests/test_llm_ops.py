@@ -251,3 +251,26 @@ def test_curation_funnel_is_monotone(spark):
     assert rows[4].n_docs == rows[3].n_docs
     assert rows[4].n_tokens <= rows[3].n_tokens
     assert rows[0].n_docs > 0
+
+
+def test_semdedup_two_level_branch_matches_oracle(spark):
+    """Force f>1 so the two-level quantizer path — fine-bank scoring, the
+    composed coarse*f+fine cell, the oracle's fs[1:f] slice/argmax — is
+    hash-verified, not just the f=1 path the driver's corpus sizes to
+    (ADVICE r9). target_cell=10 over the 500-vector corpus gives
+    f = ceil(500/80) = 7, so composed cells must exceed the 8-cell coarse
+    bank; parity is the same strict compare the driver runs."""
+    from inspig_etl_spark.queries.llm_clustering import (
+        SEMDEDUP_CELLS,
+        semdedup_oracle_sql,
+        semdedup_prune_frame,
+    )
+    from tests.parity import compare, run_oracle
+
+    df = semdedup_prune_frame(spark, SF_CORRECT, target_cell=10)
+    cols, rows = run_oracle(semdedup_oracle_sql(target_cell=10), SF_CORRECT)
+    compare("semdedup_f7", df, cols, rows)
+    cells = {r.cell for r in df.collect() if r.cell is not None}
+    assert max(cells) >= SEMDEDUP_CELLS, (
+        f"two-level path not taken: max cell {max(cells)} inside the coarse bank"
+    )
