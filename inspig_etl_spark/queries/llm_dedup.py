@@ -483,10 +483,9 @@ EVAL_MOD = 20  # doc_id % 20 == 0 -> the held-out eval set (5% of docs)
 CONTAM_MIN_SHARED = 2  # >= 2 shared shingles flags a training doc
 
 
-@register(
-    "docs_decontaminate_eval_overlap",
-    operators="LLM-decontamination (benchmark-overlap scrub: flag training docs sharing n-gram shingles with a held-out eval set; standard training-data hygiene alongside dedup)",
-    oracle=f"""
+# Reused by the curation funnel's decontamination stage (stage 4) — the CTE
+# body minus the WITH, so it wraps as a derived table there.
+_DECON_ORACLE = f"""
 WITH {_SQL_DOCS_SHINGLED},
 ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {EVAL_MOD} = 0),
 tr AS (SELECT doc_id, sh FROM t WHERE doc_id % {EVAL_MOD} <> 0),
@@ -502,7 +501,13 @@ SELECT tr.doc_id,
        COALESCE(hits.shared_cnt, 0) AS shared_cnt,
        COALESCE(hits.shared_cnt, 0) >= {CONTAM_MIN_SHARED} AS is_contaminated
 FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
-""",
+"""
+
+
+@register(
+    "docs_decontaminate_eval_overlap",
+    operators="LLM-decontamination (benchmark-overlap scrub: flag training docs sharing n-gram shingles with a held-out eval set; standard training-data hygiene alongside dedup)",
+    oracle=_DECON_ORACLE,
 )
 def docs_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a training document is flagged when it
@@ -932,16 +937,22 @@ canon AS (
 ),
 kb AS (SELECT doc_id, kept FROM ({_keep_best_oracle()}) zkb),
 sc AS (SELECT doc_id, n_toks, n_removed FROM ({_SCRUB_ORACLE}) zsc),
+dc AS (SELECT doc_id, is_contaminated FROM ({_DECON_ORACLE}) zdc),
 flags AS (
   SELECT sc.doc_id, sc.n_toks, sc.n_removed,
          (canon.is_dup = 0) AS s1,
          (canon.is_dup = 0 AND (kb.doc_id IS NULL OR kb.kept = 1)) AS s2,
          (canon.is_dup = 0 AND (kb.doc_id IS NULL OR kb.kept = 1)
-          AND l.logit_e4 >= 0) AS s3
+          AND l.logit_e4 >= 0) AS s3,
+         -- eval-set docs are ABSENT from dc (they are the held-out side),
+         -- so NULL drops them here along with the contaminated ones.
+         (canon.is_dup = 0 AND (kb.doc_id IS NULL OR kb.kept = 1)
+          AND l.logit_e4 >= 0 AND dc.is_contaminated = FALSE) AS s4
   FROM sc
   JOIN canon USING (doc_id)
   LEFT JOIN kb USING (doc_id)
   JOIN l USING (doc_id)
+  LEFT JOIN dc USING (doc_id)
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS d0,
@@ -952,15 +963,18 @@ agg AS (
          CAST(COALESCE(SUM(CASE WHEN s2 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t2,
          CAST(COALESCE(SUM(CASE WHEN s3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3,
          CAST(COALESCE(SUM(CASE WHEN s3 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t3,
-         CAST(COALESCE(SUM(CASE WHEN s3 THEN n_toks - n_removed ELSE 0 END), 0)
-              AS BIGINT) AS t4
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d4,
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t4,
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN n_toks - n_removed ELSE 0 END), 0)
+              AS BIGINT) AS t5
   FROM flags
 )
 SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name, d0 AS n_docs, t0 AS n_tokens FROM agg
 UNION ALL SELECT CAST(1 AS BIGINT), 'exact_canonical', d1, t1 FROM agg
 UNION ALL SELECT CAST(2 AS BIGINT), 'neardup_survivor', d2, t2 FROM agg
 UNION ALL SELECT CAST(3 AS BIGINT), 'quality_pass', d3, t3 FROM agg
-UNION ALL SELECT CAST(4 AS BIGINT), 'span_scrubbed', d3, t4 FROM agg
+UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminated', d4, t4 FROM agg
+UNION ALL SELECT CAST(5 AS BIGINT), 'span_scrubbed', d4, t5 FROM agg
 """
 
 
@@ -969,28 +983,31 @@ UNION ALL SELECT CAST(4 AS BIGINT), 'span_scrubbed', d3, t4 FROM agg
     operators=(
         "LLM-curation-funnel (end-to-end observability over the dedup/"
         "quality stack: raw -> exact-canonical -> near-dup survivor -> "
-        "quality gate -> span-scrubbed token budget, one doc/token row per "
-        "stage — the report a pipeline owner reads before training)"
+        "quality gate -> decontaminated -> span-scrubbed token budget, one "
+        "doc/token row per stage — the report a pipeline owner reads "
+        "before training)"
     ),
     oracle=_funnel_oracle(),
 )
 def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as one funnel report.
 
-    Five stages, each a FILTER computed from the globally-materialized
+    Six stages, each a FILTER computed from the globally-materialized
     artifacts the individual kernels already produce (this is
     observability over the pipeline's outputs, not a per-stage
     re-derivation): exact canonicalization (md5 min-id), near-dup survivor
     election (CC clusters x quality logit — ``docs_neardup_keep_best``),
-    the linear quality gate (logit >= 0), and the ExactSubstr span scrub's
-    per-doc token removal. Emits (stage, stage_name, n_docs, n_tokens) —
-    the tokens-surviving-by-stage curve that decides whether a corpus
-    meets its training token budget.
+    the linear quality gate (logit >= 0), benchmark decontamination
+    (``docs_decontaminate_eval_overlap`` — contaminated training docs AND
+    the held-out eval docs themselves leave the corpus here), and the
+    ExactSubstr span scrub's per-doc token removal. Emits (stage,
+    stage_name, n_docs, n_tokens) — the tokens-surviving-by-stage curve
+    that decides whether a corpus meets its training token budget.
 
     Scale shape: every input frame is a per-doc table keyed on doc_id, so
-    the composition is three doc_id equi-joins over already-shuffled
+    the composition is four doc_id equi-joins over already-shuffled
     artifacts, ONE aggregation to a single row of conditional sums, and an
-    explode to the 5 stage rows — no new quadratic term beyond what the
+    explode to the 6 stage rows — no new quadratic term beyond what the
     underlying kernels already measured in SCALE.md; at 100 TB each input
     is a persisted table and this query is a cheap join-scan over them.
     """
@@ -1006,19 +1023,27 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     kb = docs_neardup_keep_best(spark, sf_dir).select("doc_id", "kept")
     logit = _cls_logit_frame(spark, sf_dir).select("doc_id", "logit_e4")
     sc = docs_dup_span_scrub(spark, sf_dir).select("doc_id", "n_toks", "n_removed")
+    dc = docs_decontaminate_eval_overlap(spark, sf_dir).select(
+        "doc_id", "is_contaminated"
+    )
     s1 = F.col("is_dup") == 0
     s2 = s1 & (F.col("kept").isNull() | (F.col("kept") == 1))
     s3 = s2 & (F.col("logit_e4") >= 0)
+    # Eval-set docs are absent from dc (the held-out side): the NULL
+    # comparison drops them here, same as the oracle's LEFT JOIN semantics.
+    s4 = s3 & (F.col("is_contaminated") == F.lit(False))
     flags = (
         sc.join(canon, "doc_id")
         .join(kb, "doc_id", "left")
         .join(logit, "doc_id")
+        .join(dc, "doc_id", "left")
         .select(
             "n_toks",
             "n_removed",
             s1.alias("s1"),
             s2.alias("s2"),
             s3.alias("s3"),
+            s4.alias("s4"),
         )
     )
 
@@ -1041,7 +1066,9 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tok(F.col("s2"), F.col("n_toks")).alias("t2"),
         _cnt(F.col("s3")).alias("d3"),
         _tok(F.col("s3"), F.col("n_toks")).alias("t3"),
-        _tok(F.col("s3"), F.col("n_toks") - F.col("n_removed")).alias("t4"),
+        _cnt(F.col("s4")).alias("d4"),
+        _tok(F.col("s4"), F.col("n_toks")).alias("t4"),
+        _tok(F.col("s4"), F.col("n_toks") - F.col("n_removed")).alias("t5"),
     )
 
     def _stage(no, name, d, t):
@@ -1052,7 +1079,7 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(t).alias("n_tokens"),
         )
 
-    # explode, not UNION: a 5-way union would recompute the whole funnel
+    # explode, not UNION: a 6-way union would recompute the whole funnel
     # aggregation once per stage row.
     return agg.select(
         F.explode(
@@ -1061,7 +1088,8 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _stage(1, "exact_canonical", "d1", "t1"),
                 _stage(2, "neardup_survivor", "d2", "t2"),
                 _stage(3, "quality_pass", "d3", "t3"),
-                _stage(4, "span_scrubbed", "d3", "t4"),
+                _stage(4, "decontaminated", "d4", "t4"),
+                _stage(5, "span_scrubbed", "d4", "t5"),
             )
         ).alias("s")
     ).select("s.*")

@@ -240,16 +240,19 @@ def test_cms_estimate_is_one_sided(spark):
 
 def test_curation_funnel_is_monotone(spark):
     """Funnel sanity: each stage can only shrink the corpus — doc counts
-    non-increasing through stages 0-3 (stage 4 re-counts stage 3's docs),
-    token counts non-increasing through all five stages, and the scrub
-    stage removes tokens without removing docs."""
+    non-increasing through stages 0-4 (stage 5 re-counts stage 4's docs),
+    token counts non-increasing through all six stages, the decontamination
+    stage must actually cost something on this corpus (the eval split alone
+    removes ~5% of docs), and the scrub stage removes tokens without
+    removing docs."""
     rows = {r.stage: r for r in Q["docs_curation_funnel"](spark, SF_CORRECT).collect()}
-    assert sorted(rows) == [0, 1, 2, 3, 4]
-    for a, b in ((0, 1), (1, 2), (2, 3)):
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    for a, b in ((0, 1), (1, 2), (2, 3), (3, 4)):
         assert rows[a].n_docs >= rows[b].n_docs
         assert rows[a].n_tokens >= rows[b].n_tokens
-    assert rows[4].n_docs == rows[3].n_docs
-    assert rows[4].n_tokens <= rows[3].n_tokens
+    assert rows[4].n_docs < rows[3].n_docs, "decontamination stage was free?"
+    assert rows[5].n_docs == rows[4].n_docs
+    assert rows[5].n_tokens <= rows[4].n_tokens
     assert rows[0].n_docs > 0
 
 
