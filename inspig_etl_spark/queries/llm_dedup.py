@@ -912,18 +912,61 @@ def docs_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
-    """Composed funnel oracle: the classifier CTEs (t/f/l), the exact-dedup
-    window, and the keep-best + scrub oracles wrapped as derived tables so
-    their internal CTE names cannot collide at this level."""
+def _funnel_flags_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level funnel flags (doc_id, n_toks, n_removed, s1..s4) — the
+    Spark twin of :func:`_funnel_flags_sql`, shared by the funnel report
+    and the curated shard manifest."""
+    from inspig_etl_spark.operators.dedup import canonicalize, with_content_hash
+    from inspig_etl_spark.queries.llm_text import _cls_logit_frame
+
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    canon = canonicalize(
+        with_content_hash(docs, "text"), "doc_id", "content_hash"
+    ).select("doc_id", "is_dup")
+    kb = docs_neardup_keep_best(spark, sf_dir).select("doc_id", "kept")
+    logit = _cls_logit_frame(spark, sf_dir).select("doc_id", "logit_e4")
+    sc = docs_dup_span_scrub(spark, sf_dir).select("doc_id", "n_toks", "n_removed")
+    dc = docs_decontaminate_eval_overlap(spark, sf_dir).select(
+        "doc_id", "is_contaminated"
+    )
+    s1 = F.col("is_dup") == 0
+    s2 = s1 & (F.col("kept").isNull() | (F.col("kept") == 1))
+    s3 = s2 & (F.col("logit_e4") >= 0)
+    # Eval-set docs are absent from dc (the held-out side): the NULL
+    # comparison drops them here, same as the oracle's LEFT JOIN semantics.
+    s4 = s3 & (F.col("is_contaminated") == F.lit(False))
+    return (
+        sc.join(canon, "doc_id")
+        .join(kb, "doc_id", "left")
+        .join(logit, "doc_id")
+        .join(dc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_removed",
+            s1.alias("s1"),
+            s2.alias("s2"),
+            s3.alias("s3"),
+            s4.alias("s4"),
+        )
+    )
+
+
+def _funnel_flags_sql() -> str:
+    """The funnel's doc-level CTE chain (everything through ``flags``,
+    WITHOUT the leading WITH): the classifier CTEs (t/f/l), the exact-dedup
+    window, and the keep-best + scrub + decontamination oracles wrapped as
+    derived tables so their internal CTE names cannot collide at this
+    level. Shared by the funnel report and the curated shard manifest."""
     from inspig_etl_spark.queries.llm_text import (
         _SQL_CLS_FEATURES,
         _SQL_CLS_LOGIT,
         _SQL_TOKS,
     )
 
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
 ),
 f AS (
@@ -953,7 +996,14 @@ flags AS (
   LEFT JOIN kb USING (doc_id)
   JOIN l USING (doc_id)
   LEFT JOIN dc USING (doc_id)
-),
+)"""
+
+
+def _funnel_oracle() -> str:
+    """The funnel report: one conditional-sum aggregation over the shared
+    flags chain, exploded to the 6 stage rows."""
+    return f"""
+WITH {_funnel_flags_sql()},
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS d0,
          CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS t0,
@@ -1011,41 +1061,7 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     underlying kernels already measured in SCALE.md; at 100 TB each input
     is a persisted table and this query is a cheap join-scan over them.
     """
-    from inspig_etl_spark.operators.dedup import canonicalize, with_content_hash
-    from inspig_etl_spark.queries.llm_text import _cls_logit_frame
-
-    docs = spread(table(spark, sf_dir, "documents")).filter(
-        F.col("text").isNotNull()
-    )
-    canon = canonicalize(
-        with_content_hash(docs, "text"), "doc_id", "content_hash"
-    ).select("doc_id", "is_dup")
-    kb = docs_neardup_keep_best(spark, sf_dir).select("doc_id", "kept")
-    logit = _cls_logit_frame(spark, sf_dir).select("doc_id", "logit_e4")
-    sc = docs_dup_span_scrub(spark, sf_dir).select("doc_id", "n_toks", "n_removed")
-    dc = docs_decontaminate_eval_overlap(spark, sf_dir).select(
-        "doc_id", "is_contaminated"
-    )
-    s1 = F.col("is_dup") == 0
-    s2 = s1 & (F.col("kept").isNull() | (F.col("kept") == 1))
-    s3 = s2 & (F.col("logit_e4") >= 0)
-    # Eval-set docs are absent from dc (the held-out side): the NULL
-    # comparison drops them here, same as the oracle's LEFT JOIN semantics.
-    s4 = s3 & (F.col("is_contaminated") == F.lit(False))
-    flags = (
-        sc.join(canon, "doc_id")
-        .join(kb, "doc_id", "left")
-        .join(logit, "doc_id")
-        .join(dc, "doc_id", "left")
-        .select(
-            "n_toks",
-            "n_removed",
-            s1.alias("s1"),
-            s2.alias("s2"),
-            s3.alias("s3"),
-            s4.alias("s4"),
-        )
-    )
+    flags = _funnel_flags_frame(spark, sf_dir).drop("doc_id")
 
     def _cnt(flag):
         return F.coalesce(
@@ -1093,3 +1109,145 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+# --- curated shard manifest ------------------------------------------------
+
+MANIFEST_CAPACITY = 256  # tokens per packed training sequence in the shards
+
+
+def _manifest_oracle() -> str:
+    """Funnel survivors -> deterministic shard assignment -> greedy per-shard
+    packing, as one recursive-CTE oracle over the shared flags chain."""
+    from inspig_etl_spark.functions.text import sql_md5_long
+    from inspig_etl_spark.queries.llm_sampling import N_SHARDS
+
+    c = MANIFEST_CAPACITY
+    return f"""
+WITH RECURSIVE {_funnel_flags_sql()},
+surv AS (
+  SELECT doc_id, n_toks - n_removed AS n FROM flags WHERE s4
+),
+sh AS (
+  SELECT doc_id, n,
+         CAST({sql_md5_long("'shard' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS INT) AS shard,
+         {sql_md5_long("'ord' || CAST(doc_id AS VARCHAR)")} AS ord_h
+  FROM surv
+),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_h, doc_id) AS rn
+  FROM sh
+),
+rec AS (
+  SELECT shard, rn, doc_id, n, ord_h, CAST(0 AS BIGINT) AS bin_no, n AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n, o.ord_h,
+         CASE WHEN r.fill + o.n <= {c} THEN r.bin_no ELSE r.bin_no + 1 END,
+         CASE WHEN r.fill + o.n <= {c} THEN r.fill + o.n ELSE o.n END
+  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+),
+b AS (
+  SELECT shard, bin_no,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord_h, doc_id) AS doc_ids,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS token_cnt
+  FROM rec GROUP BY shard, bin_no
+)
+SELECT shard, bin_no, doc_ids, n_docs, token_cnt,
+       CAST(SUM(token_cnt) OVER (PARTITION BY shard) AS BIGINT) AS shard_tokens
+FROM b
+"""
+
+
+@register(
+    "docs_curated_shard_manifest",
+    operators=(
+        "LLM-curated-shards (materialize-the-corpus composition: curation-"
+        "funnel survivors -> deterministic md5 shard assignment -> greedy "
+        "fixed-capacity sequence packing per shard -> (shard, bin, doc_ids, "
+        "token_cnt) manifest with per-shard token totals — the 'write the "
+        "training shards' step a pipeline owner actually runs)"
+    ),
+    oracle=_manifest_oracle(),
+)
+def docs_curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 'write the training shards' query: every doc that
+    survives all four curation gates (exact-canonical, near-dup survivor,
+    quality, decontamination) is assigned a deterministic training shard
+    (md5, domain-separated 'shard'/'ord' hashes — the same contract as
+    ``docs_shard_assignment``), then greedily packed, in the deterministic
+    within-shard shuffle order, into MANIFEST_CAPACITY-token sequences
+    using the doc's SCRUBBED token count (n_toks - n_removed — the tokens
+    that actually ship). Emits one manifest row per (shard, bin) with the
+    ordered member doc_ids, the bin's doc/token counts, and the shard's
+    token total — what a trainer's data loader reads to map shards to
+    sequences.
+
+    Scale shape: the funnel flags are doc_id equi-joins over materialized
+    artifacts; shard+pack is ONE shuffle on the shard key followed by a
+    partition-local sort and a streaming Arrow fold with two integers of
+    state per shard (the ``docs_sequence_packing`` idiom — never
+    ``groupBy().applyInPandas`` materializing a whole shard); the manifest
+    agg shuffles on (shard, bin_no) and the per-shard total is a window
+    over N_SHARDS-bounded partitions. At 100 TB, raise N_SHARDS so each
+    shard stays executor-sized — every stage scales with rows/N_SHARDS.
+    """
+    import pandas as pd
+
+    from inspig_etl_spark.functions.text import md5_long
+    from inspig_etl_spark.queries.llm_sampling import N_SHARDS
+
+    surv = (
+        _funnel_flags_frame(spark, sf_dir)
+        .filter(F.col("s4"))
+        .select("doc_id", (F.col("n_toks") - F.col("n_removed")).alias("n"))
+    )
+    sh = surv.select(
+        "doc_id",
+        "n",
+        (md5_long(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))) % N_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        md5_long(F.concat(F.lit("ord"), F.col("doc_id").cast("string"))).alias("ord_h"),
+    )
+
+    def pack(batches):
+        state: dict = {}  # shard -> [bin_no, fill]
+        for pdf in batches:
+            bin_nos = []
+            for shard, n in zip(pdf["shard"], pdf["n"]):
+                n = int(n)
+                st = state.get(shard)
+                if st is None:
+                    st = state[shard] = [0, n]
+                elif st[1] + n <= MANIFEST_CAPACITY:
+                    st[1] += n
+                else:
+                    st[0] += 1
+                    st[1] = n
+                bin_nos.append(st[0])
+            out = pdf[["doc_id", "n", "shard", "ord_h"]].copy()
+            out["bin_no"] = pd.Series(bin_nos, dtype="int64")
+            yield out
+
+    packed = (
+        sh.repartition("shard")
+        .sortWithinPartitions("shard", "ord_h", "doc_id")
+        .mapInPandas(pack, "doc_id long, n long, shard int, ord_h long, bin_no long")
+    )
+    per_bin = packed.groupBy("shard", "bin_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord_h", "doc_id"))),
+                lambda s: s.getField("doc_id").cast("string"),
+            ),
+            ",",
+        ).alias("doc_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("token_cnt"),
+    )
+    return per_bin.withColumn(
+        "shard_tokens",
+        F.sum("token_cnt").over(Window.partitionBy("shard")).cast("bigint"),
+    )

@@ -1061,3 +1061,177 @@ def docs_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOP)
     )
+
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def _sql_bpe_apply_round(prev_t: str, best: str, out_t: str) -> str:
+    """One oracle merge round: positional explode of ``{prev_t}.toks``,
+    greedy left-to-right application of the pair in ``{best}`` (within a
+    run of consecutive matches, merges land on alternating positions
+    starting at the run head — the gaps-and-islands form of the fold the
+    Spark side runs), re-aggregated into ``{out_t}(doc_id, toks)``."""
+    return f"""
+e{out_t} AS (
+  SELECT doc_id, i, toks[i] AS tok, toks[i + 1] AS nxt
+  FROM {prev_t}, unnest(generate_series(1, len(toks))) s(i)
+),
+m{out_t} AS (
+  SELECT doc_id, i, tok, nxt,
+         COALESCE(tok = (SELECT a FROM {best}) AND nxt = (SELECT b FROM {best}),
+                  FALSE) AS mt
+  FROM e{out_t}
+),
+g{out_t} AS (
+  SELECT *, i - ROW_NUMBER() OVER (PARTITION BY doc_id, mt ORDER BY i) AS grp
+  FROM m{out_t}
+),
+h{out_t} AS (
+  SELECT *, mt AND (ROW_NUMBER() OVER (PARTITION BY doc_id, mt, grp ORDER BY i)
+                    - 1) % 2 = 0 AS mh
+  FROM g{out_t}
+),
+c{out_t} AS (
+  SELECT *, COALESCE(LAG(mh) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+            AS consumed
+  FROM h{out_t}
+),
+{out_t} AS (
+  SELECT doc_id,
+         COALESCE(list(CASE WHEN mh THEN tok || '_' || nxt ELSE tok END
+                       ORDER BY i) FILTER (NOT consumed), []) AS toks
+  FROM c{out_t} GROUP BY doc_id
+)"""
+
+
+def _sql_bpe_best(prev_t: str, best: str) -> str:
+    """Top-1 adjacent pair of a round (cnt DESC, then ASCII pair order)."""
+    return f"""
+p{best} AS (
+  SELECT unnest(list_transform(
+           list_zip(list_slice(toks, 1, len(toks) - 1),
+                    list_slice(toks, 2, len(toks))),
+           z -> z[1] || ' ' || z[2])) AS pair
+  FROM {prev_t} WHERE len(toks) >= 2
+),
+{best} AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p{best} GROUP BY pair
+  ORDER BY cnt DESC, pair LIMIT 1
+)"""
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        f"""t0 AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+)"""
+    ]
+    selects = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(_sql_bpe_best(f"t{r - 1}", f"b{r}"))
+        if r < BPE_TRAIN_ROUNDS:
+            parts.append(_sql_bpe_apply_round(f"t{r - 1}", f"b{r}", f"t{r}"))
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS round, a AS tok_a, b AS tok_b, "
+            f"a || '_' || b AS merged, cnt FROM b{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "docs_bpe_train_merges",
+    operators=(
+        "LLM-vocab-bpe-train (iterative BPE trainer: 3 unrolled merge "
+        "rounds — score adjacent pairs corpus-wide, pick the top pair, "
+        "APPLY it greedily left-to-right, re-score; the merge sequence is "
+        "the trained vocabulary prefix, hash-gated cross-engine like the "
+        "k-means unrolled oracle)"
+    ),
+    oracle=_bpe_train_oracle(),
+)
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training loop ``docs_bpe_merge_candidates`` only scores one
+    round of: each round counts every adjacent token pair, merges the
+    most frequent pair (ties on ASCII pair order) everywhere in the
+    corpus, and re-scores. Merge application is greedy left-to-right —
+    within a run of consecutive matches only alternating positions merge
+    ([a,a,a] + (a,a) -> [a_a, a]) — implemented as a per-row
+    ``F.aggregate`` fold with two fields of state (no explode, no
+    per-position shuffle; the oracle's gaps-and-islands windows compute
+    the identical alternation).
+
+    Scale shape: per round, ONE corpus scan for the pair count (partial-
+    aggregated groupBy + TakeOrderedAndProject top-1) and a driver-side
+    collect of exactly one row — the k-means iterative contract (bounded
+    reduce per round, merge literals broadcast back inside the next
+    round's expression). Round r's scan re-derives tokens + r-1 folds
+    instead of caching the corpus — at 100 TB recomputing a per-row
+    expression chain beats materializing a reshaped corpus per round.
+    """
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    cur = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    schema = "round int, tok_a string, tok_b string, merged string, cnt bigint"
+    out_rows = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        t = cur.filter(F.size("toks") >= 2)
+        n = F.size(F.col("toks")) - 1
+        pairs = F.zip_with(
+            F.slice(F.col("toks"), F.lit(1), n),
+            F.slice(F.col("toks"), F.lit(2), n),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        top = (
+            t.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()  # bounded: exactly one row per training round
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        cnt = int(top[0]["cnt"])
+        out_rows.append((rnd, a, b, f"{a}_{b}", cnt))
+        if rnd == BPE_TRAIN_ROUNDS:
+            break
+
+        merged_tok = f"{a}_{b}"
+
+        def make_step(_a: str, _b: str, _m: str):
+            # Factory, not default args: pyspark inspects the lambda arity.
+            def step(acc, tok):
+                prev = acc.getField("prev")
+                out = acc.getField("out")
+                hit = prev.isNotNull() & (prev == F.lit(_a)) & (tok == F.lit(_b))
+                new_out = (
+                    F.when(hit, F.concat(out, F.array(F.lit(_m))))
+                    .when(prev.isNotNull(), F.concat(out, F.array(prev)))
+                    .otherwise(out)
+                )
+                new_prev = F.when(hit, F.lit(None).cast("string")).otherwise(tok)
+                return F.struct(new_out.alias("out"), new_prev.alias("prev"))
+
+            return step
+
+        step = make_step(a, b, merged_tok)
+
+        def fin(acc):
+            return F.when(
+                acc.getField("prev").isNotNull(),
+                F.concat(acc.getField("out"), F.array(acc.getField("prev"))),
+            ).otherwise(acc.getField("out"))
+
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+        cur = cur.select(
+            "doc_id", F.aggregate(F.col("toks"), init, step, fin).alias("toks")
+        )
+    return spark.createDataFrame(out_rows, schema)

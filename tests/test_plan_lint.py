@@ -36,6 +36,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "docs_neardup_clusters; every funnel-specific stage is a doc_id "
         "equi-join + one conditional-sum aggregation",
     },
+    "docs_curated_shard_manifest": {
+        "single-partition": "composes the funnel flags (and through them "
+        "docs_neardup_keep_best's adaptive state-sized CC loop — see "
+        "docs_neardup_clusters); the manifest-specific stages shuffle on "
+        "the shard key and (shard, bin_no), never to one partition",
+    },
     "weekly_delta_wow": {
         "global-window": "input is the per-ISO-week aggregate (<=105 rows for the "
         "2-year scan window) — bounded BEFORE the window, documented invariant",
