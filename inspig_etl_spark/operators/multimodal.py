@@ -321,3 +321,73 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .select("id", F.posexplode(frames).alias("frame_no", "frame_bytes"))
         .withColumn("frame_size", F.length("frame_bytes"))
     )
+
+
+AHASH_GRID = 8  # perceptual hash over an 8x8 resampled grayscale grid
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per medium: nearest-neighbor resample
+    to an 8x8 grayscale grid (integer channel mean), then bit i = 1 iff
+    64*gray_i > sum(gray) — the strict-integer form of "above the mean", so
+    the 64-bit hash is bit-identical across engines with no float compare.
+    Returned as two BIGINT halves (``ahash_hi`` bits 32-63, ``ahash_lo``
+    bits 0-31) so no value ever touches the sign bit.
+
+    Arrow-batched ``mapInPandas`` like the other codec kernels: rows
+    iterate (ragged grids), bytes never become Python row objects, no
+    shuffle — a real deployment swaps the grid construction for PIL's
+    ``Image.resize().convert('L')`` inside the same batch function.
+    """
+
+    from inspig_etl_spark.pyfiles import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    g = AHASH_GRID
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "ahash_hi", "ahash_lo"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf["id"], pdf["blob"]):
+                v = np.frombuffer(blob, dtype=np.uint8)
+                if v.size < 8 or bytes(v[:2].tobytes()) != MAGIC:
+                    raise NotImplementedError(
+                        "real media decoding requires an image/audio library "
+                        "not present in this environment; only the synthetic "
+                        "IM format is supported"
+                    )
+                w = int(v[2]) << 8 | int(v[3])
+                h = int(v[4]) << 8 | int(v[5])
+                c = int(v[6]) << 8 | int(v[7])
+                n = min(w * h * c, v.size - 8)
+                if w and h and c:
+                    grid = np.zeros(w * h * c, np.int64)
+                    grid[:n] = v[8 : 8 + n]
+                    pix = grid.reshape(h, w, c)
+                    ys = (np.arange(g) * h) // g
+                    xs = (np.arange(g) * w) // g
+                    cells = pix[np.ix_(ys, xs)].sum(axis=2) // c
+                else:
+                    cells = np.zeros((g, g), np.int64)
+                flat = cells.ravel()  # bit index i = yi*8 + xi
+                total = int(flat.sum())
+                bits = (g * g * flat) > total
+                lo = sum(1 << i for i in range(32) if bits[i])
+                hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+                ids.append(int(mid))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(ids, np.int64),
+                    "ahash_hi": np.asarray(his, np.int64),
+                    "ahash_lo": np.asarray(los, np.int64),
+                }
+            )
+
+    return media.mapInPandas(hash_batches, "id long, ahash_hi long, ahash_lo long")

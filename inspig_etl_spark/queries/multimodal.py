@@ -204,3 +204,174 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_size").cast("int").alias("frame_size"),
         F.sha2(F.hex(F.col("frame_bytes")), 256).alias("frame_sha"),
     )
+
+
+# --- perceptual-hash near-dup ------------------------------------------
+
+PHASH_HAMMING_MAX = 6
+PHASH_TWIN_OFFSET = 1_000_000
+
+# Shared source-position expression for the oracle: grid cell i (0..63,
+# row-major yi*8+xi), channel ch -> payload byte offset of the nearest-
+# neighbor sample, exactly the decoder/resize gather.
+_PHX_POS = "((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * c + ch"
+_PHX_BYTE = (
+    f"(strpos('0123456789ABCDEF', hx[2 * ({_PHX_POS}) + 1]) - 1) * 16"
+    f" + (strpos('0123456789ABCDEF', hx[2 * ({_PHX_POS}) + 2]) - 1)"
+)
+_PHX_BYTE0 = (
+    "(strpos('0123456789ABCDEF', hx[1]) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', hx[2]) - 1)"
+)
+
+
+@register(
+    "multimodal_phash_neardup_pairs",
+    operators=(
+        "LLM-multimodal-phash (image near-dup: perceptual average-hash "
+        "over the 8x8 resampled grayscale grid via the Arrow-batched codec "
+        "kernel, Hamming byte-banded candidate join — the SimHash banding "
+        "kernel applied to the image modality; planted one-byte-perturbed "
+        "twins are the guaranteed-positive witness)"
+    ),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 12 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 1 AS INT) AS c,
+         encode(repeat(COALESCE(text, ''), 4)) AS pay
+  FROM documents WHERE doc_id % 3 = 0
+),
+p AS (
+  SELECT doc_id, w, h, c,
+         LEAST(w * h * c, octet_length(pay)) AS nb,
+         hex(pay) AS hx
+  FROM m
+),
+v AS (
+  SELECT doc_id + twin * {PHASH_TWIN_OFFSET} AS id, w, h, c, nb, hx, twin
+  FROM p, (SELECT unnest([0, 1]) AS twin)
+),
+gr AS (
+  SELECT id,
+         list_transform(range(0, 64), i ->
+           list_sum(list_transform(range(0, c), ch ->
+             CASE WHEN {_PHX_POS} < nb
+                  THEN CASE WHEN twin = 1 AND {_PHX_POS} = 0
+                            THEN ({_PHX_BYTE0} + 1) % 256
+                            ELSE {_PHX_BYTE} END
+                  ELSE 0 END)) // c) AS gray
+  FROM v
+),
+hsh AS (
+  SELECT id,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN 64 * gray[i + 1] > ts
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(32, 64), i ->
+           CASE WHEN 64 * gray[i + 1] > ts
+                THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT) AS hi
+  FROM (SELECT id, gray, list_sum(gray) AS ts FROM gr)
+),
+band AS (
+  SELECT id, band_no,
+         CASE WHEN band_no < 4 THEN (lo >> (8 * band_no)) & 255
+              ELSE (hi >> (8 * (band_no - 4))) & 255 END AS band_key
+  FROM hsh, (SELECT unnest(generate_series(0, 7)) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM band l JOIN band r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key AND l.id < r.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
+         AS hamming
+FROM cand JOIN hsh a ON cand.id_a = a.id JOIN hsh b ON cand.id_b = b.id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      <= {PHASH_HAMMING_MAX}
+""",
+)
+def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality near-dup: aHash (the canonical perceptual hash —
+    8x8 nearest-neighbor grayscale resample, bit = strictly-above-mean as
+    exact integers) computed by the Arrow-batched ``ahash_media`` kernel,
+    then the SimHash-style Hamming-banded candidate join: 8 byte bands
+    over the 64-bit hash, so any pair within Hamming distance < 8 shares
+    >= 1 band by pigeonhole, and candidates only ever form inside a band
+    bucket — never all-pairs over the image corpus.
+
+    Because the synthetic corpus has no two images with equal dims AND
+    equal text, a deterministic witness set is planted: every image gets a
+    twin (id + {PHASH_TWIN_OFFSET}) whose FIRST payload byte is +1 — a
+    one-sampled-pixel perturbation, so nearly every (image, twin) pair
+    surfaces at small Hamming distance (not all: the +1 also moves the
+    grid mean, and threshold-boundary images can flip >HMAX bits — the
+    known aHash mean-boundary sensitivity; recall is pinned >=95% in
+    tests), proving banding recall and the verify arithmetic end-to-end
+    (both engines derive the twins from the same expression).
+
+    Scale shape: hash is per-row Arrow work (no shuffle), banding shuffles
+    O(8 x |images|) keys, verification joins hash halves per candidate —
+    the detector inherits docs_simhash_neardup_pairs' 100 TB properties
+    with the decode stage in front.
+    """
+    from inspig_etl_spark.operators.dedup import lsh_candidate_pairs
+    from inspig_etl_spark.operators.multimodal import _byte, ahash_media
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    media = synthetic_media(docs).filter(F.col("media_type") == "image")
+    b0 = F.conv(F.hex(F.substring(F.col("blob"), 9, 1)), 16, 10).cast("int")
+    perturbed = F.concat(
+        F.substring(F.col("blob"), 1, 8),
+        _byte((b0 + 1) % 256),
+        F.expr("substring(blob, 10, 2147483647)"),
+    )
+    twin = media.select(
+        (F.col("id") + PHASH_TWIN_OFFSET).alias("id"),
+        "media_type",
+        F.when(F.length("blob") > 8, perturbed).otherwise(F.col("blob")).alias("blob"),
+        "meta",
+    )
+    # persist(): the hash feeds the banding explode AND both verify sides.
+    hashed = ahash_media(media.unionByName(twin)).persist()
+    bands = F.array(
+        *(
+            [
+                F.shiftright(F.col("ahash_lo"), 8 * j)
+                .bitwiseAND(F.lit(255))
+                .cast("string")
+                for j in range(4)
+            ]
+            + [
+                F.shiftright(F.col("ahash_hi"), 8 * j)
+                .bitwiseAND(F.lit(255))
+                .cast("string")
+                for j in range(4)
+            ]
+        )
+    )
+    banded = hashed.withColumn("band_keys", bands)
+    cand = lsh_candidate_pairs(banded, "id", "band_keys", 8)
+    a = hashed.select(
+        F.col("id").alias("id_a"),
+        F.col("ahash_hi").alias("a_hi"),
+        F.col("ahash_lo").alias("a_lo"),
+    )
+    b = hashed.select(
+        F.col("id").alias("id_b"),
+        F.col("ahash_hi").alias("b_hi"),
+        F.col("ahash_lo").alias("b_lo"),
+    )
+    ham = (
+        F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+        + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+    ).cast("bigint")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )

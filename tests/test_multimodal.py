@@ -172,3 +172,36 @@ def test_decode_media_blob_shorter_than_header_is_foreign(spark):
 
     with pytest.raises(PythonException, match="NotImplementedError"):
         decode_media(df).collect()
+
+
+def test_phash_finds_every_planted_twin(spark):
+    """Banding recall witness: each (image, +1-byte twin) pair differs in
+    ONE sampled pixel, so nearly all planted pairs must surface under the
+    Hamming gate — a banding or verify bug that drops real near-dups shows
+    up here as mass misses. Not 100%: +1 also shifts the grid mean, and an
+    image whose cells sit exactly at the threshold can flip more than
+    HMAX bits (the known aHash boundary sensitivity — doc 42 at sf0.001
+    measures Hamming 10); recall >= 95% is the invariant."""
+    from inspig_etl_spark.queries.multimodal import (
+        PHASH_TWIN_OFFSET,
+        multimodal_phash_neardup_pairs,
+    )
+
+    rows = multimodal_phash_neardup_pairs(spark, SF_SMOKE).collect()
+    found = {(r.id_a, r.id_b) for r in rows}
+    import duckdb
+
+    image_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_SMOKE}/documents.parquet') "
+            "WHERE doc_id % 3 = 0"
+        ).fetchall()
+    ]
+    missing = [
+        i for i in image_ids if (i, i + PHASH_TWIN_OFFSET) not in found
+    ]
+    recall = 1 - len(missing) / len(image_ids)
+    assert recall >= 0.95, (
+        f"planted-twin recall {recall:.3f}; missing ids {missing[:5]}"
+    )
