@@ -704,3 +704,206 @@ def embeddings_ivfpq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "score_q")
     )
+
+
+REFINE_C = 25  # ADC candidates per query fed to the exact re-rank stage
+
+
+@register(
+    "embeddings_ivfpq_refined_knn",
+    operators=(
+        "LLM-ann-ivfpq-refine (two-stage retrieval: IVF-PQ ADC shortlist "
+        "-> exact int8 inner-product re-rank of the top-C candidates, with "
+        "a brute-force recall witness riding along per row — the standard "
+        "FAISS refine/rerank production stack)"
+    ),
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, {_sql_sq8('embedding')} AS qz,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+cl AS (
+  SELECT vec_id, qz, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+enc AS (
+  SELECT vec_id AS neighbor_id, cell, {_SQL_PQ_CODES} AS codes FROM cl
+),
+q AS (
+  SELECT vec_id AS query_id, cell, {_SQL_PQ_LUT} AS lut
+  FROM cl WHERE vec_id % {QUERY_MOD} = 0
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_reduce(list_transform(list_zip(lut, codes),
+                                         p -> p[1][p[2] + 1]),
+                          (a, x) -> a + x) AS BIGINT) AS score_adc
+  FROM q JOIN enc USING (cell) WHERE query_id <> neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_adc DESC, neighbor_id) AS adc_rank
+    FROM s
+  ) WHERE adc_rank <= {REFINE_C}
+),
+rf AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.qz, b.qz), p -> p[1] * p[2]))
+              AS BIGINT) AS score_q
+  FROM cand JOIN cl a ON cand.query_id = a.vec_id
+            JOIN cl b ON cand.neighbor_id = b.vec_id
+),
+rr AS (
+  SELECT query_id, neighbor_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM rf
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(list_zip(a.qz, b.qz),
+                                              p -> p[1] * p[2])) DESC,
+                      b.vec_id) AS bf_rank
+    FROM cl a JOIN cl b ON a.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+  ) WHERE bf_rank <= {TOP_K}
+)
+SELECT rr.query_id, rr.neighbor_id, rr.rank, rr.score_q,
+       CAST(bf.neighbor_id IS NOT NULL AS INT) AS in_brute_topk
+FROM rr LEFT JOIN bf
+  ON rr.query_id = bf.query_id AND rr.neighbor_id = bf.neighbor_id
+WHERE rr.rank <= {TOP_K}
+""",
+)
+def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN retrieval — the production FAISS pattern on top of
+    ``embeddings_ivfpq_adc_knn``:
+
+    - **stage 1 (shortlist)**: ADC lookup-table scores inside the coarse
+      cell, per-query top-``REFINE_C`` window — candidate (query, neighbor)
+      ID PAIRS only, no vectors;
+    - **stage 2 (refine)**: the shortlist joins BACK to the vector store by
+      id and re-ranks by the exact int8 inner product (the
+      ``embeddings_sq8_adc_knn`` kernel) — O(DIM) work for C rows per
+      query instead of the whole cell, fixing the PQ approximation error
+      at the top of the list;
+    - **witness**: each returned row carries ``in_brute_topk`` — whether
+      the refined neighbor is in the query's exact全-corpus top-k — so
+      recall is measured IN the result (the CMS exact-witness pattern),
+      not asserted.
+
+    Scale shape: stage 1 shuffles only 4-bit codes (the persisted index);
+    the refine vector fetch is two id equi-joins sized C x |queries|, the
+    production-shaped alternative to carrying vectors through the cell
+    join. The brute-force witness is the one deliberately quadratic term
+    (declared, same exception as the SQ8 baseline) — a deployment drops
+    it; at 100 TB the first two stages shuffle O(codes) + O(C x queries).
+    """
+    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    )
+    # persist(): cl feeds the encode side, the query side, two refine
+    # vector fetches, and both brute-force witness sides.
+    cl = cl.persist()
+    cb = _pq_cb()
+
+    def sub(m):
+        return F.slice(F.col("qz"), m * PQ_DSUB + 1, PQ_DSUB)
+
+    codes = F.transform(
+        cb,
+        lambda book, m: F.array_min(
+            F.transform(
+                book,
+                lambda cent, k: F.struct(
+                    _fold_i(
+                        F.zip_with(sub(m), cent, lambda x, y: (x - y) * (x - y))
+                    ).alias("d"),
+                    k.cast("int").alias("k"),
+                ),
+            )
+        )["k"],
+    )
+    lut = F.transform(
+        cb,
+        lambda book, m: F.transform(
+            book, lambda cent: _fold_i(F.zip_with(sub(m), cent, lambda x, y: x * y))
+        ),
+    )
+    enc = cl.select(F.col("vec_id").alias("neighbor_id"), "cell", codes.alias("codes"))
+    q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", lut.alias("lut")
+    )
+    s = (
+        enc.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _fold_i(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + F.lit(1)),
+                )
+            ).alias("score_adc"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("score_adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        s.withColumn("adc_rank", F.row_number().over(wc))
+        .filter(F.col("adc_rank") <= REFINE_C)
+        .select("query_id", "neighbor_id")
+    )
+    zq = cl.select(F.col("vec_id").alias("query_id"), F.col("qz").alias("qv"))
+    zc = cl.select(F.col("vec_id").alias("neighbor_id"), F.col("qz").alias("cv"))
+    exact = _fold_i(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
+    rf = (
+        cand.join(zq, "query_id")
+        .join(zc, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("score_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    refined = rf.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= TOP_K
+    )
+    # Brute-force recall witness (declared quadratic — the SQ8 baseline
+    # exception): exact top-k over the whole d64 corpus per probe query.
+    bq = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qz").alias("qv")
+    )
+    bs = (
+        cl.select(F.col("vec_id").alias("neighbor_id"), F.col("qz").alias("cv"))
+        .join(F.broadcast(bq), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", exact.alias("bf_score"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("bf_score").desc(), F.col("neighbor_id")
+    )
+    bf = (
+        bs.withColumn("bf_rank", F.row_number().over(wb))
+        .filter(F.col("bf_rank") <= TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("bf_neighbor"))
+    )
+    return refined.join(
+        bf,
+        (refined.query_id == bf.query_id)
+        & (refined.neighbor_id == bf.bf_neighbor),
+        "left",
+    ).select(
+        refined.query_id,
+        refined.neighbor_id,
+        "rank",
+        "score_q",
+        F.col("bf_neighbor").isNotNull().cast("int").alias("in_brute_topk"),
+    )

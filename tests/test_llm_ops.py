@@ -277,3 +277,26 @@ def test_semdedup_two_level_branch_matches_oracle(spark):
     assert max(cells) >= SEMDEDUP_CELLS, (
         f"two-level path not taken: max cell {max(cells)} inside the coarse bank"
     )
+
+
+def test_ivfpq_refine_improves_recall_over_raw_adc(spark):
+    """The refine stage exists to fix PQ approximation error: re-ranking
+    the ADC shortlist by exact int8 inner products must recover strictly
+    more of the exact top-k than trusting the ADC scores alone (0.06 ->
+    0.16 at sf0.01; the residual gap is single-cell pruning, which the
+    multiprobe kernel addresses). Also checks the in-result witness column
+    agrees with an externally computed recall."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in Q["embeddings_sq8_adc_knn"](spark, SF_CORRECT).collect()
+    }
+    adc = [
+        (r.query_id, r.neighbor_id)
+        for r in Q["embeddings_ivfpq_adc_knn"](spark, SF_CORRECT).collect()
+    ]
+    ref = Q["embeddings_ivfpq_refined_knn"](spark, SF_CORRECT).collect()
+    adc_recall = sum(p in bf for p in adc) / len(adc)
+    ref_recall = sum((r.query_id, r.neighbor_id) in bf for r in ref) / len(ref)
+    assert ref_recall > adc_recall
+    for r in ref:
+        assert r.in_brute_topk == int((r.query_id, r.neighbor_id) in bf)

@@ -122,6 +122,13 @@ ALLOWED: dict[str, dict[str, str]] = {
         "embeddings_knn_bruteforce; embeddings_knn_ivf_multiprobe is the "
         "cell-join scale path and lints clean",
     },
+    "embeddings_ivfpq_refined_knn": {
+        "nested-loop": "the per-row brute-force RECALL WITNESS (in_brute_topk) "
+        "is the one quadratic term, same declared exception as "
+        "embeddings_sq8_adc_knn; the retrieval itself is the cell equi-join "
+        "shortlist plus id equi-join refine and lints clean without the "
+        "witness — a deployment drops the witness column",
+    },
 }
 
 
