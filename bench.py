@@ -97,6 +97,12 @@ HEADLINE = [
     "docs_vocab_hll_by_source",
     "docs_bpe_merge_candidates",
     "docs_token_cms_topk",
+    # round-10 addition: image perceptual-hash near-dup (the other three
+    # r10 kernels — shard manifest, BPE trainer, IVF-PQ refine, streaming
+    # window — are SCALE.md-probed instead: composed/driver-loop/staged
+    # pipelines whose session cost would inflate every reading after them,
+    # same policy as on_demand_farm_report below)
+    "multimodal_phash_neardup_pairs",
 ]
 
 # Deliberately NOT in the bench (measured in SCALE.md's 10x probe instead):

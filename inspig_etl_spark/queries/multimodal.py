@@ -211,10 +211,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_HAMMING_MAX = 6
 PHASH_TWIN_OFFSET = 1_000_000
 
-# Shared source-position expression for the oracle: grid cell i (0..63,
-# row-major yi*8+xi), channel ch -> payload byte offset of the nearest-
+# Shared source-position expression for the oracle: 8x9 grid cell i (0..71,
+# row-major yi*9+xi), channel ch -> payload byte offset of the nearest-
 # neighbor sample, exactly the decoder/resize gather.
-_PHX_POS = "((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * c + ch"
+_PHX_POS = "((((i // 9) * h) // 8) * w + (((i % 9) * w) // 9)) * c + ch"
 _PHX_BYTE = (
     f"(strpos('0123456789ABCDEF', hx[2 * ({_PHX_POS}) + 1]) - 1) * 16"
     f" + (strpos('0123456789ABCDEF', hx[2 * ({_PHX_POS}) + 2]) - 1)"
@@ -228,8 +228,8 @@ _PHX_BYTE0 = (
 @register(
     "multimodal_phash_neardup_pairs",
     operators=(
-        "LLM-multimodal-phash (image near-dup: perceptual average-hash "
-        "over the 8x8 resampled grayscale grid via the Arrow-batched codec "
+        "LLM-multimodal-phash (image near-dup: perceptual difference-hash "
+        "over the 8x9 resampled grayscale grid via the Arrow-batched codec "
         "kernel, Hamming byte-banded candidate join — the SimHash banding "
         "kernel applied to the image modality; planted one-byte-perturbed "
         "twins are the guaranteed-positive witness)"
@@ -255,7 +255,7 @@ v AS (
 ),
 gr AS (
   SELECT id,
-         list_transform(range(0, 64), i ->
+         list_transform(range(0, 72), i ->
            list_sum(list_transform(range(0, c), ch ->
              CASE WHEN {_PHX_POS} < nb
                   THEN CASE WHEN twin = 1 AND {_PHX_POS} = 0
@@ -265,14 +265,17 @@ gr AS (
   FROM v
 ),
 hsh AS (
+  -- dHash bit i (0..63, yi = i//8, xi = i%8): cell (yi,xi) > cell (yi,xi+1)
   SELECT id,
          CAST(list_sum(list_transform(range(0, 32), i ->
-           CASE WHEN 64 * gray[i + 1] > ts
+           CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1]
+                     > gray[(i // 8) * 9 + (i % 8) + 2]
                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS lo,
          CAST(list_sum(list_transform(range(32, 64), i ->
-           CASE WHEN 64 * gray[i + 1] > ts
+           CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1]
+                     > gray[(i // 8) * 9 + (i % 8) + 2]
                 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT) AS hi
-  FROM (SELECT id, gray, list_sum(gray) AS ts FROM gr)
+  FROM gr
 ),
 band AS (
   SELECT id, band_no,
@@ -318,7 +321,7 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     with the decode stage in front.
     """
     from inspig_etl_spark.operators.dedup import lsh_candidate_pairs
-    from inspig_etl_spark.operators.multimodal import _byte, ahash_media
+    from inspig_etl_spark.operators.multimodal import _byte, dhash_media
 
     docs = spread(table(spark, sf_dir, "documents"))
     media = synthetic_media(docs).filter(F.col("media_type") == "image")
@@ -335,17 +338,17 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         "meta",
     )
     # persist(): the hash feeds the banding explode AND both verify sides.
-    hashed = ahash_media(media.unionByName(twin)).persist()
+    hashed = dhash_media(media.unionByName(twin)).persist()
     bands = F.array(
         *(
             [
-                F.shiftright(F.col("ahash_lo"), 8 * j)
+                F.shiftright(F.col("phash_lo"), 8 * j)
                 .bitwiseAND(F.lit(255))
                 .cast("string")
                 for j in range(4)
             ]
             + [
-                F.shiftright(F.col("ahash_hi"), 8 * j)
+                F.shiftright(F.col("phash_hi"), 8 * j)
                 .bitwiseAND(F.lit(255))
                 .cast("string")
                 for j in range(4)
@@ -356,13 +359,13 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     cand = lsh_candidate_pairs(banded, "id", "band_keys", 8)
     a = hashed.select(
         F.col("id").alias("id_a"),
-        F.col("ahash_hi").alias("a_hi"),
-        F.col("ahash_lo").alias("a_lo"),
+        F.col("phash_hi").alias("a_hi"),
+        F.col("phash_lo").alias("a_lo"),
     )
     b = hashed.select(
         F.col("id").alias("id_b"),
-        F.col("ahash_hi").alias("b_hi"),
-        F.col("ahash_lo").alias("b_lo"),
+        F.col("phash_hi").alias("b_hi"),
+        F.col("phash_lo").alias("b_lo"),
     )
     ham = (
         F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))

@@ -43,6 +43,10 @@ NAMES = [
     "docs_bpe_merge_candidates", "docs_dup_span_scrub",
     "docs_minhash_incremental_neardup", "docs_curation_funnel",
     "docs_token_cms_topk",
+    # r10 kernels (6-stage funnel feeds the shard manifest, BPE trainer,
+    # image perceptual-hash near-dup, two-stage IVF-PQ refine)
+    "docs_curated_shard_manifest", "docs_bpe_train_merges",
+    "multimodal_phash_neardup_pairs", "embeddings_ivfpq_refined_knn",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
