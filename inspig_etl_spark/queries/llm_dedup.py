@@ -1251,3 +1251,49 @@ def docs_curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_tokens",
         F.sum("token_cnt").over(Window.partitionBy("shard")).cast("bigint"),
     )
+
+
+# --- leakage-safe train/val split ------------------------------------------
+
+VAL_PCT = 10  # target validation share, in percent of clusters
+
+
+@register(
+    "docs_leakage_safe_split",
+    operators=(
+        "LLM-split-leakage-safe (deterministic train/val split keyed on the "
+        "NEAR-DUP CLUSTER label, not the doc id — every member of a "
+        "transitive near-dup cluster lands on the same side, so a "
+        "validation doc can never have a near-duplicate in train; the "
+        "split-hygiene step after dedup in a real eval setup)"
+    ),
+    oracle=f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {sql_md5_long("'split' || CAST(cluster_id AS VARCHAR)")}
+                 % 100 < {VAL_PCT}
+            THEN 'val' ELSE 'train' END AS split
+FROM ({_CLUSTERS_ORACLE}) z
+""",
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split hygiene: hashing doc_id to pick validation docs leaks — a
+    near-duplicate of a val doc lands in train and the eval measures
+    memorization. The split key is therefore the CLUSTER label from the
+    transitive near-dup closure (singletons label themselves), so whole
+    clusters move together: md5('split' || cluster_id) % 100 < {VAL_PCT}
+    sends ~10% of clusters to val, deterministically across engines,
+    partitionings and reruns.
+
+    Scale shape: the CC labels are the materialized dedup artifact; the
+    split itself is one per-row hash expression on top — no extra shuffle
+    beyond what clustering already measured (SCALE.md 2.44x at 10x).
+    """
+    from inspig_etl_spark.functions.text import md5_long
+
+    cc = _clusters(spark, sf_dir, algorithm="auto")
+    side = F.when(
+        md5_long(F.concat(F.lit("split"), F.col("cluster_id").cast("string"))) % 100
+        < VAL_PCT,
+        "val",
+    ).otherwise("train")
+    return cc.select("doc_id", "cluster_id", side.alias("split"))

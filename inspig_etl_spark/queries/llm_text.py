@@ -1171,11 +1171,54 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of caching the corpus — at 100 TB recomputing a per-row
     expression chain beats materializing a reshaped corpus per round.
     """
+    _, out_rows = _bpe_train(spark, sf_dir)
+    schema = "round int, tok_a string, tok_b string, merged string, cnt bigint"
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _bpe_apply_merge(toks: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right application of one merge (a, b) -> 'a_b' as a
+    per-row fold: state = (emitted tokens, pending previous token)."""
+    merged_tok = f"{a}_{b}"
+
+    def make_step(_a: str, _b: str, _m: str):
+        # Factory, not default args: pyspark inspects the lambda arity.
+        def step(acc, tok):
+            prev = acc.getField("prev")
+            out = acc.getField("out")
+            hit = prev.isNotNull() & (prev == F.lit(_a)) & (tok == F.lit(_b))
+            new_out = (
+                F.when(hit, F.concat(out, F.array(F.lit(_m))))
+                .when(prev.isNotNull(), F.concat(out, F.array(prev)))
+                .otherwise(out)
+            )
+            new_prev = F.when(hit, F.lit(None).cast("string")).otherwise(tok)
+            return F.struct(new_out.alias("out"), new_prev.alias("prev"))
+
+        return step
+
+    def fin(acc):
+        return F.when(
+            acc.getField("prev").isNotNull(),
+            F.concat(acc.getField("out"), F.array(acc.getField("prev"))),
+        ).otherwise(acc.getField("out"))
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    return F.aggregate(toks, init, make_step(a, b, merged_tok), fin)
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE training loop: returns (tokens-after-all-merges frame,
+    merge rows). Each round is one corpus scan + a 1-row driver collect;
+    every round's winning merge IS applied (the encoder consumes the final
+    frame; the trainer consumes only the rows)."""
     docs = spread(table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     cur = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    schema = "round int, tok_a string, tok_b string, merged string, cnt bigint"
     out_rows = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
         t = cur.filter(F.size("toks") >= 2)
@@ -1198,40 +1241,81 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = top[0]["pair"].split(" ", 1)
         cnt = int(top[0]["cnt"])
         out_rows.append((rnd, a, b, f"{a}_{b}", cnt))
-        if rnd == BPE_TRAIN_ROUNDS:
-            break
-
-        merged_tok = f"{a}_{b}"
-
-        def make_step(_a: str, _b: str, _m: str):
-            # Factory, not default args: pyspark inspects the lambda arity.
-            def step(acc, tok):
-                prev = acc.getField("prev")
-                out = acc.getField("out")
-                hit = prev.isNotNull() & (prev == F.lit(_a)) & (tok == F.lit(_b))
-                new_out = (
-                    F.when(hit, F.concat(out, F.array(F.lit(_m))))
-                    .when(prev.isNotNull(), F.concat(out, F.array(prev)))
-                    .otherwise(out)
-                )
-                new_prev = F.when(hit, F.lit(None).cast("string")).otherwise(tok)
-                return F.struct(new_out.alias("out"), new_prev.alias("prev"))
-
-            return step
-
-        step = make_step(a, b, merged_tok)
-
-        def fin(acc):
-            return F.when(
-                acc.getField("prev").isNotNull(),
-                F.concat(acc.getField("out"), F.array(acc.getField("prev"))),
-            ).otherwise(acc.getField("out"))
-
-        init = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("prev"),
-        )
         cur = cur.select(
-            "doc_id", F.aggregate(F.col("toks"), init, step, fin).alias("toks")
+            "doc_id", _bpe_apply_merge(F.col("toks"), a, b).alias("toks")
         )
-    return spark.createDataFrame(out_rows, schema)
+    return cur, out_rows
+
+
+def _bpe_encode_oracle() -> str:
+    """All BPE_TRAIN_ROUNDS merges applied, then per-doc piece counts."""
+    parts = [
+        f"""t0 AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+)"""
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(_sql_bpe_best(f"t{r - 1}", f"b{r}"))
+        parts.append(_sql_bpe_apply_round(f"t{r - 1}", f"b{r}", f"t{r}"))
+    last = f"t{BPE_TRAIN_ROUNDS}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT t0.doc_id,
+       CAST(COALESCE(len(t0.toks), 0) AS BIGINT) AS n_toks,
+       -- LEFT JOIN + fallback: zero-token docs emit no positional rows, so
+       -- the apply-round re-aggregation loses them — they encode unchanged
+       CAST(COALESCE(len({last}.toks), len(t0.toks), 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(len(t0.toks), 0)
+            - COALESCE(len({last}.toks), len(t0.toks), 0) AS BIGINT) AS n_merged
+FROM t0 LEFT JOIN {last} USING (doc_id)
+"""
+    )
+
+
+@register(
+    "docs_bpe_encode",
+    operators=(
+        "LLM-vocab-bpe-encode (tokenizer APPLICATION: encode every document "
+        "with the trained merge sequence — all trainer rounds' merges "
+        "applied greedily left-to-right per doc — and report the per-doc "
+        "piece counts before/after; the deploy half of docs_bpe_train_merges)"
+    ),
+    oracle=_bpe_encode_oracle(),
+)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained tokenizer: the merge sequence
+    from the training loop (same {BPE_TRAIN_ROUNDS}-round run — trainer
+    and encoder must agree or the vocabulary drifts) is applied to every
+    document, and each doc reports its original whitespace-token count,
+    its encoded piece count, and how many merges fired. This is the
+    "tokenize the corpus" pass every pipeline runs after training a
+    vocabulary — and the compression observability (sum(n_merged)) that
+    tells the owner whether the merges were worth it.
+
+    Scale shape: training is the bounded per-round reduce (see
+    ``docs_bpe_train_merges``); encoding is ONE more scan with the merge
+    folds as per-row expressions and an id equi-join against the original
+    token counts — no shuffle grows with the vocabulary.
+    """
+    enc, _ = _bpe_train(spark, sf_dir)
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    pieces = enc.select(
+        "doc_id",
+        F.coalesce(F.size("toks"), F.lit(0)).cast("bigint").alias("n_pieces"),
+    )
+    return base.join(pieces, "doc_id").select(
+        "doc_id",
+        "n_toks",
+        "n_pieces",
+        (F.col("n_toks") - F.col("n_pieces")).cast("bigint").alias("n_merged"),
+    )

@@ -300,3 +300,18 @@ def test_ivfpq_refine_improves_recall_over_raw_adc(spark):
     assert ref_recall > adc_recall
     for r in ref:
         assert r.in_brute_topk == int((r.query_id, r.neighbor_id) in bf)
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """The planted near-dup pair (87, 134) must land on the SAME side, every
+    cluster must be single-sided, and the val share must be a sane fraction
+    (the hash gate targets ~10% of clusters)."""
+    rows = Q["docs_leakage_safe_split"](spark, SF_CORRECT).collect()
+    side = {r.doc_id: r.split for r in rows}
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert side[87] == side[134]
+    val = sum(1 for r in rows if r.split == "val") / len(rows)
+    assert 0.02 < val < 0.25

@@ -36,6 +36,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "docs_neardup_clusters; every funnel-specific stage is a doc_id "
         "equi-join + one conditional-sum aggregation",
     },
+    "docs_leakage_safe_split": {
+        "single-partition": "inherits docs_neardup_clusters' adaptive "
+        "state-sized label-propagation loop (the split key IS the CC "
+        "cluster label) — see that entry; the split itself is one per-row "
+        "hash expression",
+    },
     "docs_curated_shard_manifest": {
         "single-partition": "composes the funnel flags (and through them "
         "docs_neardup_keep_best's adaptive state-sized CC loop — see "
