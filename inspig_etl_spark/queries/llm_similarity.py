@@ -548,8 +548,8 @@ def _sql_book(book: list[list[int]]) -> str:
     return "[" + ", ".join("[" + ", ".join(str(v) for v in c) + "]" for c in book) + "]"
 
 
-def _sql_pq_dists(m: int) -> str:
-    sub = f"list_slice(qz, {m * PQ_DSUB + 1}, {m * PQ_DSUB + PQ_DSUB})"
+def _sql_pq_dists(m: int, col: str = "qz") -> str:
+    sub = f"list_slice({col}, {m * PQ_DSUB + 1}, {m * PQ_DSUB + PQ_DSUB})"
     return (
         f"list_transform({_sql_book(_PQ_BOOKS[m])}, cent -> "
         f"list_reduce(list_transform(list_zip({sub}, cent), "
@@ -557,14 +557,19 @@ def _sql_pq_dists(m: int) -> str:
     )
 
 
-_SQL_PQ_CODES = (
-    "["
-    + ", ".join(
-        f"(list_position({_sql_pq_dists(m)}, list_min({_sql_pq_dists(m)})) - 1)"
-        for m in range(PQ_M)
+def _sql_pq_codes(col: str = "qz") -> str:
+    return (
+        "["
+        + ", ".join(
+            f"(list_position({_sql_pq_dists(m, col)}, "
+            f"list_min({_sql_pq_dists(m, col)})) - 1)"
+            for m in range(PQ_M)
+        )
+        + "]"
     )
-    + "]"
-)
+
+
+_SQL_PQ_CODES = _sql_pq_codes()
 
 
 def _sql_pq_lut(m: int) -> str:
@@ -906,4 +911,150 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "score_q",
         F.col("bf_neighbor").isNotNull().cast("int").alias("in_brute_topk"),
+    )
+
+
+# SQ8-quantized coarse centroids, computed ONCE in Python and embedded as
+# integer literals on BOTH engines (the residual and the q-centroid dot
+# term must agree bit-for-bit, so neither engine re-derives them).
+import math as _math
+
+_SQ8_CENTROIDS = [
+    [int(_math.floor(max(-1.0, min(1.0, x)) * SQ8_SCALE)) for x in c]
+    for c in _CENTROIDS
+]
+_SQL_CZL = _sql_book(_SQ8_CENTROIDS)
+
+
+@register(
+    "embeddings_ivfpq_residual_knn",
+    operators=(
+        "LLM-ann-ivfpq-residual (true FAISS IVFPQ: product-quantize the "
+        "RESIDUAL vector minus its coarse centroid, score as exact "
+        "q-dot-centroid + residual ADC lookups — the encoding that makes "
+        "PQ codes spend their bits on within-cell variation)"
+    ),
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, {_sql_sq8('embedding')} AS qz,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+cl AS (
+  SELECT vec_id, qz, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+rv AS (
+  SELECT vec_id, qz, cell,
+         list_transform(list_zip(qz, {_SQL_CZL}[cell + 1]),
+                        p -> p[1] - p[2]) AS rz
+  FROM cl
+),
+enc AS (
+  SELECT vec_id AS neighbor_id, cell, {_sql_pq_codes('rz')} AS codes FROM rv
+),
+q AS (
+  SELECT vec_id AS query_id, cell, {_SQL_PQ_LUT} AS lut,
+         CAST(list_sum(list_transform(list_zip(qz, {_SQL_CZL}[cell + 1]),
+                                      p -> p[1] * p[2])) AS BIGINT) AS qcz
+  FROM cl WHERE vec_id % {QUERY_MOD} = 0
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         qcz + CAST(list_reduce(list_transform(list_zip(lut, codes),
+                                               p -> p[1][p[2] + 1]),
+                                (a, x) -> a + x) AS BIGINT) AS score_q
+  FROM q JOIN enc USING (cell) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score_q FROM r WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_ivfpq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ — the encoding FAISS's IVFPQ actually uses:
+    each vector's PQ codes quantize ``x - centroid(cell)`` instead of
+    ``x``, so the 4-bit budget describes within-cell variation rather than
+    re-describing the cell itself, and the ADC score adds back the exact
+    integer ``q · centroid(cell)`` term (constant within a cell, so it
+    never reorders a cell's candidates — it exists so scores stay
+    comparable ACROSS cells in multi-probe compositions). The quantized
+    centroids are Python-computed integer literals shared verbatim by
+    both engines.
+
+    Scale shape: identical to ``embeddings_ivfpq_adc_knn`` — the cell
+    equi-join shuffles codes, the LUT travels with the probe side; the
+    residual subtraction is one per-row zip over a broadcast literal.
+    Recall vs the flat encoding is pinned (>=) by an invariant test, the
+    standard justification for residual coding.
+    """
+    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    )
+    cz_arr = F.array(
+        *[F.array(*[F.lit(v).cast("bigint") for v in c]) for c in _SQ8_CENTROIDS]
+    )
+    cz = F.element_at(cz_arr, F.col("cell") + 1)
+    rv = cl.withColumn("rz", F.zip_with(F.col("qz"), cz, lambda x, y: x - y))
+    cb = _pq_cb()
+
+    def sub(col, m):
+        return F.slice(F.col(col), m * PQ_DSUB + 1, PQ_DSUB)
+
+    codes = F.transform(
+        cb,
+        lambda book, m: F.array_min(
+            F.transform(
+                book,
+                lambda cent, k: F.struct(
+                    _fold_i(
+                        F.zip_with(sub("rz", m), cent, lambda x, y: (x - y) * (x - y))
+                    ).alias("d"),
+                    k.cast("int").alias("k"),
+                ),
+            )
+        )["k"],
+    )
+    lut = F.transform(
+        cb,
+        lambda book, m: F.transform(
+            book,
+            lambda cent: _fold_i(F.zip_with(sub("qz", m), cent, lambda x, y: x * y)),
+        ),
+    )
+    qcz = _fold_i(F.zip_with(F.col("qz"), cz, lambda x, y: x * y))
+    enc = rv.select(F.col("vec_id").alias("neighbor_id"), "cell", codes.alias("codes"))
+    q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", lut.alias("lut"), qcz.alias("qcz")
+    )
+    s = (
+        enc.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("qcz")
+                + _fold_i(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    )
+                )
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score_q")
     )

@@ -47,6 +47,8 @@ NAMES = [
     # image perceptual-hash near-dup, two-stage IVF-PQ refine)
     "docs_curated_shard_manifest", "docs_bpe_train_merges",
     "multimodal_phash_neardup_pairs", "embeddings_ivfpq_refined_knn",
+    "docs_leakage_safe_split", "docs_bpe_encode",
+    "stream_windowed_event_counts",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
