@@ -1297,3 +1297,111 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
     ).otherwise("train")
     return cc.select("doc_id", "cluster_id", side.alias("split"))
+
+
+def _funnel_by_source_oracle() -> str:
+    return f"""
+WITH {_funnel_flags_sql()},
+src AS (
+  SELECT doc_id, source FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS d0,
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS t0,
+         CAST(COALESCE(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+         CAST(COALESCE(SUM(CASE WHEN s1 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t1,
+         CAST(COALESCE(SUM(CASE WHEN s2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2,
+         CAST(COALESCE(SUM(CASE WHEN s2 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t2,
+         CAST(COALESCE(SUM(CASE WHEN s3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3,
+         CAST(COALESCE(SUM(CASE WHEN s3 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t3,
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d4,
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN n_toks ELSE 0 END), 0) AS BIGINT) AS t4,
+         CAST(COALESCE(SUM(CASE WHEN s4 THEN n_toks - n_removed ELSE 0 END), 0)
+              AS BIGINT) AS t5
+  FROM flags JOIN src USING (doc_id)
+  GROUP BY source
+)
+SELECT source, CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+       d0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT source, CAST(1 AS BIGINT), 'exact_canonical', d1, t1 FROM agg
+UNION ALL SELECT source, CAST(2 AS BIGINT), 'neardup_survivor', d2, t2 FROM agg
+UNION ALL SELECT source, CAST(3 AS BIGINT), 'quality_pass', d3, t3 FROM agg
+UNION ALL SELECT source, CAST(4 AS BIGINT), 'decontaminated', d4, t4 FROM agg
+UNION ALL SELECT source, CAST(5 AS BIGINT), 'span_scrubbed', d4, t5 FROM agg
+"""
+
+
+@register(
+    "docs_curation_funnel_by_source",
+    operators=(
+        "LLM-curation-funnel-by-source (the 6-stage curation funnel sliced "
+        "per source — which crawls/dumps survive curation and at what "
+        "token cost, the table that drives per-source mixing decisions)"
+    ),
+    oracle=_funnel_by_source_oracle(),
+)
+def docs_curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel grouped by ``source``: same six stage gates as
+    ``docs_curation_funnel``, aggregated per source instead of globally —
+    the observability slice a pipeline owner reads to see WHICH inputs
+    lose docs/tokens at which gate (and the direct input to re-weighting
+    a source mix after curation).
+
+    Scale shape: the shared flags frame plus one doc_id equi-join to
+    attach the source and ONE grouped conditional-sum aggregation
+    (|sources| rows), exploded to 6 stage rows per source.
+    """
+    flags = _funnel_flags_frame(spark, sf_dir)
+    src = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+    )
+    j = flags.join(src, "doc_id")
+
+    def _cnt(flag):
+        return F.coalesce(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint"), F.lit(0)
+        )
+
+    def _tok(flag, col):
+        return F.coalesce(
+            F.sum(F.when(flag, col).otherwise(0)).cast("bigint"), F.lit(0)
+        )
+
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d0"),
+        F.coalesce(F.sum("n_toks").cast("bigint"), F.lit(0)).alias("t0"),
+        _cnt(F.col("s1")).alias("d1"),
+        _tok(F.col("s1"), F.col("n_toks")).alias("t1"),
+        _cnt(F.col("s2")).alias("d2"),
+        _tok(F.col("s2"), F.col("n_toks")).alias("t2"),
+        _cnt(F.col("s3")).alias("d3"),
+        _tok(F.col("s3"), F.col("n_toks")).alias("t3"),
+        _cnt(F.col("s4")).alias("d4"),
+        _tok(F.col("s4"), F.col("n_toks")).alias("t4"),
+        _tok(F.col("s4"), F.col("n_toks") - F.col("n_removed")).alias("t5"),
+    )
+
+    def _stage(no, name, d, t):
+        return F.struct(
+            F.lit(no).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(d).alias("n_docs"),
+            F.col(t).alias("n_tokens"),
+        )
+
+    return agg.select(
+        "source",
+        F.explode(
+            F.array(
+                _stage(0, "raw", "d0", "t0"),
+                _stage(1, "exact_canonical", "d1", "t1"),
+                _stage(2, "neardup_survivor", "d2", "t2"),
+                _stage(3, "quality_pass", "d3", "t3"),
+                _stage(4, "decontaminated", "d4", "t4"),
+                _stage(5, "span_scrubbed", "d4", "t5"),
+            )
+        ).alias("s"),
+    ).select("source", "s.*")

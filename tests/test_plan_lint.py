@@ -36,6 +36,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "docs_neardup_clusters; every funnel-specific stage is a doc_id "
         "equi-join + one conditional-sum aggregation",
     },
+    "docs_curation_funnel_by_source": {
+        "single-partition": "same inheritance as docs_curation_funnel "
+        "(keep-best's adaptive state-sized CC loop) — the per-source slice "
+        "adds one doc_id equi-join and a grouped aggregation",
+    },
     "docs_leakage_safe_split": {
         "single-partition": "inherits docs_neardup_clusters' adaptive "
         "state-sized label-propagation loop (the split key IS the CC "

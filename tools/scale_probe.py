@@ -48,7 +48,8 @@ NAMES = [
     "docs_curated_shard_manifest", "docs_bpe_train_merges",
     "multimodal_phash_neardup_pairs", "embeddings_ivfpq_refined_knn",
     "docs_leakage_safe_split", "docs_bpe_encode",
-    "stream_windowed_event_counts",
+    "stream_windowed_event_counts", "embeddings_ivfpq_residual_knn",
+    "docs_curation_funnel_by_source",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
