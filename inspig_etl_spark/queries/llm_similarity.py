@@ -1058,3 +1058,170 @@ def embeddings_ivfpq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "score_q")
     )
+
+
+@register(
+    "embeddings_ivfpq_multiprobe_knn",
+    operators=(
+        "LLM-ann-ivfpq-multiprobe (the assembled production ANN: residual "
+        "PQ codes + nprobe=2 cell probing, scores comparable across cells "
+        "through the exact q-dot-centroid term — the recall knob composed "
+        "with the compression stack)"
+    ),
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id, embedding, {_sql_sq8('embedding')} AS qz,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+r AS (
+  SELECT vec_id, qz, x.cell AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY x.s DESC, x.cell) AS rn
+  FROM sc, UNNEST([{_SQL_IVF_STRUCTS}]) AS t(x)
+  WHERE x.s IS NOT NULL
+),
+rv AS (
+  SELECT vec_id, qz, cell,
+         list_transform(list_zip(qz, {_SQL_CZL}[cell + 1]),
+                        p -> p[1] - p[2]) AS rz
+  FROM r WHERE rn = 1
+),
+enc AS (
+  SELECT vec_id AS neighbor_id, cell, {_sql_pq_codes('rz')} AS codes FROM rv
+),
+q AS (
+  SELECT vec_id AS query_id, cell, {_SQL_PQ_LUT} AS lut,
+         CAST(list_sum(list_transform(list_zip(qz, {_SQL_CZL}[cell + 1]),
+                                      p -> p[1] * p[2])) AS BIGINT) AS qcz
+  FROM r WHERE rn <= {P_PROBE} AND vec_id % {QUERY_MOD} = 0
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         qcz + CAST(list_reduce(list_transform(list_zip(lut, codes),
+                                               p -> p[1][p[2] + 1]),
+                                (a, x) -> a + x) AS BIGINT) AS score_q
+  FROM q JOIN enc USING (cell) WHERE query_id <> neighbor_id
+),
+rk AS (
+  SELECT query_id, neighbor_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score_q FROM rk WHERE rank <= {TOP_K}
+""",
+)
+def embeddings_ivfpq_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled production retrieval stack: residual PQ codes in the
+    corpus index, nprobe=2 on the query side, and — the detail that makes
+    the composition CORRECT rather than merely plausible — the exact
+    integer ``q · centroid(cell)`` term added per probed cell, so ADC
+    scores from DIFFERENT cells are mutually comparable in one top-k
+    window (pure-residual scores are only rank-stable within a cell; a
+    multi-probe union of them would be an apples-to-oranges sort).
+
+    Scale shape: corpus side unchanged (one (cell, codes) row per vector,
+    the persisted index); the probe explode multiplies only the
+    |corpus|/50 query side by nprobe; a corpus vector lives in exactly
+    one cell so no candidate dedup is needed. ``partitionBy(cell)``
+    pruning reads exactly nprobe partitions per query at 100 TB.
+    """
+    from inspig_etl_spark.operators.similarity import dot
+
+    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    )
+    cz_arr = F.array(
+        *[F.array(*[F.lit(v).cast("bigint") for v in c]) for c in _SQ8_CENTROIDS]
+    )
+    cz = F.element_at(cz_arr, F.col("cell") + 1)
+    rv = cl.withColumn("rz", F.zip_with(F.col("qz"), cz, lambda x, y: x - y))
+    cb = _pq_cb()
+
+    def sub(col, m):
+        return F.slice(F.col(col), m * PQ_DSUB + 1, PQ_DSUB)
+
+    codes = F.transform(
+        cb,
+        lambda book, m: F.array_min(
+            F.transform(
+                book,
+                lambda cent, k: F.struct(
+                    _fold_i(
+                        F.zip_with(sub("rz", m), cent, lambda x, y: (x - y) * (x - y))
+                    ).alias("d"),
+                    k.cast("int").alias("k"),
+                ),
+            )
+        )["k"],
+    )
+    enc = rv.select(F.col("vec_id").alias("neighbor_id"), "cell", codes.alias("codes"))
+
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _CENTROIDS])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-dot(F.col("embedding"), c)).alias("sneg"), i.cast("int").alias("cell")
+        ),
+    )
+    probes = F.slice(
+        F.array_sort(F.filter(scored, lambda p: p["sneg"].isNotNull())),
+        1,
+        P_PROBE,
+    )
+    lut = F.transform(
+        cb,
+        lambda book, m: F.transform(
+            book,
+            lambda cent: _fold_i(F.zip_with(sub("qz", m), cent, lambda x, y: x * y)),
+        ),
+    )
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("p", F.explode(probes))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("p.cell").alias("cell"),
+            _sq8(F.col("embedding")).alias("qz"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            lut.alias("lut"),
+            _fold_i(
+                F.zip_with(
+                    F.col("qz"),
+                    F.element_at(cz_arr, F.col("cell") + 1),
+                    lambda x, y: x * y,
+                )
+            ).alias("qcz"),
+        )
+    )
+    s = (
+        enc.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("qcz")
+                + _fold_i(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    )
+                )
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )

@@ -49,7 +49,7 @@ NAMES = [
     "multimodal_phash_neardup_pairs", "embeddings_ivfpq_refined_knn",
     "docs_leakage_safe_split", "docs_bpe_encode",
     "stream_windowed_event_counts", "embeddings_ivfpq_residual_knn",
-    "docs_curation_funnel_by_source",
+    "docs_curation_funnel_by_source", "embeddings_ivfpq_multiprobe_knn",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
