@@ -1319,3 +1319,164 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         (F.col("n_toks") - F.col("n_pieces")).cast("bigint").alias("n_merged"),
     )
+
+
+# --- unigram surprisal (integer-exact perplexity-filter shape) --------------
+
+SURPRISAL_FLUENT_E3 = 9_000  # keep docs under ~9 bits mean token surprisal
+
+
+@register(
+    "docs_unigram_surprisal",
+    operators=(
+        "LLM-quality-lm (CCNet-shaped language-model fluency filter, "
+        "integer-exact: corpus unigram counts -> per-token surprisal "
+        "floor(log2(N/cnt)) via binary length -> per-doc mean in 1e-3 "
+        "fixed point + keep-low-surprisal verdict — the deterministic "
+        "stand-in for the KenLM perplexity gate)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+),
+x AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+),
+v AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM x),
+s AS (
+  SELECT x.doc_id,
+         CAST(SUM(length(bin((SELECT total FROM n) // v.cnt)) - 1)
+              AS BIGINT) AS surprisal_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM x JOIN v USING (tok)
+  GROUP BY x.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_toks, 0) AS n_toks,
+       COALESCE(s.surprisal_sum, 0) AS surprisal_sum,
+       CAST(s.surprisal_sum * 1000 // NULLIF(s.n_toks, 0) AS BIGINT)
+         AS mean_surprisal_e3,
+       CAST(COALESCE(s.surprisal_sum * 1000 // NULLIF(s.n_toks, 0)
+                     <= {SURPRISAL_FLUENT_E3}, FALSE) AS INT) AS is_fluent
+FROM t LEFT JOIN s USING (doc_id)
+""",
+)
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity-filter shape (CCNet keeps LOW-perplexity docs) made
+    integer-exact: every token's surprisal is floor(log2(N / count(tok)))
+    — computed as ``length(bin(N // cnt)) - 1``, pure integer on both
+    engines, no float log — and a doc's fluency score is the 1e-3
+    fixed-point mean. Rare-token-heavy docs (gibberish, boilerplate IDs,
+    wrong-language spans) score high and fail the gate; production swaps
+    the unigram table for a trained KenLM without changing the plan
+    shape (broadcast model table, per-token lookup, per-doc agg).
+
+    Scale shape: one explode + groupBy(token) builds the unigram table
+    (partial-aggregated; at 100 TB it is the persisted vocab artifact),
+    the per-token lookup is an equi-join on the token, and the per-doc
+    mean is one more groupBy; zero-token docs survive via the LEFT JOIN
+    with NULL scores (the oracle's COALESCE/NULLIF mirrors them).
+    """
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    x = t.select("doc_id", F.explode("toks").alias("tok"))
+    v = x.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = x.count()  # one scalar to the driver — the corpus token count
+    # `div`, not `/`: the oracle's `//` is integer division, and a double
+    # quotient near a power of 2 can round UP across the log2 boundary at
+    # real corpus sizes (total ~ 1e12 tokens exceeds exact double ulp).
+    surp = (
+        F.length(F.bin(F.expr(f"CAST({int(total)} AS BIGINT) div cnt"))) - 1
+    ).cast("bigint")
+    s = (
+        x.join(v, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(surp).cast("bigint").alias("surprisal_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        )
+    )
+    mean_e3 = F.floor(
+        F.col("surprisal_sum") * 1000 / F.nullif(F.col("n_toks"), F.lit(0))
+    ).cast("bigint")
+    return (
+        t.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_toks"), F.lit(0).cast("bigint")).alias("n_toks"),
+            F.coalesce(F.col("surprisal_sum"), F.lit(0).cast("bigint")).alias(
+                "surprisal_sum"
+            ),
+            mean_e3.alias("mean_surprisal_e3"),
+            F.coalesce(mean_e3 <= SURPRISAL_FLUENT_E3, F.lit(False))
+            .cast("int")
+            .alias("is_fluent"),
+        )
+    )
+
+
+# --- per-source document cap -------------------------------------------
+
+SOURCE_CAP = 30  # max docs kept per source, best-quality-first
+
+
+@register(
+    "docs_source_capped_corpus",
+    operators=(
+        "LLM-curation-source-cap (per-source document cap, best-quality-"
+        "first: rank docs within each source by classifier logit and keep "
+        "the top N — the Common-Crawl-style anti-domination gate that "
+        "stops one crawl/domain from flooding the mix; complements the "
+        "token-budget and bucket-resampling gates)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+l AS (SELECT doc_id, source, {_SQL_CLS_LOGIT} AS logit_e4 FROM f),
+r AS (
+  SELECT doc_id, source, logit_e4,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY logit_e4 DESC, doc_id) AS quality_rank
+  FROM l
+)
+SELECT doc_id, source, logit_e4, quality_rank,
+       CAST(quality_rank <= {SOURCE_CAP} AS INT) AS kept
+FROM r
+""",
+)
+def docs_source_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: within each source, docs rank by quality logit
+    (ties to the lower doc_id) and only the top SOURCE_CAP survive — the
+    standard guard against one domain or crawl dump swamping the training
+    mix no matter how large it is. Emits the rank and verdict per doc so
+    the drop cost is observable per source.
+
+    Scale shape: the classifier features are per-row expressions; the cap
+    is ONE window shuffled on the source key. At 100 TB a hot source makes
+    that window's partition large — the two-stage fix is a per-partition
+    pre-rank + global re-rank of the ≤ cap·partitions survivors, same
+    rewrite as the skew-safe count-distinct (operators/skew.py); kept as
+    the plain window here because |sources| bounds the reducer count.
+    """
+    scored = _cls_logit_frame(spark, sf_dir).select("doc_id", "source", "logit_e4")
+    w = Window.partitionBy("source").orderBy(F.col("logit_e4").desc(), "doc_id")
+    return (
+        scored.withColumn("quality_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "logit_e4",
+            "quality_rank",
+            (F.col("quality_rank") <= SOURCE_CAP).cast("int").alias("kept"),
+        )
+    )

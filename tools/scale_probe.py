@@ -50,6 +50,7 @@ NAMES = [
     "docs_leakage_safe_split", "docs_bpe_encode",
     "stream_windowed_event_counts", "embeddings_ivfpq_residual_knn",
     "docs_curation_funnel_by_source", "embeddings_ivfpq_multiprobe_knn",
+    "docs_unigram_surprisal", "docs_source_capped_corpus",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
