@@ -205,3 +205,122 @@ def user_event_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_event_type"), F.col("cnt").alias("top_cnt"))
     )
+
+
+# --- ordered funnel conversion ------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "event_funnel_conversion",
+    operators=(
+        "A5,J2,W5 + analytics-funnel (ordered sequential-pattern funnel: "
+        "per user, first 'view', first 'click' strictly AFTER it, first "
+        "'purchase' strictly after that — step reach counts + conversion "
+        "ppm, the product-analytics funnel report computed as staged "
+        "min-after-anchor aggregations)"
+    ),
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+),
+v1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+),
+v2 AS (
+  SELECT e.user_id, MIN(us) AS t2
+  FROM e JOIN v1 USING (user_id)
+  WHERE event_type = 'click' AND us > t1
+  GROUP BY e.user_id
+),
+v3 AS (
+  SELECT e.user_id, MIN(us) AS t3
+  FROM e JOIN v2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2
+  GROUP BY e.user_id
+),
+j AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS c1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS c2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM v3) AS c3
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS step_name, c1 AS users,
+       CAST(CASE WHEN c1 > 0 THEN 1000000 END AS BIGINT) AS conv_ppm FROM j
+UNION ALL
+SELECT CAST(2 AS INT), 'click_after_view', c2,
+       CAST(c2 * 1000000 // NULLIF(c1, 0) AS BIGINT) FROM j
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase_after_click', c3,
+       CAST(c3 * 1000000 // NULLIF(c1, 0) AS BIGINT) FROM j
+""",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics funnel over the event log: a user converts a
+    step only by performing it strictly AFTER the previous step's first
+    occurrence (a purchase before the first view does not count — ordered
+    semantics, not mere set membership). Three staged aggregations: the
+    anchor (first view) per user, then min-click-after-anchor, then
+    min-purchase-after-that; reach counts and integer-ppm conversion vs
+    step 1 come from ONE final row exploded to the 3 step rows.
+
+    Scale shape: each stage is a partial-aggregated groupBy(user_id) plus
+    an equi-join against the previous stage's (user, anchor) pairs — at
+    100 TB three user-keyed shuffles over progressively SHRINKING frames
+    (v2 joins only step-1 converters), never a per-event window; AQE
+    reuses the user_id exchange across stages.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts_us", "event_type")
+    v1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    v2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(v1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    v3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    agg = (
+        v1.join(v2, "user_id", "left")
+        .join(v3, "user_id", "left")
+        .agg(
+            F.count("t1").cast("bigint").alias("c1"),
+            F.count("t2").cast("bigint").alias("c2"),
+            F.count("t3").cast("bigint").alias("c3"),
+        )
+    )
+
+    def _step(no, name, c, ppm):
+        return F.struct(
+            F.lit(no).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(c).alias("users"),
+            ppm.cast("bigint").alias("conv_ppm"),
+        )
+
+    # `div`, not `/`: integer ppm exactly like the oracle's `//`.
+    return agg.select(
+        F.explode(
+            F.array(
+                _step(
+                    1, "view", "c1",
+                    F.when(F.col("c1") > 0, F.lit(1000000).cast("bigint")),
+                ),
+                _step(2, "click_after_view", "c2",
+                      F.expr("c2 * 1000000 div nullif(c1, 0)")),
+                _step(3, "purchase_after_click", "c3",
+                      F.expr("c3 * 1000000 div nullif(c1, 0)")),
+            )
+        ).alias("s")
+    ).select("s.*")
