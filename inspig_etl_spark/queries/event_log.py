@@ -324,3 +324,97 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+WEEK_US = 604_800_000_000  # 7 days in microseconds (epoch-aligned weeks)
+
+
+@register(
+    "event_weekly_cohort_retention",
+    operators=(
+        "A2,A17 + analytics-cohort (weekly cohort retention triangle: "
+        "users bucketed by first-activity week, per (cohort, week-offset) "
+        "distinct active users + retention ppm vs cohort size — the "
+        "product-analytics retention matrix as two user-keyed aggs and "
+        "two equi-joins)"
+    ),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, us - ((us % {WEEK_US}) + {WEEK_US}) % {WEEK_US} AS wk
+  FROM e
+),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id
+),
+sz AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_wk
+),
+act AS (
+  SELECT DISTINCT user_id, wk FROM w
+),
+g AS (
+  SELECT f.cohort_wk, (a.wk - f.cohort_wk) // {WEEK_US} AS week_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY f.cohort_wk, (a.wk - f.cohort_wk) // {WEEK_US}
+)
+SELECT g.cohort_wk AS cohort_week_us,
+       CAST(g.week_offset AS BIGINT) AS week_offset,
+       sz.cohort_users,
+       g.active_users,
+       CAST(g.active_users * 1000000 // sz.cohort_users AS BIGINT)
+         AS retention_ppm
+FROM g JOIN sz USING (cohort_wk)
+""",
+)
+def event_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: each user joins the cohort of their first
+    active epoch-aligned week (integer floored multiple of 7 days — no
+    ISO-week or timezone semantics to diverge on), and each (cohort,
+    week-offset) cell counts the cohort's users active that week, with
+    retention as integer ppm of the cohort size. Offset 0 is the cohort
+    week itself (retention_ppm = 1000000 by construction).
+
+    Scale shape: one groupBy(user) for the cohort anchor, one distinct
+    over (user, week) — both partial-aggregated — then a user-keyed
+    equi-join and a (cohort, offset) groupBy whose output is bounded by
+    weeks², not events; the final join attaches cohort sizes by the
+    cohort key (weeks rows — broadcast at any scale).
+    """
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "ts_us")
+    )
+    w = e.select(
+        "user_id",
+        F.expr(
+            f"ts_us - ((ts_us % {WEEK_US}) + {WEEK_US}) % {WEEK_US}"
+        ).alias("wk"),
+    )
+    first = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sz = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    act = w.distinct()
+    g = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr(f"(wk - cohort_wk) div {WEEK_US}").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+    return g.join(sz, "cohort_wk").select(
+        F.col("cohort_wk").alias("cohort_week_us"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "cohort_users",
+        "active_users",
+        F.expr("active_users * 1000000 div cohort_users")
+        .cast("bigint")
+        .alias("retention_ppm"),
+    )

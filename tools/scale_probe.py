@@ -51,7 +51,7 @@ NAMES = [
     "stream_windowed_event_counts", "embeddings_ivfpq_residual_knn",
     "docs_curation_funnel_by_source", "embeddings_ivfpq_multiprobe_knn",
     "docs_unigram_surprisal", "docs_source_capped_corpus",
-    "event_funnel_conversion",
+    "event_funnel_conversion", "event_weekly_cohort_retention",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
