@@ -358,3 +358,50 @@ def test_ivfpq_multiprobe_lifts_residual_recall(spark):
     s_recall = sum(p in bf for p in single) / len(single)
     m_recall = sum(p in bf for p in multi) / len(multi)
     assert m_recall >= s_recall
+
+
+def test_event_funnel_is_monotone_and_ordered(spark):
+    """Funnel sanity: reach can only shrink down the steps, step 1 converts
+    at exactly 1e6 ppm, and later steps' ppm is their reach share of step
+    1 — and step 3 can never exceed the set-membership bound (users with
+    any purchase at all); the ordered-vs-set distinction itself is pinned
+    bit-exactly by the oracle's staged min-after-anchor SQL."""
+    rows = {r.step: r for r in Q["event_funnel_conversion"](spark, SF_CORRECT).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1].users >= rows[2].users >= rows[3].users > 0
+    assert rows[1].conv_ppm == 1_000_000
+    assert rows[3].conv_ppm <= rows[2].conv_ppm <= 1_000_000
+    from inspig_etl_spark.catalog import table
+    import pyspark.sql.functions as SF
+
+    buyers = (
+        table(spark, SF_CORRECT, "events")
+        .filter(SF.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[3].users <= buyers
+
+
+def test_cohort_retention_matrix_invariants(spark):
+    """Retention sanity: offset 0 is always exactly 1e6 ppm (the cohort is
+    by definition active in its first week), no cell exceeds its cohort
+    size, offsets are non-negative, and cohort sizes partition the user
+    universe."""
+    rows = Q["event_weekly_cohort_retention"](spark, SF_CORRECT).collect()
+    assert rows
+    seen_users = 0
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.active_users <= r.cohort_users
+        if r.week_offset == 0:
+            assert r.retention_ppm == 1_000_000
+            assert r.active_users == r.cohort_users
+            seen_users += r.cohort_users
+    from inspig_etl_spark.catalog import table
+
+    total_users = (
+        table(spark, SF_CORRECT, "events").select("user_id").distinct().count()
+    )
+    assert seen_users == total_users
