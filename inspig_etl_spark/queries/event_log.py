@@ -224,6 +224,7 @@ FUNNEL_STEPS = ("view", "click", "purchase")
     oracle="""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE ts IS NOT NULL
 ),
 v1 AS (
   SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view'
@@ -271,7 +272,15 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v2 joins only step-1 converters), never a per-event window; AQE
     reuses the user_id exchange across stages.
     """
-    e = table(spark, sf_dir, "events").select("user_id", "ts_us", "event_type")
+    # NULL timestamps are excluded symmetrically on both sides (the oracle's
+    # e CTE carries WHERE ts IS NOT NULL) so a regen introducing NULL ts
+    # cannot diverge c1 cross-engine — same defence as
+    # event_weekly_cohort_retention below (ADVICE r10).
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "ts_us", "event_type")
+    )
     v1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

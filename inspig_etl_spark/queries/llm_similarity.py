@@ -798,7 +798,7 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       query instead of the whole cell, fixing the PQ approximation error
       at the top of the list;
     - **witness**: each returned row carries ``in_brute_topk`` — whether
-      the refined neighbor is in the query's exact全-corpus top-k — so
+      the refined neighbor is in the query's exact whole-corpus top-k — so
       recall is measured IN the result (the CMS exact-witness pattern),
       not asserted.
 
@@ -814,7 +814,13 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
     )
     # persist(): cl feeds the encode side, the query side, two refine
-    # vector fetches, and both brute-force witness sides.
+    # vector fetches, and both brute-force witness sides. The frame is
+    # bounded — (vec_id, cell, int8 codes), a few KB per thousand vectors —
+    # and deliberately left cached for the duration of the query: callers
+    # that run many queries in one session (bench.py run_once, the driver
+    # harness) call spark.catalog.clearCache() after each action, which is
+    # the session-level unpersist for every lazily-returned query frame
+    # (ADVICE r10).
     cl = cl.persist()
     cb = _pq_cb()
 

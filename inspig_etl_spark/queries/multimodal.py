@@ -297,23 +297,31 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
 """,
 )
 def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-modality near-dup: aHash (the canonical perceptual hash —
-    8x8 nearest-neighbor grayscale resample, bit = strictly-above-mean as
-    exact integers) computed by the Arrow-batched ``ahash_media`` kernel,
-    then the SimHash-style Hamming-banded candidate join: 8 byte bands
-    over the 64-bit hash, so any pair within Hamming distance < 8 shares
-    >= 1 band by pigeonhole, and candidates only ever form inside a band
-    bucket — never all-pairs over the image corpus.
+    """Image-modality near-dup: dHash (gradient perceptual hash — 8x9
+    nearest-neighbor grayscale grid, bit i = cell (i//8, i%8) strictly
+    brighter than its right neighbor, exact integers) computed by the
+    Arrow-batched ``dhash_media`` kernel, then the SimHash-style
+    Hamming-banded candidate join: 8 byte bands over the 64-bit hash, so
+    any pair within Hamming distance < 8 shares >= 1 band by pigeonhole,
+    and candidates only ever form inside a band bucket — never all-pairs
+    over the image corpus. dHash was chosen over aHash after the 10×
+    scale probe measured aHash's global-mean coupling putting 17% of
+    images into ONE band bucket (quadratic banding in disguise); dHash's
+    purely-local gradient bits spread bands near-uniformly (top bucket
+    3%). See ``dhash_media``'s docstring for the measurement.
 
     Because the synthetic corpus has no two images with equal dims AND
     equal text, a deterministic witness set is planted: every image gets a
     twin (id + {PHASH_TWIN_OFFSET}) whose FIRST payload byte is +1 — a
-    one-sampled-pixel perturbation, so nearly every (image, twin) pair
-    surfaces at small Hamming distance (not all: the +1 also moves the
-    grid mean, and threshold-boundary images can flip >HMAX bits — the
-    known aHash mean-boundary sensitivity; recall is pinned >=95% in
-    tests), proving banding recall and the verify arithmetic end-to-end
-    (both engines derive the twins from the same expression).
+    one-sampled-pixel perturbation. Nearly every (image, twin) pair
+    surfaces at small Hamming distance, but not all: the +1 raises one
+    sampled gray cell, and when that cell sits boundary-equal to its
+    horizontal neighbors (gray[c] == gray[c+1]) the strict `>` gradient
+    comparison flips on BOTH adjacent bits, so a single-byte perturbation
+    can flip >HMAX bits on images with many boundary-equal adjacent
+    cells; recall is pinned >=95% in tests. The witness proves banding
+    recall and the verify arithmetic end-to-end (both engines derive the
+    twins from the same expression).
 
     Scale shape: hash is per-row Arrow work (no shuffle), banding shuffles
     O(8 x |images|) keys, verification joins hash halves per candidate —
@@ -338,6 +346,10 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         "meta",
     )
     # persist(): the hash feeds the banding explode AND both verify sides.
+    # Bounded frame — (id, two int64 hash words) per image. Left cached for
+    # the query's lifetime by design: multi-query sessions (bench.py
+    # run_once, the driver harness) clearCache() after each action, which
+    # is the unpersist point for lazily-returned query frames (ADVICE r10).
     hashed = dhash_media(media.unionByName(twin)).persist()
     bands = F.array(
         *(

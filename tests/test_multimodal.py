@@ -178,10 +178,12 @@ def test_phash_finds_every_planted_twin(spark):
     """Banding recall witness: each (image, +1-byte twin) pair differs in
     ONE sampled pixel, so nearly all planted pairs must surface under the
     Hamming gate — a banding or verify bug that drops real near-dups shows
-    up here as mass misses. Not 100%: +1 also shifts the grid mean, and an
-    image whose cells sit exactly at the threshold can flip more than
-    HMAX bits (the known aHash boundary sensitivity — doc 42 at sf0.001
-    measures Hamming 10); recall >= 95% is the invariant."""
+    up here as mass misses. Not 100%: the +1 raises one sampled gray cell,
+    and when that cell is boundary-equal to its horizontal neighbors
+    (gray[c] == gray[c+1]) the strict `>` dHash gradient comparison flips
+    on BOTH adjacent bits, so images with many boundary-equal cells can
+    flip more than HMAX bits (doc 42 at sf0.001 measures Hamming 10);
+    recall >= 95% is the invariant."""
     from inspig_etl_spark.queries.multimodal import (
         PHASH_TWIN_OFFSET,
         multimodal_phash_neardup_pairs,
