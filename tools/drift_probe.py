@@ -1,14 +1,23 @@
 """Isolated min-of-3 drift triage (the repo's measurement protocol).
 
-Re-times a small set of queries in a fresh session, interleaving a control
-query between each subject so host-condition drift is visible in the same
-run: if the subjects return to their earlier levels while the control also
-moves, the cross-round delta was host drift, not a plan regression.
+Re-times a small set of queries in a fresh session, interleaving TWO
+independent controls between each subject so host-condition drift is
+visible in the same run: if the subjects return to their earlier levels
+while the controls also move, the cross-round delta was host drift, not a
+plan regression.
+
+Two controls, not one (VERDICT r10 item 5b): tpch_q1 is itself a real
+multi-agg plan that has drifted on hot hosts (1.38x in r10), so a second,
+trivial-scan control — count over one lineitem column, no shuffle, no agg
+fan-out — gives a reference point that cannot hide a plan regression of
+its own. Host heat moves BOTH controls; a q1 plan regression moves only
+q1 against a flat trivial-scan line.
 
 Usage: python tools/drift_probe.py [sf_dir] [name ...]
 Defaults to the r6->r5 top movers at /root/testdata/sf0.1.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +34,7 @@ SUBJECTS = sys.argv[2:] or [
     "salted_brand_volume",
 ]
 CONTROL = "tpch_q1_pricing_summary"
+SCAN_CONTROL = "__trivial_scan__"  # count(l_quantity) over lineitem — no shuffle
 
 
 def main() -> None:
@@ -35,6 +45,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qmap = reg.queries()
+
+    lineitem = os.path.join(SF_DIR, "lineitem.parquet")
+
+    def trivial_scan(sp, _sf):
+        # One-column parquet scan + local count: the floor of what ANY
+        # query pays. Moves only with host conditions / IO, never a plan.
+        return sp.read.parquet(lineitem).select("l_quantity").groupBy().count()
+
+    qmap = dict(qmap)
+    qmap[SCAN_CONTROL] = trivial_scan
 
     def run(name: str) -> float:
         times = []
@@ -47,12 +67,19 @@ def main() -> None:
 
     out = {}
     controls = []
+    scan_controls = []
     for n in SUBJECTS:
         controls.append(run(CONTROL))
+        scan_controls.append(run(SCAN_CONTROL))
         out[n] = run(n)
-        print(f"{n:32s} {out[n]:7.3f}s   (control {controls[-1]:.3f}s)")
+        print(
+            f"{n:32s} {out[n]:7.3f}s   "
+            f"(control {controls[-1]:.3f}s, scan {scan_controls[-1]:.3f}s)"
+        )
     controls.append(run(CONTROL))
+    scan_controls.append(run(SCAN_CONTROL))
     rec = {"sf_dir": SF_DIR, "control": CONTROL, "control_runs": controls,
+           "scan_control": SCAN_CONTROL, "scan_control_runs": scan_controls,
            "subjects": out}
     print(json.dumps(rec))
     spark.stop()
