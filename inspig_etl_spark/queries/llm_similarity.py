@@ -368,6 +368,24 @@ def embeddings_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     probed cell — no dedup pass needed. At 100 TB with the corpus written
     ``partitionBy(cell)``, nprobe=P reads exactly P pruned partitions.
     """
+    queries, corpus = _ivf_probe_sides(spark, sf_dir, P_PROBE)
+    return cosine_topk(
+        queries.drop("probe_rank"), corpus, TOP_K, join_on=["cell"]
+    )
+
+
+def _ivf_probe_sides(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> tuple[DataFrame, DataFrame]:
+    """(queries, corpus) sides of the IVF candidate join at a given nprobe.
+
+    The query side carries one row per (query, probed cell) for its top-
+    ``nprobe`` quantizer cells plus a 1-based ``probe_rank`` column, so a
+    sweep over nprobe values filters ONE frame instead of re-deriving the
+    quantizer scores per setting (the recall-report path); the corpus side
+    keeps exactly one row per vector. Shared by
+    ``embeddings_knn_ivf_multiprobe`` and ``embeddings_ann_recall_report``.
+    """
     from inspig_etl_spark.operators.similarity import dot
 
     emb = _vectors(spark, sf_dir)
@@ -389,18 +407,19 @@ def embeddings_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     probes = F.slice(
         F.array_sort(F.filter(scored, lambda p: p["sneg"].isNotNull())),
         1,
-        P_PROBE,
+        nprobe,
     )
     queries = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .withColumn("p", F.explode(probes))
+        .select("vec_id", "embedding", F.posexplode(probes).alias("pos", "p"))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
             F.col("p.cell").alias("cell"),
+            (F.col("pos") + 1).cast("int").alias("probe_rank"),
         )
     )
-    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"])
+    return queries, corpus
 
 
 SQ8_SCALE = 127  # int8 symmetric quantization: clamp to [-1, 1], floor * 127
@@ -544,6 +563,104 @@ def _fold_i(pairs: F.Column) -> F.Column:
     )
 
 
+def _pq_sub(m: int) -> F.Column:
+    """The m-th PQ sub-vector slice of the SQ8-quantized column ``qz``."""
+    return F.slice(F.col("qz"), m * PQ_DSUB + 1, PQ_DSUB)
+
+
+def _pq_codes_col() -> F.Column:
+    """PQ encode: per sub-space, the 4-bit id of the nearest codebook
+    centroid by exact integer L2 (argmin via array_min over (dist, k)
+    structs — ties break to the lowest code, matching the oracle's
+    first-position-of-min). Reads column ``qz``."""
+    return F.transform(
+        _pq_cb(),
+        lambda book, m: F.array_min(
+            F.transform(
+                book,
+                lambda cent, k: F.struct(
+                    _fold_i(
+                        F.zip_with(
+                            F.slice(
+                                F.col("qz"), m * PQ_DSUB + F.lit(1), F.lit(PQ_DSUB)
+                            ),
+                            cent,
+                            lambda x, y: (x - y) * (x - y),
+                        )
+                    ).alias("d"),
+                    k.cast("int").alias("k"),
+                ),
+            )
+        )["k"],
+    )
+
+
+def _pq_lut_col() -> F.Column:
+    """Per-query ADC lookup table: the query's exact integer inner product
+    against every codebook centroid, M books x K entries. Reads ``qz``."""
+    return F.transform(
+        _pq_cb(),
+        lambda book, m: F.transform(
+            book,
+            lambda cent: _fold_i(
+                F.zip_with(
+                    F.slice(F.col("qz"), m * PQ_DSUB + F.lit(1), F.lit(PQ_DSUB)),
+                    cent,
+                    lambda x, y: x * y,
+                )
+            ),
+        ),
+    )
+
+
+def _ivfpq_adc_scores(cl: DataFrame) -> DataFrame:
+    """ADC candidate scores inside the coarse cell: encode the corpus side
+    to PQ codes, fold the query side to a LUT, equi-join on the cell id and
+    score each pair as M integer table lookups. ``cl`` is the
+    (vec_id, cell, qz) frame; returns (query_id, neighbor_id, score_adc).
+    Shared by the IVF-PQ ADC / refine queries and the recall report."""
+    enc = cl.select(
+        F.col("vec_id").alias("neighbor_id"), "cell", _pq_codes_col().alias("codes")
+    )
+    q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", _pq_lut_col().alias("lut")
+    )
+    return (
+        enc.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _fold_i(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + F.lit(1)),
+                )
+            ).alias("score_adc"),
+        )
+    )
+
+
+def _exact_rerank(cl: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Refine stage: fetch both vectors of each shortlisted (query,
+    neighbor) id pair by equi-join and re-rank by the exact int8 inner
+    product; returns (query_id, neighbor_id, rank, score_q) with
+    rank <= k. Shared by the refine query and the recall report."""
+    zq = cl.select(F.col("vec_id").alias("query_id"), F.col("qz").alias("qv"))
+    zc = cl.select(F.col("vec_id").alias("neighbor_id"), F.col("qz").alias("cv"))
+    exact = _fold_i(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
+    rf = (
+        cand.join(zq, "query_id")
+        .join(zc, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("score_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return rf.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
 def _sql_book(book: list[list[int]]) -> str:
     return "[" + ", ".join("[" + ", ".join(str(v) for v in c) + "]" for c in book) + "]"
 
@@ -657,50 +774,7 @@ def embeddings_ivfpq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
     )
-    cb = _pq_cb()
-
-    def sub(m):
-        return F.slice(F.col("qz"), m * PQ_DSUB + 1, PQ_DSUB)
-
-    codes = F.transform(
-        cb,
-        lambda book, m: F.array_min(
-            F.transform(
-                book,
-                lambda cent, k: F.struct(
-                    _fold_i(
-                        F.zip_with(sub(m), cent, lambda x, y: (x - y) * (x - y))
-                    ).alias("d"),
-                    k.cast("int").alias("k"),
-                ),
-            )
-        )["k"],
-    )
-    lut = F.transform(
-        cb,
-        lambda book, m: F.transform(
-            book, lambda cent: _fold_i(F.zip_with(sub(m), cent, lambda x, y: x * y))
-        ),
-    )
-    enc = cl.select(F.col("vec_id").alias("neighbor_id"), "cell", codes.alias("codes"))
-    q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "cell", lut.alias("lut")
-    )
-    s = (
-        enc.join(q, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _fold_i(
-                F.zip_with(
-                    F.col("lut"),
-                    F.col("codes"),
-                    lambda l, c: F.element_at(l, c + F.lit(1)),
-                )
-            ).alias("score_q"),
-        )
-    )
+    s = _ivfpq_adc_scores(cl).withColumnRenamed("score_adc", "score_q")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_q").desc(), F.col("neighbor_id")
     )
@@ -822,50 +896,7 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session-level unpersist for every lazily-returned query frame
     # (ADVICE r10).
     cl = cl.persist()
-    cb = _pq_cb()
-
-    def sub(m):
-        return F.slice(F.col("qz"), m * PQ_DSUB + 1, PQ_DSUB)
-
-    codes = F.transform(
-        cb,
-        lambda book, m: F.array_min(
-            F.transform(
-                book,
-                lambda cent, k: F.struct(
-                    _fold_i(
-                        F.zip_with(sub(m), cent, lambda x, y: (x - y) * (x - y))
-                    ).alias("d"),
-                    k.cast("int").alias("k"),
-                ),
-            )
-        )["k"],
-    )
-    lut = F.transform(
-        cb,
-        lambda book, m: F.transform(
-            book, lambda cent: _fold_i(F.zip_with(sub(m), cent, lambda x, y: x * y))
-        ),
-    )
-    enc = cl.select(F.col("vec_id").alias("neighbor_id"), "cell", codes.alias("codes"))
-    q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "cell", lut.alias("lut")
-    )
-    s = (
-        enc.join(q, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _fold_i(
-                F.zip_with(
-                    F.col("lut"),
-                    F.col("codes"),
-                    lambda l, c: F.element_at(l, c + F.lit(1)),
-                )
-            ).alias("score_adc"),
-        )
-    )
+    s = _ivfpq_adc_scores(cl)
     wc = Window.partitionBy("query_id").orderBy(
         F.col("score_adc").desc(), F.col("neighbor_id")
     )
@@ -874,22 +905,10 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_rank") <= REFINE_C)
         .select("query_id", "neighbor_id")
     )
-    zq = cl.select(F.col("vec_id").alias("query_id"), F.col("qz").alias("qv"))
-    zc = cl.select(F.col("vec_id").alias("neighbor_id"), F.col("qz").alias("cv"))
-    exact = _fold_i(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
-    rf = (
-        cand.join(zq, "query_id")
-        .join(zc, "neighbor_id")
-        .select("query_id", "neighbor_id", exact.alias("score_q"))
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("score_q").desc(), F.col("neighbor_id")
-    )
-    refined = rf.withColumn("rank", F.row_number().over(wr)).filter(
-        F.col("rank") <= TOP_K
-    )
+    refined = _exact_rerank(cl, cand, TOP_K)
     # Brute-force recall witness (declared quadratic — the SQ8 baseline
     # exception): exact top-k over the whole d64 corpus per probe query.
+    exact = _fold_i(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
     bq = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qz").alias("qv")
     )
@@ -1231,3 +1250,375 @@ def embeddings_ivfpq_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "score_q")
     )
+
+
+# --- ANN recall-sweep tuning report ------------------------------------------
+#
+# The artifact an index operator reads BEFORE a 100 TB build: one table of
+# recall@k vs candidate-scoring cost per (index, nprobe, shortlist C)
+# configuration, every number an exact integer derived by joining each
+# retrieval stage's top-k against the float-cosine brute-force ground truth.
+# Composes the existing kernels (the reference's own pattern of
+# run-observability tables — /root/reference/src/weekly/farm_processor.py's
+# job-log/master-count reports): the IVF probe sides come from
+# _ivf_probe_sides (shared with embeddings_knn_ivf_multiprobe), the ADC
+# shortlist from _ivfpq_adc_scores and the re-rank from _exact_rerank
+# (shared with embeddings_ivfpq_adc_knn / _refined_knn) — the witness math
+# lives once.
+
+REPORT_NPROBES = (1, 2, 4)
+REPORT_CS = (10, 25)
+
+_RPT_SIM = f"{sql_dot('q.qv', 'c.cv')} / (q.qn * c.cn)"
+
+
+def _rpt_top_sql(from_clause: str, extra_where: str = "") -> str:
+    """Per-query float-cosine top-k over aliased (q, c) candidate sides."""
+    return f"""SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_RPT_SIM} DESC, c.neighbor_id) AS rk
+    FROM {from_clause}
+    WHERE q.query_id <> c.neighbor_id{extra_where}
+  ) WHERE rk <= {TOP_K}"""
+
+
+def _rpt_rf_sql(c: int) -> str:
+    """Exact int8 re-rank of the ADC top-``c`` shortlist (oracle twin of
+    _exact_rerank over _ivfpq_adc_scores' ranked output)."""
+    return f"""SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY cand.query_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(a.qz, b.qz),
+                                                   p -> p[1] * p[2]))
+                           AS BIGINT) DESC,
+                      cand.neighbor_id) AS rk
+    FROM (SELECT query_id, neighbor_id FROM adcr WHERE rk <= {c}) cand
+    JOIN cld a ON cand.query_id = a.vec_id
+    JOIN cld b ON cand.neighbor_id = b.vec_id
+  ) WHERE rk <= {TOP_K}"""
+
+
+def _rpt_row_sql(name: str, nprobe: int, c: int, top: str, scored: str) -> str:
+    """One report row: exact integer recall + scored-candidate counts for a
+    variant whose top-k CTE is ``top`` and whose candidate-count expression
+    is ``scored``. recall_ppm and mean_scored_milli use integer division
+    (DuckDB ``//`` == Spark ``div`` on the non-negative counts here). The
+    counts are scalar subqueries, which DuckDB cannot lateral-reference by
+    alias, so the derived ratios live in an outer SELECT."""
+    return f"""SELECT index_name, nprobe, shortlist_c, queries, hits, possible,
+       CAST(hits * 1000000 // NULLIF(possible, 0) AS BIGINT) AS recall_ppm,
+       scored_pairs,
+       CAST(scored_pairs * 1000 // NULLIF(queries, 0) AS BIGINT)
+         AS mean_scored_milli
+FROM (
+  SELECT '{name}' AS index_name, CAST({nprobe} AS INT) AS nprobe,
+       CAST({c} AS INT) AS shortlist_c,
+       (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM {top}) AS queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {top} t JOIN gt g
+          ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM gt
+          WHERE query_id IN (SELECT query_id FROM {top})) AS possible,
+       CAST(({scored}) AS BIGINT) AS scored_pairs
+)"""
+
+
+_RPT_SCORED_FLAT = (
+    f"(SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % {QUERY_MOD} = 0)"
+    " * ((SELECT CAST(COUNT(*) AS BIGINT) FROM base) - 1)"
+)
+_RPT_SCORED_LSH = (
+    "SELECT COUNT(*) FROM lb q JOIN lb c ON q.bucket = c.bucket"
+    f" AND q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id"
+)
+
+
+def _rpt_scored_ivf(p: int) -> str:
+    return (
+        "SELECT COUNT(*) FROM qpr q JOIN corp c USING (cell)"
+        f" WHERE q.rn <= {p} AND q.query_id <> c.neighbor_id"
+    )
+
+
+_RPT_SCORED_PQ = (
+    "SELECT COUNT(*) FROM cld a JOIN cld b ON a.cell = b.cell"
+    f" AND a.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id"
+)
+
+
+def _rpt_scored_rf(c: int) -> str:
+    return (
+        f"({_RPT_SCORED_PQ}) + (SELECT COUNT(*) FROM adcr WHERE rk <= {c})"
+    )
+
+
+_RPT_ROWS_SQL = "\nUNION ALL\n".join(
+    [
+        _rpt_row_sql("flat", 1, 0, "gt", _RPT_SCORED_FLAT),
+        _rpt_row_sql("lsh", 1, 0, "lsh_top", f"({_RPT_SCORED_LSH})"),
+    ]
+    + [
+        _rpt_row_sql("ivf", p, 0, f"ivf{p}_top", f"({_rpt_scored_ivf(p)})")
+        for p in REPORT_NPROBES
+    ]
+    + [_rpt_row_sql("ivfpq_adc", 1, 0, "pq_top", f"({_RPT_SCORED_PQ})")]
+    + [
+        _rpt_row_sql("ivfpq_refine", 1, c, f"rf{c}_top", _rpt_scored_rf(c))
+        for c in REPORT_CS
+    ]
+)
+
+
+@register(
+    "embeddings_ann_recall_report",
+    operators=(
+        "LLM-ann-recall-report (the index tuning table: recall@k vs exact "
+        "float brute-force ground truth + scored-candidate cost per "
+        "(index in {flat, lsh, ivf, ivfpq_adc, ivfpq_refine}, "
+        "nprobe in {1,2,4}, shortlist C in {10,25}) — exact integer "
+        "counts, composed from the existing ANN kernels' shared stages; "
+        "reference analog: the run-observability tables of "
+        "src/weekly/farm_processor.py:245-316)"
+    ),
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM {_SQL_VECTORS}
+),
+gt AS (
+  {_rpt_top_sql(
+      "(SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM base"
+      f" WHERE vec_id % {QUERY_MOD} = 0) q,"
+      " (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn FROM base) c"
+  )}
+),
+lb AS (
+  SELECT vec_id, embedding, nrm,
+         {sql_lsh_bucket('embedding', _SIGNS)} AS bucket
+  FROM base
+),
+lsh_top AS (
+  {_rpt_top_sql(
+      "(SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket FROM lb"
+      f" WHERE vec_id % {QUERY_MOD} = 0) q"
+      " JOIN (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn,"
+      " bucket FROM lb) c USING (bucket)"
+  )}
+),
+sc AS (SELECT vec_id, embedding, nrm, {_SQL_IVF_SCORES} FROM base),
+pr AS (
+  SELECT vec_id, embedding, nrm, x.cell AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY x.s DESC, x.cell) AS rn
+  FROM sc, UNNEST([{_SQL_IVF_STRUCTS}]) AS t(x)
+  WHERE x.s IS NOT NULL
+),
+corp AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn, cell
+  FROM pr WHERE rn = 1
+),
+qpr AS (
+  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell, rn
+  FROM pr WHERE vec_id % {QUERY_MOD} = 0
+),
+{", ".join(
+    f'''ivf{p}_top AS (
+  {_rpt_top_sql("qpr q JOIN corp c USING (cell)", f" AND q.rn <= {p}")}
+)'''
+    for p in REPORT_NPROBES
+)},
+scd AS (
+  SELECT vec_id, {_sql_sq8('embedding')} AS qz, {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+cld AS (
+  SELECT vec_id, qz, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM scd)
+),
+encd AS (SELECT vec_id AS neighbor_id, cell, {_SQL_PQ_CODES} AS codes FROM cld),
+qd AS (
+  SELECT vec_id AS query_id, cell, {_SQL_PQ_LUT} AS lut
+  FROM cld WHERE vec_id % {QUERY_MOD} = 0
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_reduce(list_transform(list_zip(lut, codes),
+                                         p -> p[1][p[2] + 1]),
+                          (a, x) -> a + x) AS BIGINT) AS score_adc
+  FROM qd JOIN encd USING (cell) WHERE query_id <> neighbor_id
+),
+adcr AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_adc DESC, neighbor_id) AS rk
+  FROM adc
+),
+pq_top AS (SELECT query_id, neighbor_id FROM adcr WHERE rk <= {TOP_K}),
+{", ".join(f"rf{c}_top AS ({_rpt_rf_sql(c)})" for c in REPORT_CS)}
+{_RPT_ROWS_SQL}
+""",
+)
+def embeddings_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index tuning table: for every retrieval configuration, exact
+    integer recall@{TOP_K} against the float-cosine brute-force ground
+    truth, plus the configuration's candidate-scoring cost — the two axes
+    that decide (index, nprobe, C) before committing a 100 TB index build.
+
+    Output (one row per configuration, 8 rows):
+
+    - ``queries``: probe queries the configuration returned neighbors for;
+    - ``hits`` / ``possible``: ground-truth top-k pairs retrieved vs
+      retrievable for those queries — ``recall_ppm`` is their exact
+      integer ppm ratio;
+    - ``scored_pairs`` / ``mean_scored_milli``: candidate pairs the
+      configuration scores (the cost axis; for two-stage refine, ADC pairs
+      + exact re-rank fetches).
+
+    Everything is composed from the kernels' own shared stages
+    (``_ivf_probe_sides``, ``_ivfpq_adc_scores``, ``_exact_rerank``), so
+    this table and the production queries can never disagree about what a
+    configuration computes.
+
+    Scale shape: the ground truth is the ONE deliberately quadratic term
+    (the declared brute-force witness exception — a deployment runs the
+    sweep on a sampled query set); every variant's own stages inherit the
+    production kernels' bucketed/cell-join shapes, the per-variant
+    reductions are global scalar aggregates over id-only frames (no
+    vectors travel), and the result is 8 rows joined by 1-row broadcast
+    crossJoins.
+    """
+    gt = (
+        embeddings_knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        # Bounded: queries x TOP_K id pairs. Reused by every variant's
+        # hits/possible joins; multi-query sessions clearCache() after the
+        # action (the repo-wide policy for lazily-returned query frames).
+        .persist()
+    )
+
+    def metrics(name: str, nprobe: int, c: int, top: DataFrame,
+                scored: DataFrame) -> DataFrame:
+        top = top.select("query_id", "neighbor_id").persist()  # <= q x k ids
+        served = top.select("query_id").distinct()
+        queries = served.agg(F.count(F.lit(1)).cast("bigint").alias("queries"))
+        hits = top.join(gt, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        possible = gt.join(served, "query_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("possible")
+        )
+        return (
+            queries.crossJoin(hits)
+            .crossJoin(possible)
+            .crossJoin(scored)
+            .select(
+                F.lit(name).alias("index_name"),
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.lit(c).cast("int").alias("shortlist_c"),
+                "queries",
+                "hits",
+                "possible",
+                F.expr("hits * 1000000 div nullif(possible, 0)")
+                .cast("bigint")
+                .alias("recall_ppm"),
+                F.col("scored_pairs").cast("bigint").alias("scored_pairs"),
+                F.expr("scored_pairs * 1000 div nullif(queries, 0)")
+                .cast("bigint")
+                .alias("mean_scored_milli"),
+            )
+        )
+
+    def count1(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("scored_pairs"))
+
+    rows = []
+
+    # flat: ground truth vs itself — recall 1.0 by construction; the cost
+    # is the full cross scan, computed arithmetically (no second join).
+    base = _vectors(spark, sf_dir)
+    nq = base.filter(F.col("vec_id") % QUERY_MOD == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nq")
+    )
+    nn = base.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    flat_scored = nq.crossJoin(nn).select(
+        (F.col("nq") * (F.col("nn") - 1)).cast("bigint").alias("scored_pairs")
+    )
+    rows.append(metrics("flat", 1, 0, gt, flat_scored))
+
+    # lsh: hyperplane-bucketed candidates (embeddings_knn_bucketed's stage).
+    lb = base.withColumn("bucket", lsh_bucket(F.col("embedding"), _SIGNS))
+    lq = lb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    lc = lb.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    lsh_scored = count1(
+        lq.join(lc, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    rows.append(
+        metrics("lsh", 1, 0, embeddings_knn_bucketed(spark, sf_dir), lsh_scored)
+    )
+
+    # ivf nprobe sweep: ONE probe-ranked query side (shared helper),
+    # filtered per nprobe setting.
+    q4, corp = _ivf_probe_sides(spark, sf_dir, max(REPORT_NPROBES))
+    for p in REPORT_NPROBES:
+        qp = q4.filter(F.col("probe_rank") <= p)
+        top_p = cosine_topk(
+            qp.drop("probe_rank"), corp, TOP_K, join_on=["cell"]
+        )
+        scored_p = count1(
+            qp.select("query_id", "cell")
+            .join(corp.select("neighbor_id", "cell"), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        rows.append(metrics("ivf", p, 0, top_p, scored_p))
+
+    # ivfpq: ADC shortlist + exact re-rank at each C (shared stages).
+    embD = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(embD, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    ).persist()  # bounded codes frame; clearCache() policy as above
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("score_adc").desc(), F.col("neighbor_id")
+    )
+    cand_max = (
+        _ivfpq_adc_scores(cl)
+        .withColumn("adc_rank", F.row_number().over(wc))
+        .filter(F.col("adc_rank") <= max(REPORT_CS))
+        .select("query_id", "neighbor_id", "adc_rank")
+        .persist()  # <= q x max(C) id rows; one ADC pass serves every C
+    )
+    cq = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cc = cl.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    pq_scored = count1(
+        cq.join(cc, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    rows.append(
+        metrics(
+            "ivfpq_adc",
+            1,
+            0,
+            cand_max.filter(F.col("adc_rank") <= TOP_K),
+            pq_scored,
+        )
+    )
+    for c in REPORT_CS:
+        cand_c = cand_max.filter(F.col("adc_rank") <= c).select(
+            "query_id", "neighbor_id"
+        )
+        rf_scored = pq_scored.crossJoin(
+            count1(cand_c).withColumnRenamed("scored_pairs", "rf_pairs")
+        ).select(
+            (F.col("scored_pairs") + F.col("rf_pairs"))
+            .cast("bigint")
+            .alias("scored_pairs")
+        )
+        rows.append(
+            metrics("ivfpq_refine", 1, c, _exact_rerank(cl, cand_c, TOP_K),
+                    rf_scored)
+        )
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -405,3 +405,28 @@ def test_cohort_retention_matrix_invariants(spark):
         table(spark, SF_CORRECT, "events").select("user_id").distinct().count()
     )
     assert seen_users == total_users
+
+
+def test_ann_recall_report_invariants(spark):
+    """The tuning table's internal consistency: flat recall is 1.0 by
+    construction; IVF recall and scored-candidates both rise monotonically
+    with nprobe (more probed cells can only add candidates); refine recall
+    rises with C and never falls below raw ADC (the re-rank only reorders
+    a superset shortlist of the ADC top-k... recall-wise the shortlist at
+    C >= k contains the ADC top-k candidates); and mean cost never exceeds
+    the flat scan."""
+    rows = Q["embeddings_ann_recall_report"](spark, SF_CORRECT).collect()
+    by = {(r.index_name, r.nprobe, r.shortlist_c): r for r in rows}
+    assert len(rows) == 8
+    flat = by[("flat", 1, 0)]
+    assert flat.recall_ppm == 1_000_000 and flat.hits == flat.possible
+    ivf = [by[("ivf", p, 0)] for p in (1, 2, 4)]
+    assert ivf[0].recall_ppm <= ivf[1].recall_ppm <= ivf[2].recall_ppm
+    assert ivf[0].scored_pairs <= ivf[1].scored_pairs <= ivf[2].scored_pairs
+    adc = by[("ivfpq_adc", 1, 0)]
+    rf10, rf25 = by[("ivfpq_refine", 1, 10)], by[("ivfpq_refine", 1, 25)]
+    assert rf10.recall_ppm <= rf25.recall_ppm
+    assert adc.scored_pairs <= rf10.scored_pairs <= rf25.scored_pairs
+    for r in rows:
+        assert r.hits <= r.possible
+        assert r.mean_scored_milli <= flat.mean_scored_milli

@@ -91,6 +91,15 @@ ALLOWED: dict[str, dict[str, str]] = {
         "correctness baseline the brief asks for); embeddings_knn_bucketed is the "
         "LSH scale path and lints clean",
     },
+    "embeddings_ann_recall_report": {
+        "nested-loop": "two declared BNLJ classes: (a) the float brute-force "
+        "ground truth the sweep measures recall AGAINST (the "
+        "embeddings_knn_bruteforce exception — a deployment samples the "
+        "query set), and (b) the 1-row broadcast crossJoins assembling each "
+        "variant's scalar metrics into its report row; every variant's own "
+        "retrieval stages inherit the production kernels' bucketed/cell "
+        "equi-join shapes and lint clean in those kernels' own entries",
+    },
     "surrogate_keys_dim": {
         "global-window": "surrogate ids over an explicit total order are only "
         "assigned to bounded dim/report rows (25 nations here) — the helper's "

@@ -52,6 +52,8 @@ NAMES = [
     "docs_curation_funnel_by_source", "embeddings_ivfpq_multiprobe_knn",
     "docs_unigram_surprisal", "docs_source_capped_corpus",
     "event_funnel_conversion", "event_weekly_cohort_retention",
+    # r11 kernels
+    "embeddings_ann_recall_report",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
