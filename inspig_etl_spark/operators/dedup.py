@@ -36,6 +36,44 @@ from inspig_etl_spark.functions.text import HASH_P, hashed, md5_long, tokens
 # of (A_k * h + B_k) mod P. 31-bit values keep every product under 2^62.
 MINHASH_K = 16
 
+# The shared MinHash/LSH tuning, and the DuckDB oracle twins of the kernels
+# below. They live HERE (a non-registering module) so any query module can
+# interpolate them into an oracle without importing queries/llm_dedup.py —
+# a module-level import of a query module would re-order the registry's
+# registration sequence (the rotation's tie-break).
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+
+# Exact Jaccard between two shingle-set columns (a.sh, b.sh), both distinct.
+SQL_JACCARD = (
+    "ROUND(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE"
+    " / NULLIF(len(a.sh) + len(b.sh)"
+    " - len(list_filter(a.sh, x -> list_contains(b.sh, x))), 0), 6)"
+)
+
+
+def sql_minhash_sig(k: int = MINHASH_K) -> str:
+    """DuckDB expression list for the k signature minima over `sh` —
+    the oracle twin of :func:`minhash_signature`."""
+    parts = []
+    for a, b in minhash_coeffs(k):
+        parts.append(
+            f"COALESCE(list_min(list_transform(sh, h -> (h * {a} + {b}) % {HASH_P})), {HASH_P})"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_lsh_band_key(rows: int = MINHASH_ROWS) -> str:
+    """DuckDB band-key expression over (`sig`, `band_no`) — the oracle twin
+    of :func:`lsh_band_keys`'s md5 60-bit fold."""
+    return (
+        "CAST(('0x' || substr(md5(array_to_string("
+        f"sig[band_no * {rows} + 1 : band_no * {rows} + {rows}], '_')), 1, 15))"
+        " AS BIGINT)"
+    )
+
 
 def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return [
@@ -314,11 +352,18 @@ def connected_components(
             contrib = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), "label"
             )
+            # localCheckpoint, not persist: a persist alone leaves every
+            # round's operator tree nested inside the next round's plan, so
+            # Catalyst analysis grows per round even though execution reads
+            # the cache — measured 1.1 s -> 5.2 s/round by round 5 on a
+            # 3.3k-node graph (the cross-modal paired graph), where
+            # truncated lineage holds rounds flat. Same rationale (and
+            # executor-loss trade) as _alternating_star's checkpoint below.
             new_labels = (
                 contrib.unionAll(labels)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             new_sum = new_labels.agg(F.sum("label")).first()[0]
             labels.unpersist()

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from inspig_etl_spark.catalog import spread, table
 from inspig_etl_spark.functions.text import (
-    HASH_P,
     sql_md5_long,
     sql_token_hashes,
     sql_token_ngram_hashes_from,
@@ -36,20 +35,21 @@ from inspig_etl_spark.functions.text import (
     tokens,
 )
 from inspig_etl_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    SHINGLE_N,
+    SQL_JACCARD,
     jaccard_verify,
     lsh_band_keys,
     lsh_candidate_pairs,
-    minhash_coeffs,
     minhash_signature,
     simhash32,
     simhash_band_keys,
+    sql_minhash_sig,
 )
 from inspig_etl_spark.queries import register
 
-SHINGLE_N = 3
-JACCARD_THRESHOLD = 0.5
-MINHASH_BANDS = 4
-MINHASH_ROWS = 4
 HAMMING_MAX = 6
 
 # Shared oracle CTEs: per-token hashes, then distinct hashed 3-token
@@ -60,11 +60,9 @@ _SQL_DOCS_SHINGLED = (
 )
 
 # Exact Jaccard between two shingle-set columns (a.sh, b.sh), both distinct.
-_SQL_JACCARD = (
-    "ROUND(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE"
-    " / NULLIF(len(a.sh) + len(b.sh)"
-    " - len(list_filter(a.sh, x -> list_contains(b.sh, x))), 0), 6)"
-)
+# (Defined in operators/dedup.py so other query modules' oracles can share
+# it without importing this registering module.)
+_SQL_JACCARD = SQL_JACCARD
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,14 +110,9 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, sh, "doc_id", "sh", JACCARD_THRESHOLD)
 
 
-def _sql_minhash_sig() -> str:
-    """DuckDB expression list for the 16 signature minima over `sh`."""
-    parts = []
-    for a, b in minhash_coeffs():
-        parts.append(
-            f"COALESCE(list_min(list_transform(sh, h -> (h * {a} + {b}) % {HASH_P})), {HASH_P})"
-        )
-    return "[" + ", ".join(parts) + "]"
+# DuckDB expression list for the 16 signature minima over `sh` — shared
+# from operators/dedup.py (see _SQL_JACCARD note).
+_sql_minhash_sig = sql_minhash_sig
 
 
 @register(

@@ -225,17 +225,12 @@ _PHX_BYTE0 = (
 )
 
 
-@register(
-    "multimodal_phash_neardup_pairs",
-    operators=(
-        "LLM-multimodal-phash (image near-dup: perceptual difference-hash "
-        "over the 8x9 resampled grayscale grid via the Arrow-batched codec "
-        "kernel, Hamming byte-banded candidate join — the SimHash banding "
-        "kernel applied to the image modality; planted one-byte-perturbed "
-        "twins are the guaranteed-positive witness)"
-    ),
-    oracle=f"""
-WITH m AS (
+# The dHash detection chain as a reusable CTE block (twin-planted image
+# universe -> resampled gray grid -> 64-bit dHash halves -> byte bands ->
+# candidate pairs) — shared by the phash pair query's oracle and the
+# cross-modal paired-near-dup oracle, so both engines derive image edges
+# from ONE definition.
+_PHASH_CTES = f"""m AS (
   SELECT doc_id,
          CAST(doc_id % 16 + 4 AS INT) AS w,
          CAST(doc_id % 12 + 4 AS INT) AS h,
@@ -287,7 +282,20 @@ cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM band l JOIN band r
     ON l.band_no = r.band_no AND l.band_key = r.band_key AND l.id < r.id
-)
+)"""
+
+
+@register(
+    "multimodal_phash_neardup_pairs",
+    operators=(
+        "LLM-multimodal-phash (image near-dup: perceptual difference-hash "
+        "over the 8x9 resampled grayscale grid via the Arrow-batched codec "
+        "kernel, Hamming byte-banded candidate join — the SimHash banding "
+        "kernel applied to the image modality; planted one-byte-perturbed "
+        "twins are the guaranteed-positive witness)"
+    ),
+    oracle=f"""
+WITH {_PHASH_CTES}
 SELECT id_a, id_b,
        CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
          AS hamming
@@ -389,4 +397,176 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- cross-modal paired near-dup ----------------------------------------
+#
+# The corpus's (image, caption) pairs, deduplicated ACROSS modalities: two
+# pairs are duplicates when their images match (dHash Hamming gate, byte-
+# banded) OR their captions match (MinHash band + exact-Jaccard verify) —
+# the policy a multimodal training-data pipeline needs, because re-hosted
+# images keep their pixels but lose their captions, and re-captioned posts
+# keep their text but recompress the image. The OR-edges feed ONE
+# pair-level transitive closure (the CC kernel), so a chain
+# A ~image~ A' , A ~text~ B collapses all three into one cluster.
+#
+# The text-side SQL fragments come from operators/dedup.py (the same
+# definitions queries/llm_dedup.py interpolates), NOT from llm_dedup
+# itself — importing a registering query module at module level would
+# re-order the registry's registration sequence.
+
+from inspig_etl_spark.functions.text import (
+    sql_token_hashes,
+    sql_token_ngram_hashes_from,
+    sql_tokens,
+)
+from inspig_etl_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    SHINGLE_N,
+    SQL_JACCARD,
+    sql_lsh_band_key,
+    sql_minhash_sig,
+)
+
+
+@register(
+    "multimodal_paired_neardup",
+    operators=(
+        "LLM-multimodal-paired-neardup (cross-modal (image, caption) pair "
+        "dedup: dHash byte-banded image edges OR MinHash-banded + Jaccard-"
+        "verified caption edges -> pair-level transitive clusters + min-id "
+        "survivor — composes dhash_media, the MinHash band kernel and the "
+        "CC operator, bucketed end-to-end; the planted image twins carry "
+        "NO caption, so their cluster membership can only arrive through "
+        "the image modality — the OR-composition's witness)"
+    ),
+    oracle=f"""
+WITH RECURSIVE {_PHASH_CTES},
+ipairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hsh a ON cand.id_a = a.id JOIN hsh b ON cand.id_b = b.id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        <= {PHASH_HAMMING_MAX}
+),
+tth AS (
+  SELECT doc_id, {sql_token_hashes(sql_tokens('text'))} AS hs
+  FROM documents WHERE doc_id % 3 = 0
+),
+tt AS (SELECT doc_id, {sql_token_ngram_hashes_from('hs', SHINGLE_N)} AS sh FROM tth),
+-- zero-shingle captions are excluded from banding (the sentinel-signature
+-- degeneracy — see docs_neardup_clusters), mirrored in the Spark plan
+tsig AS (SELECT doc_id, sh, {sql_minhash_sig()} AS sig FROM tt WHERE len(sh) > 0),
+tband AS (
+  SELECT doc_id, band_no, {sql_lsh_band_key()} AS band_key
+  FROM tsig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
+),
+tcand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM tband l JOIN tband r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+tpairs AS (
+  SELECT id_a, id_b
+  FROM tcand JOIN tt a ON tcand.id_a = a.doc_id
+             JOIN tt b ON tcand.id_b = b.doc_id
+  WHERE {SQL_JACCARD} >= {JACCARD_THRESHOLD}
+),
+allp AS (
+  SELECT id_a, id_b FROM ipairs UNION SELECT id_a, id_b FROM tpairs
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM allp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM allp
+),
+reach(id, label) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS pair_id, MIN(label) AS cluster_id,
+       CAST(MIN(label) = id AS INT) AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def multimodal_paired_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level cross-modal dedup over the (image, caption) corpus.
+
+    Edges come from BOTH modality detectors, each in its bucketed form:
+
+    - **image**: the ``multimodal_phash_neardup_pairs`` chain verbatim
+      (dHash via the Arrow-batched codec kernel, 8 Hamming byte bands,
+      exact bit-count verify) — including its planted one-byte twins,
+      which carry no caption row and therefore prove the image-OR path;
+    - **caption**: the MinHash(16) 4x4 band kernel + exact Jaccard verify
+      from the text dedup stack (``operators/dedup.py``), restricted to
+      the image-doc universe (a 100 TB run shingles only the captions it
+      needs, so the restriction happens BEFORE hashing).
+
+    The union feeds :func:`operators.dedup.connected_components` over the
+    pair universe (image docs + twins); the survivor is the cluster's
+    min-id pair (``is_canonical``), same canonicalization contract as
+    ``docs_neardup_clusters``.
+
+    Scale shape: both edge generators are band-bucketed (never all-pairs),
+    the CC loop's state is bounded by the dup graph, and the final output
+    is one row per pair — O(|pairs|) end to end.
+    """
+    from inspig_etl_spark.functions.text import (
+        token_hashes,
+        token_ngram_hashes_from,
+        tokens,
+    )
+    from inspig_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        lsh_band_keys,
+        minhash_signature,
+    )
+
+    ipairs = multimodal_phash_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+
+    docs_img = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    hs = docs_img.select("doc_id", token_hashes(tokens(F.col("text"))).alias("hs"))
+    # persist(): the caption shingles feed the banding self-join AND both
+    # Jaccard-verify sides (the _shingled pattern); bounded to image docs.
+    # Multi-query sessions clearCache() after the action (repo policy).
+    sh = hs.select(
+        "doc_id", token_ngram_hashes_from(F.col("hs"), SHINGLE_N).alias("sh")
+    ).persist()
+    signed = sh.filter(F.size("sh") > 0).withColumn(
+        "sig", minhash_signature(F.col("sh"))
+    )
+    keyed = signed.select(
+        "doc_id",
+        F.posexplode(lsh_band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)).alias(
+            "band_no", "band_key"
+        ),
+    )
+    left = keyed.select(F.col("doc_id").alias("id_a"), "band_no", "band_key")
+    right = keyed.select(F.col("doc_id").alias("id_b"), "band_no", "band_key")
+    tcand = (
+        left.join(right, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    tpairs = jaccard_verify(tcand, sh, "doc_id", "sh", JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+
+    edges = ipairs.unionByName(tpairs)
+    ids = docs_img.select(F.col("doc_id").alias("pair_id"))
+    nodes = ids.unionByName(
+        ids.select((F.col("pair_id") + PHASH_TWIN_OFFSET).alias("pair_id"))
+    )
+    cc = connected_components(edges, nodes, "pair_id")
+    return cc.withColumn(
+        "is_canonical", (F.col("cluster_id") == F.col("pair_id")).cast("int")
     )

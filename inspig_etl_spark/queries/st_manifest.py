@@ -438,3 +438,231 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_cnt",
     )
+
+
+# --- watermark-evicted streaming dedup ---------------------------------
+
+EVICT_DAY_S = 86_400
+EVICT_BASE_S = 1_700_000_000  # 2023-11-14T22:13:20Z; all math in UTC epoch
+EVICT_DELAY = "6 hours"
+EVICT_WITNESS_N = 10
+# A key string no tokenizer output can collide with (fingerprints are md5
+# over space-joined alnum tokens; '#' never survives tokenization).
+EVICT_WITNESS_KEY = "##wm-witness##"
+
+_EVICT_WITNESS_SQL = f"""
+  SELECT md5('{EVICT_WITNESS_KEY}' || CAST(i AS VARCHAR)) AS fp,
+         CAST(-1000 - i AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS batch
+  FROM range({EVICT_WITNESS_N}) t(i)
+  UNION ALL
+  SELECT md5('{EVICT_WITNESS_KEY}' || CAST(i AS VARCHAR)),
+         CAST(-2000 - i AS BIGINT), CAST(4 AS BIGINT)
+  FROM range({EVICT_WITNESS_N}) t(i)
+  UNION ALL
+  SELECT md5('{EVICT_WITNESS_KEY}alive' || CAST(i AS VARCHAR)),
+         CAST(-3000 - i AS BIGINT), CAST(1 AS BIGINT)
+  FROM range({EVICT_WITNESS_N}) t(i)
+  UNION ALL
+  SELECT md5('{EVICT_WITNESS_KEY}alive' || CAST(i AS VARCHAR)),
+         CAST(-4000 - i AS BIGINT), CAST(3 AS BIGINT)
+  FROM range({EVICT_WITNESS_N}) t(i)
+  UNION ALL
+  -- one heartbeat per batch: keeps the event-time watermark advancing
+  -- even when a batch carries no corpus rows (a zero-row micro-batch
+  -- leaves the watermark — and therefore eviction — frozen, which the
+  -- schema-only regen gate exercises); unique fp per batch, always
+  -- admitted
+  SELECT md5('{EVICT_WITNESS_KEY}tick' || CAST(b AS VARCHAR)),
+         CAST(-9000 - b AS BIGINT), CAST(b AS BIGINT)
+  FROM range(1, 5) tk(b)
+"""
+
+
+@register(
+    "stream_dedup_watermark_evict",
+    operators=(
+        "ST1 + LLM-dedup-incremental-bounded (at-ingest dedup with "
+        "WATERMARK-EVICTED state: dropDuplicatesWithinWatermark through a "
+        "real 4-micro-batch replay — state lives only the delay window "
+        "past each key's event time, so operator memory tracks the "
+        "event-time window, not the corpus; eviction + re-admission "
+        "semantics measured by experiment and mirrored exactly in the "
+        "oracle; streaming/incremental.dedup_within_watermark)"
+    ),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+f0 AS (
+  SELECT md5(COALESCE(array_to_string(toks, ' '), '')) AS fp,
+         doc_id,
+         ((doc_id % 4) + 4) % 4 + 1 AS batch
+  FROM t
+),
+f AS (
+  SELECT fp, doc_id, CAST(batch AS BIGINT) AS batch FROM f0
+  UNION ALL
+  {_EVICT_WITNESS_SQL}
+),
+-- within-batch winner is deterministic because each batch is pre-deduped
+-- to its min doc_id per fp BEFORE entering the stateful operator
+d AS (SELECT fp, batch, MIN(doc_id) AS doc_id FROM f GROUP BY fp, batch),
+-- the measured dropDuplicatesWithinWatermark semantics under the
+-- one-day-apart / 6h-delay layout: duplicates are checked against state
+-- BEFORE end-of-batch eviction, and the watermark used in batch b derives
+-- from event times through batch b-1 — so live state during batch b is
+-- exactly the keys ADMITTED in batches b-1 and b-2 (dropped duplicates do
+-- NOT extend a key's life)
+a1 AS (SELECT fp, doc_id FROM d WHERE batch = 1),
+a2 AS (SELECT fp, doc_id FROM d WHERE batch = 2
+       AND fp NOT IN (SELECT fp FROM a1)),
+a3 AS (SELECT fp, doc_id FROM d WHERE batch = 3
+       AND fp NOT IN (SELECT fp FROM a1 UNION ALL SELECT fp FROM a2)),
+a4 AS (SELECT fp, doc_id FROM d WHERE batch = 4
+       AND fp NOT IN (SELECT fp FROM a2 UNION ALL SELECT fp FROM a3))
+SELECT fp, doc_id, CAST(1 AS BIGINT) AS batch FROM a1
+UNION ALL SELECT fp, doc_id, CAST(2 AS BIGINT) FROM a2
+UNION ALL SELECT fp, doc_id, CAST(3 AS BIGINT) FROM a3
+UNION ALL SELECT fp, doc_id, CAST(4 AS BIGINT) FROM a4
+""",
+)
+def stream_dedup_watermark_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest dedup with BOUNDED state: ``stream_incremental_dedup``
+    keeps every fingerprint ever seen; this query runs the same fingerprint
+    stream through ``dropDuplicatesWithinWatermark`` so a key's state is
+    EVICTED once the event-time watermark passes its event time + delay —
+    the production shape for a corpus whose duplicate horizon is a time
+    window (re-posts cluster in days, not years).
+
+    Layout: four one-day-apart micro-batches (batch = pmod(doc_id, 4) + 1,
+    event times inside each batch's first hour), 6h delay, each batch one
+    parquet file with a forced-monotone mtime so the availableNow file
+    source replays them in order (FileStreamSource processes oldest-mtime
+    first). Each batch is pre-deduped to min doc_id per fp — the standard
+    per-micro-batch reduce in front of a stateful operator — so the
+    admitted row per (fp, batch) is deterministic.
+
+    The eviction semantics in the oracle are MEASURED, not assumed (the
+    stream_windowed_event_counts discipline): (1) duplicates are checked
+    against state before end-of-batch eviction and the batch-b watermark
+    derives from event times through batch b-1, so a key admitted in batch
+    a is live state during batches a+1 and a+2 and gone at a+3; (2) a
+    dropped duplicate does NOT extend its key's state life. Hence admitted
+    in batch b = present in b minus admitted in {{b-1, b-2}}. Planted
+    witnesses pin both paths in the driver-hashed output: ten
+    '##wm-witness##i' keys appear in batches 1 and 4 and must be admitted
+    TWICE (state evicted between), ten '...alive' keys appear in batches 1
+    and 3 and must be admitted once (state still live).
+
+    Scale shape: the stateful operator's memory is O(keys in the last
+    2 x delay of event time) instead of O(all keys ever) — the measured
+    long-replay state curve is in SCALE.md; everything else (fp at ingest,
+    per-batch partial dedup) is inherited from stream_incremental_dedup.
+    """
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from inspig_etl_spark.catalog import spread
+    from inspig_etl_spark.functions.text import tokens
+    from inspig_etl_spark.streaming.incremental import dedup_within_watermark
+
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    f0 = docs.select(
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp"),
+        "doc_id",
+        (((F.col("doc_id") % 4) + 4) % 4 + 1).cast("bigint").alias("batch"),
+    )
+    wit = spark.range(EVICT_WITNESS_N)
+    witness = (
+        wit.select(
+            F.md5(F.concat(F.lit(EVICT_WITNESS_KEY), F.col("id"))).alias("fp"),
+            (-1000 - F.col("id")).alias("doc_id"),
+            F.lit(1).cast("bigint").alias("batch"),
+        )
+        .unionByName(
+            wit.select(
+                F.md5(F.concat(F.lit(EVICT_WITNESS_KEY), F.col("id"))).alias("fp"),
+                (-2000 - F.col("id")).alias("doc_id"),
+                F.lit(4).cast("bigint").alias("batch"),
+            )
+        )
+        .unionByName(
+            wit.select(
+                F.md5(
+                    F.concat(F.lit(EVICT_WITNESS_KEY + "alive"), F.col("id"))
+                ).alias("fp"),
+                (-3000 - F.col("id")).alias("doc_id"),
+                F.lit(1).cast("bigint").alias("batch"),
+            )
+        )
+        .unionByName(
+            wit.select(
+                F.md5(
+                    F.concat(F.lit(EVICT_WITNESS_KEY + "alive"), F.col("id"))
+                ).alias("fp"),
+                (-4000 - F.col("id")).alias("doc_id"),
+                F.lit(3).cast("bigint").alias("batch"),
+            )
+        )
+        .unionByName(
+            # heartbeats — see the oracle's tick comment
+            spark.range(1, 5).select(
+                F.md5(
+                    F.concat(F.lit(EVICT_WITNESS_KEY + "tick"), F.col("id"))
+                ).alias("fp"),
+                (-9000 - F.col("id")).alias("doc_id"),
+                F.col("id").cast("bigint").alias("batch"),
+            )
+        )
+    )
+    f = f0.unionByName(witness)
+    d = f.groupBy("fp", "batch").agg(F.min("doc_id").alias("doc_id"))
+    ts = F.timestamp_seconds(
+        F.lit(EVICT_BASE_S)
+        + (F.col("batch") - 1) * EVICT_DAY_S
+        + ((F.col("doc_id") % 3600) + 3600) % 3600
+    )
+    staged = d.select("fp", "doc_id", "batch", ts.alias("ts"))
+
+    tmpdir = tempfile.mkdtemp(prefix="stream_evict_")
+    src = f"{tmpdir}/src"
+    _os.makedirs(src)
+    qname = "wm_evict_" + _os.path.basename(tmpdir).replace("stream_evict_", "")
+    try:
+        t0 = _time.time() - 1000
+        for b in range(1, 5):
+            sub = f"{tmpdir}/b{b}"
+            staged.filter(F.col("batch") == b).coalesce(1).write.parquet(sub)
+            part = _glob.glob(f"{sub}/part-*.parquet")[0]
+            dst = f"{src}/batch_{b}.parquet"
+            shutil.copyfile(part, dst)
+            # one file per micro-batch, replayed oldest-mtime-first
+            _os.utime(dst, (t0 + b * 10, t0 + b * 10))
+
+        stream = (
+            spark.readStream.schema(
+                "fp string, doc_id bigint, batch bigint, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_within_watermark(stream, "ts", ["fp"], EVICT_DELAY)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table(qname).collect()  # bounded: one row per admission
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    out = spark.createDataFrame(
+        got, "fp string, doc_id bigint, batch bigint, ts timestamp"
+    )
+    return out.select("fp", "doc_id", "batch")

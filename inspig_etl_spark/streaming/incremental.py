@@ -77,6 +77,26 @@ def windowed_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    delay: str = "6 hours",
+) -> DataFrame:
+    """Streaming dedup with WATERMARK-EVICTED state — the bounded-memory
+    form of at-ingest dedup (``dropDuplicatesWithinWatermark``): a key's
+    state lives only ``delay`` past its event time, so the operator's
+    memory tracks the event-time window, not the corpus. A duplicate
+    arriving while the key's state is live is dropped (and does NOT extend
+    the state's life — measured, see stream_dedup_watermark_evict); one
+    arriving after eviction is re-admitted, which is the contract's price
+    for bounded state.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def foreach_batch_upsert(
     sink_path: str,
     keys: Sequence[str],

@@ -207,3 +207,66 @@ def test_phash_finds_every_planted_twin(spark):
     assert recall >= 0.95, (
         f"planted-twin recall {recall:.3f}; missing ids {missing[:5]}"
     )
+
+
+def test_paired_neardup_or_composition(spark):
+    """The cross-modal OR contract: (a) planted twins carry NO caption, so
+    a twin landing in its original's cluster proves the IMAGE edge path;
+    (b) every text near-dup pair of image docs must share a cluster,
+    proving the CAPTION edge path; (c) clusters are transitive across
+    modalities — a doc's twin and its text near-dups all share one
+    cluster id; (d) node universe = image docs + twins exactly, and every
+    cluster id is its cluster's minimum member (canonical contract)."""
+    from inspig_etl_spark.queries.llm_dedup import docs_minhash_neardup_pairs
+    from inspig_etl_spark.queries.multimodal import (
+        PHASH_TWIN_OFFSET,
+        multimodal_paired_neardup,
+        multimodal_phash_neardup_pairs,
+    )
+
+    rows = multimodal_paired_neardup(spark, SF_SMOKE).collect()
+    cluster = {r.pair_id: r.cluster_id for r in rows}
+
+    import duckdb
+
+    image_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_SMOKE}/documents.parquet') "
+            "WHERE doc_id % 3 = 0"
+        ).fetchall()
+    }
+    # (d) node universe and canonical-min contract
+    assert set(cluster) == image_ids | {i + PHASH_TWIN_OFFSET for i in image_ids}
+    members: dict[int, list[int]] = {}
+    for pid, cid in cluster.items():
+        members.setdefault(cid, []).append(pid)
+    assert all(min(ms) == cid for cid, ms in members.items())
+    canonical = {r.pair_id for r in rows if r.is_canonical}
+    assert canonical == set(members)
+
+    # (a) image edges: every detected (image, twin-or-other) phash pair is
+    # co-clustered — in particular the caption-less twins.
+    ipairs = multimodal_phash_neardup_pairs(spark, SF_SMOKE).collect()
+    assert ipairs, "witness set empty — twin planting broke"
+    for p in ipairs:
+        assert cluster[p.id_a] == cluster[p.id_b]
+
+    # (b) caption edges: text near-dup pairs BETWEEN image docs co-cluster.
+    tpairs = [
+        (r.id_a, r.id_b)
+        for r in docs_minhash_neardup_pairs(spark, SF_SMOKE).collect()
+        if r.id_a in image_ids and r.id_b in image_ids
+    ]
+    for a, b in tpairs:
+        assert cluster[a] == cluster[b]
+
+    # (c) cross-modal transitivity: for a doc with a text near-dup, its
+    # caption-less twin shares the text partner's cluster too.
+    crossed = [
+        (a, b)
+        for a, b in tpairs
+        if cluster[a + PHASH_TWIN_OFFSET] == cluster[a]
+    ]
+    for a, b in crossed:
+        assert cluster[a + PHASH_TWIN_OFFSET] == cluster[b]

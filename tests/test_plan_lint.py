@@ -24,6 +24,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "scale the same rule yields many partitions, so this is adaptive "
         "state-sizing, not a static bottleneck",
     },
+    "multimodal_paired_neardup": {
+        "single-partition": "inherits docs_neardup_clusters' adaptive "
+        "state-sized label-propagation loop (the cross-modal OR-edges feed "
+        "the same CC kernel) — see that entry; 1 partition only because the "
+        "sf0.01 cross-modal dup graph has a few hundred nodes",
+    },
     "docs_neardup_keep_best": {
         "single-partition": "inherits docs_neardup_clusters' adaptive "
         "state-sized label-propagation loop (same CC kernel feeds the "

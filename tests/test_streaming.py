@@ -369,3 +369,38 @@ def test_sessionize_state_frontier_never_regresses():
     # ...and must NOT have dragged the frontier back: 7300 continues session 1
     # (with the old regression, 7300-4000 > 1800 spuriously opened session 2).
     assert feed([(1, 3, 7300)]) == [(1, 3, 7300, 1)]
+
+
+def test_watermark_evict_witnesses(spark):
+    """The planted witnesses pin both sides of the eviction contract in the
+    emitted rows themselves: '##wm-witness##i' keys (batches 1 and 4) are
+    admitted TWICE — their batch-1 state was evicted before batch 4 — while
+    '##wm-witness##alivei' keys (batches 1 and 3) are admitted ONCE, their
+    state still live during batch 3. Every natural fingerprint obeys the
+    measured rule: admitted in b iff absent from admissions in b-1, b-2."""
+    from inspig_etl_spark.queries.st_manifest import (
+        EVICT_WITNESS_KEY,
+        EVICT_WITNESS_N,
+        stream_dedup_watermark_evict,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = stream_dedup_watermark_evict(spark, SF_CORRECT).collect()
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    by_fp: dict[str, list[int]] = {}
+    for r in rows:
+        by_fp.setdefault(r.fp, []).append(r.batch)
+    for i in range(EVICT_WITNESS_N):
+        assert sorted(by_fp[h(f"{EVICT_WITNESS_KEY}{i}")]) == [1, 4]
+        assert by_fp[h(f"{EVICT_WITNESS_KEY}alive{i}")] == [1]
+    # the general rule over every admitted key
+    admitted_by_batch: dict[int, set[str]] = {1: set(), 2: set(), 3: set(), 4: set()}
+    for r in rows:
+        admitted_by_batch[r.batch].add(r.fp)
+    for b in (2, 3, 4):
+        live = admitted_by_batch.get(b - 1, set()) | admitted_by_batch.get(b - 2, set())
+        assert not (admitted_by_batch[b] & live)

@@ -53,7 +53,7 @@ NAMES = [
     "docs_unigram_surprisal", "docs_source_capped_corpus",
     "event_funnel_conversion", "event_weekly_cohort_retention",
     # r11 kernels
-    "embeddings_ann_recall_report",
+    "embeddings_ann_recall_report", "multimodal_paired_neardup",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
