@@ -556,9 +556,12 @@ def stream_dedup_watermark_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 3 and must be admitted once (state still live).
 
     Scale shape: the stateful operator's memory is O(keys in the last
-    2 x delay of event time) instead of O(all keys ever) — the measured
-    long-replay state curve is in SCALE.md; everything else (fp at ingest,
-    per-batch partial dedup) is inherited from stream_incremental_dedup.
+    2 x delay of event time) instead of O(all keys ever) — measured over a
+    24-batch long replay by ``tools/state_curve_probe.py`` (SCALE.md
+    "Long-replay state curves": numRowsTotal plateaus at exactly 2 x the
+    per-batch admissions while the unbounded dropDuplicates control grows
+    linearly on the same stream); everything else (fp at ingest, per-batch
+    partial dedup) is inherited from stream_incremental_dedup.
     """
     import glob as _glob
     import os as _os

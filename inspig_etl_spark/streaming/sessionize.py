@@ -115,7 +115,10 @@ def sessionize_stream(events: DataFrame, watermark_delay: str = "1 hour") -> Dat
 
     EventTimeTimeout + a watermark on the event time bound per-user state for
     always-on streams: a user's state is dropped once the watermark passes
-    ``last_ts + gap`` (no in-order event can extend the session after that).
+    ``last_ts + gap`` (no in-order event can extend the session after that) —
+    measured over a 24-batch long replay by ``tools/state_curve_probe.py``
+    (SCALE.md "Long-replay state curves": numRowsTotal plateaus at 3 active
+    cohort widths while users-ever grows linearly).
     If the user later returns, their session numbering restarts at 1 — pair
     session_no with its first ts_sec when a globally unique session identity
     is needed across expiry.

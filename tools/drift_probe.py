@@ -34,7 +34,7 @@ SUBJECTS = sys.argv[2:] or [
     "salted_brand_volume",
 ]
 CONTROL = "tpch_q1_pricing_summary"
-SCAN_CONTROL = "__trivial_scan__"  # count(l_quantity) over lineitem — no shuffle
+SCAN_CONTROL = "__trivial_scan__"  # count(l_quantity) over lineitem
 
 
 def main() -> None:

@@ -54,6 +54,11 @@ NAMES = [
     "event_funnel_conversion", "event_weekly_cohort_retention",
     # r11 kernels
     "embeddings_ann_recall_report", "multimodal_paired_neardup",
+    # r12: the watermark-evicted dedup replay (state-SIZE curve lives in
+    # tools/state_curve_probe.py; this row tracks wall-clock growth),
+    # the curated epoch mix, and the curation x cohort composition
+    "stream_dedup_watermark_evict", "docs_curated_epoch_mix",
+    "docs_curation_by_engagement_cohort", "docs_decontaminate_bloom",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
