@@ -774,11 +774,15 @@ def docs_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_runs_frame(spark, sf_dir)
 
 
-def _span_runs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _span_runs_frame(
+    spark: SparkSession, sf_dir: str, gate: str = "dup"
+) -> DataFrame:
     """(doc_id, run_seq, start_tok, end_tok, run_len_toks, n_windows) — the
-    maximal duplicated-run intervals shared by the runs report and the
-    scrub reconstruction (Spark twin of ``_SPAN_RID_CTES`` + the final
-    per-run group)."""
+    maximal flagged-run intervals shared by the runs report and the scrub
+    reconstructions (Spark twin of ``_SPAN_RID_CTES`` + the final per-run
+    group). ``gate`` picks which windows are flagged: ``"dup"`` = occurs in
+    >= 2 distinct docs (ExactSubstr), ``"eval"`` = occurs anywhere in the
+    held-out eval split (surgical decontamination; training docs only)."""
     from pyspark.sql.window import Window
 
     docs = spread(table(spark, sf_dir, "documents"))
@@ -790,13 +794,20 @@ def _span_runs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "h"
         ),
     )
-    dup = (
-        sp.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dp = sp.join(dup, "h").select(
+    if gate == "dup":
+        flagged_h = (
+            sp.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("h")
+        )
+        base = sp
+    else:
+        flagged_h = (
+            sp.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
+        )
+        base = sp.filter(F.col("doc_id") % EVAL_MOD != 0)
+    dp = base.join(flagged_h, "h").select(
         "doc_id", F.col("pos").cast("bigint").alias("pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -876,7 +887,16 @@ def docs_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     conventions differ — Spark's filter lambda index is 0-based, DuckDB's
     is 1-based — both sides compare in 0-based span positions.
     """
-    runs = _span_runs_frame(spark, sf_dir)
+    return _scrub_with_runs(spark, sf_dir, _span_runs_frame(spark, sf_dir))
+
+
+def _scrub_with_runs(
+    spark: SparkSession, sf_dir: str, runs: DataFrame, training_only: bool = False
+) -> DataFrame:
+    """Apply per-doc removal intervals to the corpus text — the cut stage
+    shared by the ExactSubstr scrub and the surgical decontamination scrub
+    (one interval-collect agg + one corpus equi-join + a positional array
+    filter; see docs_dup_span_scrub's docstring for the full contract)."""
     iv = runs.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -887,6 +907,8 @@ def docs_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
+    if training_only:
+        docs = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
     tt = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     j = tt.join(iv, "doc_id", "left")
     kept = F.when(F.col("ivs").isNull(), F.col("toks")).otherwise(
@@ -1398,3 +1420,574 @@ def docs_curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("s"),
     ).select("source", "s.*")
+
+
+# --- curated epoch mix -------------------------------------------------------
+
+_PPM = 1_000_000
+# Per-source epoch weight in ppm, on the NULL-coalesced source label —
+# the same 1.0x..3.25x formula docs_mix_weighted_epochs applies to the raw
+# corpus, so a doc's full/fractional epoch count is identical in both.
+_SQL_SRC_C = "COALESCE(source, '??')"
+_SQL_W_CUR = f"(1000000 + (LENGTH({_SQL_SRC_C}) % 4) * 750000)"
+
+
+def _epoch_mix_oracle() -> str:
+    """Funnel survivors -> per-source epoch weights -> mix manifest, over
+    the shared funnel flags chain."""
+    return f"""
+WITH {_funnel_flags_sql()},
+raw AS (
+  SELECT {_SQL_SRC_C} AS source,
+         CAST(COUNT(*) AS BIGINT) AS raw_docs,
+         CAST(SUM(COALESCE(len({sql_tokens('text')}), 0)) AS BIGINT) AS raw_tokens
+  FROM documents GROUP BY {_SQL_SRC_C}
+),
+surv AS (
+  SELECT COALESCE(d.source, '??') AS source,
+         fl.n_toks - fl.n_removed AS n,
+         CAST(FLOOR((1000000 + (LENGTH(COALESCE(d.source, '??')) % 4) * 750000)
+                    / 1000000.0) AS INT)
+         + CASE WHEN {sql_md5_long("'mix' || CAST(fl.doc_id AS VARCHAR)")} % {_PPM}
+                     < (1000000 + (LENGTH(COALESCE(d.source, '??')) % 4) * 750000)
+                       % {_PPM}
+                THEN 1 ELSE 0 END AS epochs
+  FROM flags fl JOIN documents d ON d.doc_id = fl.doc_id
+  WHERE fl.s4
+),
+cur AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(epochs AS BIGINT) * n) AS BIGINT) AS effective_tokens
+  FROM surv GROUP BY source
+),
+tot AS (SELECT CAST(SUM(effective_tokens) AS BIGINT) AS tot_eff FROM cur)
+SELECT r.source,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       r.raw_docs, r.raw_tokens,
+       CAST(COALESCE(c.n_tokens, 0) * {_PPM} // NULLIF(r.raw_tokens, 0) AS BIGINT)
+         AS retained_ppm,
+       CAST(1000000 + (LENGTH(r.source) % 4) * 750000 AS BIGINT) AS w_ppm,
+       CAST(COALESCE(c.effective_tokens, 0) AS BIGINT) AS effective_tokens,
+       CAST(COALESCE(c.effective_tokens, 0) * {_PPM} // NULLIF(tot_eff, 0) AS BIGINT)
+         AS share_ppm
+FROM raw r LEFT JOIN cur c USING (source) CROSS JOIN tot
+"""
+
+
+@register(
+    "docs_curated_epoch_mix",
+    operators=(
+        "LLM-curated-mix (the mix manifest a pretraining run consumes: "
+        "curation-funnel survivors -> per-source fractional epoch weights "
+        "(same 'mix' hash gate as docs_mix_weighted_epochs) -> per-source "
+        "curated/raw token accounting with retention and effective-token "
+        "ppm shares of the training mix — closes the gap where the mixer "
+        "sampled the RAW corpus while the funnel defined the curated one)"
+    ),
+    oracle=_epoch_mix_oracle(),
+)
+def docs_curated_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATED training mix: every doc surviving all four funnel gates
+    (exact-canonical, near-dup survivor, quality, decontamination) carries
+    its scrubbed token count into a per-source manifest row —
+    (source, curated docs/tokens, raw docs/tokens, retained_ppm, the
+    source's epoch weight, effective tokens after full+fractional epoch
+    repeats, and the source's ppm share of all effective training tokens).
+    This is the table a pretraining run actually consumes: epochs per doc
+    use the SAME md5('mix'||doc_id) fractional gate as
+    ``docs_mix_weighted_epochs``, so the curated mix is the raw mixer
+    restricted to funnel survivors and weighted in scrubbed tokens; raw
+    totals reconcile per-source with ``docs_training_mix_report`` and the
+    curated doc/token totals with ``docs_curation_funnel`` stages 4/5
+    (pinned in tests/test_llm_ops.py).
+
+    Scale shape: the funnel flags are the doc_id equi-join chain the
+    manifest already measured; on top sit two partial-aggregated groupBys
+    to source cells (bounded cardinality at any corpus), a source-keyed
+    left join of those cell tables, and the 1-row broadcast total —
+    integer ppm end-to-end, NULLIF-guarded for empty/zero strata; NULL
+    sources coalesce to '??' on both engines so no effective tokens can
+    hide in an unjoinable NULL stratum.
+    """
+    from inspig_etl_spark.functions.text import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    src_c = F.coalesce(F.col("source"), F.lit("??"))
+    raw = docs.groupBy(src_c.alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+        F.sum(F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)))
+        .cast("bigint")
+        .alias("raw_tokens"),
+    )
+    w_ppm = F.lit(1000000) + (F.length("source") % 4) * 750000
+    gate = md5_long(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % _PPM
+    epochs = F.floor(w_ppm / F.lit(1000000.0)).cast("int") + F.when(
+        gate < w_ppm % _PPM, 1
+    ).otherwise(0)
+    surv = (
+        _funnel_flags_frame(spark, sf_dir)
+        .filter(F.col("s4"))
+        .select("doc_id", (F.col("n_toks") - F.col("n_removed")).alias("n"))
+        .join(docs.select("doc_id", src_c.alias("source")), "doc_id")
+        .select("source", "n", epochs.alias("epochs"))
+    )
+    cur = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("epochs").cast("bigint") * F.col("n"))
+        .cast("bigint")
+        .alias("effective_tokens"),
+    )
+    tot = cur.agg(F.sum("effective_tokens").cast("bigint").alias("tot_eff"))
+    return (
+        raw.join(cur, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            "raw_docs",
+            "raw_tokens",
+            F.expr(
+                f"cast(coalesce(n_tokens, 0) * {_PPM} div nullif(raw_tokens, 0)"
+                " as bigint)"
+            ).alias("retained_ppm"),
+            (F.lit(1000000) + (F.length("source") % 4) * 750000)
+            .cast("bigint")
+            .alias("w_ppm"),
+            F.coalesce(F.col("effective_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("effective_tokens"),
+            F.expr(
+                f"cast(coalesce(effective_tokens, 0) * {_PPM}"
+                " div nullif(tot_eff, 0) as bigint)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+# --- curation outcome by engagement cohort -----------------------------------
+
+# Fixed engagement-band cuts on the author's event count (events median ~66
+# at every sf — both bands stay populated under regen; data, not schema).
+_BAND_HI, _BAND_MID = 70, 60
+_WEEK_US = 604_800_000_000  # epoch-aligned weeks, same as event_log.WEEK_US
+
+
+def _cohort_mix_oracle() -> str:
+    """Funnel flags x the retention-cohort triangle, linked by the
+    deterministic author attribution (md5 over the rank-indexed user
+    universe)."""
+    return f"""
+WITH {_funnel_flags_sql()},
+e AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+w AS (
+  SELECT user_id, us - ((us % {_WEEK_US}) + {_WEEK_US}) % {_WEEK_US} AS wk
+  FROM e
+),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM w GROUP BY user_id
+),
+u AS (
+  SELECT user_id, cohort_wk, n_ev,
+         ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS idx
+  FROM first
+),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+att AS (
+  SELECT fl.n_toks, fl.n_removed, fl.s4,
+         {sql_md5_long("'author' || CAST(fl.doc_id AS VARCHAR)")}
+           % NULLIF(n_users, 0) AS idx
+  FROM flags fl CROSS JOIN nu
+),
+j AS (
+  SELECT u.cohort_wk,
+         CASE WHEN u.n_ev >= {_BAND_HI} THEN 'high'
+              WHEN u.n_ev >= {_BAND_MID} THEN 'mid'
+              ELSE 'low' END AS band,
+         a.n_toks, a.n_removed, a.s4
+  FROM att a JOIN u ON u.idx = a.idx
+)
+SELECT cohort_wk AS cohort_week_us, band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) * {_PPM} // COUNT(*) AS BIGINT)
+         AS survival_ppm,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN s4 THEN n_toks - n_removed ELSE 0 END) AS BIGINT)
+         AS curated_tokens
+FROM j GROUP BY cohort_wk, band
+"""
+
+
+@register(
+    "docs_curation_by_engagement_cohort",
+    operators=(
+        "LLM-curation x analytics-cohort composition (the two stacks "
+        "joined: every document is deterministically attributed to an "
+        "author from the event log's user universe, authors carry their "
+        "first-activity-week cohort and an event-count engagement band, "
+        "and the funnel's four survival gates aggregate per (cohort week, "
+        "band) — answers 'how do the funnel's survivors differ by "
+        "engagement cohort', which neither stack could alone)"
+    ),
+    oracle=_cohort_mix_oracle(),
+)
+def docs_curation_by_engagement_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composes the curation funnel with the event-analytics cohort
+    triangle: docs are attributed to an author by
+    ``md5('author'||doc_id) % |users|`` over the rank-indexed user universe
+    (the UGC-authorship stand-in — the synthetic corpus carries no
+    doc->user key, so the link is the repo's standard deterministic md5
+    derivation: regen-proof, partitioning-proof, identical cross-engine);
+    each author carries their first-activity epoch-week cohort (the
+    ``event_weekly_cohort_retention`` anchor, NULL-ts filtered
+    symmetrically) and a fixed-cut engagement band over their event count.
+    Output: per (cohort_week_us, band) the attributed doc count, funnel-s4
+    survivors, integer-ppm survival rate, and raw vs curated (scrubbed,
+    survivors-only) token sums.
+
+    Scale shape: the funnel flags chain is the measured doc_id equi-join
+    stack; the cohort side is two partial-aggregated user-keyed groupBys
+    (events -> user weeks -> first week + event count); the attribution
+    join broadcasts the user dimension (|distinct users| rows — dimension-
+    sized at any event volume) against the doc-level flags, and the final
+    groupBy lands on (weeks x 3 bands) bounded cells. No event-x-doc
+    blowup anywhere: docs join a USER-level aggregate, never the raw log.
+    """
+    from inspig_etl_spark.functions.text import md5_long
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "ts_us")
+    )
+    w = e.select(
+        "user_id",
+        F.expr(
+            f"ts_us - ((ts_us % {_WEEK_US}) + {_WEEK_US}) % {_WEEK_US}"
+        ).alias("wk"),
+    )
+    first = w.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+    )
+    u = first.select(
+        "cohort_wk",
+        "n_ev",
+        (F.row_number().over(Window.orderBy("user_id")) - 1)
+        .cast("bigint")
+        .alias("idx"),
+    )
+    nu = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    att = (
+        _funnel_flags_frame(spark, sf_dir)
+        .select("doc_id", "n_toks", "n_removed", "s4")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "n_toks",
+            "n_removed",
+            "s4",
+            (
+                md5_long(F.concat(F.lit("author"), F.col("doc_id").cast("string")))
+                % F.nullif(F.col("n_users"), F.lit(0))
+            ).alias("idx"),
+        )
+    )
+    band = (
+        F.when(F.col("n_ev") >= _BAND_HI, "high")
+        .when(F.col("n_ev") >= _BAND_MID, "mid")
+        .otherwise("low")
+    )
+    j = att.join(F.broadcast(u), "idx").select(
+        "cohort_wk", band.alias("band"), "n_toks", "n_removed", "s4"
+    )
+    return j.groupBy(
+        F.col("cohort_wk").alias("cohort_week_us"), "band"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("s4"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.expr(f"cast(sum(case when s4 then 1 else 0 end) * {_PPM}"
+               " div count(*) as bigint)").alias("survival_ppm"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("s4"), F.col("n_toks") - F.col("n_removed")).otherwise(0))
+        .cast("bigint")
+        .alias("curated_tokens"),
+    )
+
+
+# --- Bloom-filter decontamination -------------------------------------------
+
+BLOOM_M = 1_048_576  # filter bits (2^20); production rule: >= ~16 bits/element
+BLOOM_WORDS = BLOOM_M // 32  # packed 32-bits-per-BIGINT-word layout
+BLOOM_K = 4  # hash functions
+
+# 2^0..2^31 as a literal lookup (no shift operators — DuckDB << on BIGINT
+# and Spark shiftleft disagree on column-typed shift amounts; an indexed
+# power table is engine-neutral integer arithmetic).
+_POW2 = [1 << j for j in range(32)]
+_SQL_POW2 = "[" + ", ".join(str(v) for v in _POW2) + "]"
+
+
+def _sql_bloom_member(s: str) -> str:
+    """SQL membership test for shingle-hash expression ``s`` against the
+    1-row ``words`` bitmap: all K domain-separated bit positions set."""
+    terms = []
+    for i in range(BLOOM_K):
+        p = (
+            sql_md5_long(f"'bloom{i}:' || CAST({s} AS VARCHAR)")
+            + f" % {BLOOM_M}"
+        )
+        terms.append(
+            f"(words[CAST(({p}) // 32 AS BIGINT) + 1]"
+            f" & {_SQL_POW2}[CAST(({p}) % 32 AS INT) + 1]) <> 0"
+        )
+    return " AND ".join(terms)
+
+
+_BLOOM_ORACLE = f"""
+WITH {_SQL_DOCS_SHINGLED},
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {EVAL_MOD} = 0),
+pos AS (
+  SELECT DISTINCT
+         ({sql_md5_long("'bloom' || CAST(i AS VARCHAR) || ':' || CAST(s AS VARCHAR)")})
+           % {BLOOM_M} AS p
+  FROM ev CROSS JOIN range({BLOOM_K}) r(i)
+),
+wd AS (
+  -- distinct positions => distinct bits within a word, so SUM == bit-OR
+  SELECT p // 32 AS w_idx,
+         CAST(SUM({_SQL_POW2}[CAST(p % 32 AS INT) + 1]) AS BIGINT) AS word
+  FROM pos GROUP BY p // 32
+),
+wl AS (
+  SELECT list(COALESCE(wd.word, 0) ORDER BY sp.w_idx) AS words
+  FROM range({BLOOM_WORDS}) sp(w_idx) LEFT JOIN wd ON wd.w_idx = sp.w_idx
+),
+tr AS (SELECT doc_id, sh FROM t WHERE doc_id % {EVAL_MOD} <> 0),
+scored AS (
+  SELECT tr.doc_id,
+         CAST(COALESCE(len(tr.sh), 0) AS BIGINT) AS shingle_cnt,
+         CAST(COALESCE(len(list_filter(tr.sh,
+              s -> {_sql_bloom_member('s')})), 0) AS BIGINT) AS bloom_cnt
+  FROM tr CROSS JOIN wl
+)
+SELECT doc_id, shingle_cnt, bloom_cnt,
+       bloom_cnt >= {CONTAM_MIN_SHARED} AS is_flagged
+FROM scored
+"""
+
+
+@register(
+    "docs_decontaminate_bloom",
+    operators=(
+        "LLM-decontamination-bloom (the broadcast-sketch form of benchmark "
+        "decontamination: the eval shingle set folds into a fixed "
+        f"{BLOOM_M}-bit Bloom bitmap packed as {BLOOM_WORDS} integer words "
+        "— ONE constant-size broadcast row — and the corpus probe is a "
+        "pure per-row expression fold, zero corpus-side shuffle; no false "
+        "negatives vs the exact-join kernel by construction, pinned in "
+        "tests)"
+    ),
+    oracle=_BLOOM_ORACLE,
+)
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB shape of
+    ``docs_decontaminate_eval_overlap``: instead of equi-joining every
+    corpus shingle against the eval shingle ledger (a shuffle that scales
+    with the corpus), the eval set is folded ONCE into a fixed-size bitmap
+    (md5-derived, k={BLOOM_K} domain-separated bit positions, 32 bits per
+    BIGINT word so no shift overflow on either engine) that attaches to
+    the corpus as a single broadcast row; the per-doc contamination count
+    is then ``size(filter(sh, all-k-bits-set))`` — expression-only, inside
+    codegen, no shuffle, no UDF. The price is one-sided error: false
+    POSITIVES only (a ~7% per-gram FP rate at the 10x replica's ~190k
+    eval shingles with m=2^20 — size m at >= ~16 bits/element in
+    production), never false negatives — every exact-overlap doc is
+    flagged here too (superset invariant pinned in tests/test_llm_ops.py).
+
+    Scale shape: filter build is O(|eval shingles|) into a bounded
+    ``BLOOM_WORDS``-row aggregate + one zero-filled spine join (both
+    constant-size regardless of corpus); the corpus side adds ZERO
+    exchanges on top of the shingle scan. Bit arithmetic is an indexed
+    power-of-two table + integer AND — bit-identical cross-engine.
+    """
+    from inspig_etl_spark.functions.text import md5_long
+
+    pow2 = F.array(*[F.lit(v).cast("bigint") for v in _POW2])
+    sh = _shingled(spark, sf_dir)
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    pos = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    md5_long(
+                        F.concat(F.lit(f"bloom{i}:"), F.col("s").cast("string"))
+                    )
+                    % BLOOM_M
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    wd = pos.groupBy(F.expr("p div 32").alias("w_idx")).agg(
+        F.sum(F.element_at(pow2, (F.col("p") % 32).cast("int") + 1))
+        .cast("bigint")
+        .alias("word")
+    )
+    spine = spark.range(BLOOM_WORDS).select(F.col("id").alias("w_idx"))
+    wl = (
+        spine.join(wd, "w_idx", "left")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("w_idx"),
+                            F.coalesce(F.col("word"), F.lit(0)).alias("word"),
+                        )
+                    )
+                ),
+                lambda x: x.getField("word"),
+            ).alias("words")
+        )
+    )
+
+    def member(s: F.Column) -> F.Column:
+        cond = F.lit(True)
+        for i in range(BLOOM_K):
+            p = (
+                md5_long(F.concat(F.lit(f"bloom{i}:"), s.cast("string")))
+                % BLOOM_M
+            )
+            # p div 32 without a shift/floordiv operator: p < 2^20 so the
+            # double division is exact and the bigint cast truncates = floor
+            word = F.element_at(
+                F.col("words"), ((p - p % 32) / 32).cast("int") + 1
+            )
+            bit = word.bitwiseAND(F.element_at(pow2, (p % 32).cast("int") + 1))
+            cond = cond & (bit != 0)
+        return cond
+
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    scored = tr.crossJoin(F.broadcast(wl)).select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("shingle_cnt"),
+        F.size(F.filter(F.col("sh"), member)).cast("bigint").alias("bloom_cnt"),
+    )
+    return scored.select(
+        "doc_id",
+        "shingle_cnt",
+        "bloom_cnt",
+        (F.col("bloom_cnt") >= CONTAM_MIN_SHARED).alias("is_flagged"),
+    )
+
+
+# --- surgical decontamination (span-level) -----------------------------------
+
+_EVAL_SCRUB_ORACLE = f"""
+WITH th AS (
+  SELECT doc_id, {sql_token_ngram_hashes_positional(sql_token_hashes(sql_tokens('text')), SPAN_N)} AS hl
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, s.pos, s.h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(hl)),
+                                 i -> {{'pos': i - 1, 'h': hl[i]}})) AS s
+    FROM th)
+),
+ev AS (SELECT DISTINCT h FROM sp WHERE doc_id % {EVAL_MOD} = 0),
+dp AS (
+  SELECT sp.doc_id, CAST(sp.pos AS BIGINT) AS pos
+  FROM sp JOIN ev ON sp.h = ev.h
+  WHERE sp.doc_id % {EVAL_MOD} <> 0
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_N} THEN 0 ELSE 1 END AS new_run
+  FROM dp
+),
+rid AS (
+  SELECT doc_id, pos,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_seq
+  FROM flagged
+),
+runs AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_N - 1} AS e
+  FROM rid GROUP BY doc_id, run_seq
+),
+iv AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs FROM runs GROUP BY doc_id
+),
+tt AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks
+  FROM documents WHERE text IS NOT NULL AND doc_id % {EVAL_MOD} <> 0
+),
+k AS (
+  SELECT tt.doc_id, len(tt.toks) AS n_toks,
+         CASE WHEN iv.ivs IS NULL THEN tt.toks
+              ELSE list_filter(tt.toks, (x, i) ->
+                     len(list_filter(iv.ivs,
+                         r -> i - 1 BETWEEN r.s AND r.e)) = 0)
+         END AS kept
+  FROM tt LEFT JOIN iv ON tt.doc_id = iv.doc_id
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_toks - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text
+FROM k
+"""
+
+
+@register(
+    "docs_decontaminate_span_scrub",
+    operators=(
+        "LLM-decontamination-surgical (span-level benchmark scrub: every "
+        "5-token window of a TRAINING doc that occurs anywhere in the "
+        "held-out eval split is a contaminated span; adjacent/overlapping "
+        "spans merge into maximal runs (the ExactSubstr gaps-and-islands "
+        "kernel, gate swapped from >=2-distinct-docs to eval membership) "
+        "and are CUT from the text — the doc survives minus the leaked "
+        "passage, instead of being dropped whole)"
+    ),
+    oracle=_EVAL_SCRUB_ORACLE,
+)
+def docs_decontaminate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination: ``docs_decontaminate_eval_overlap`` drops
+    a whole training document when it shares shingles with the eval split;
+    this kernel instead removes ONLY the overlapping passage — the right
+    tool when a long document quotes a benchmark item but the rest is good
+    training data. Any 5-token window (SPAN_N — the ExactSubstr
+    granularity, coarser than the doc-level detector's 3-token shingles)
+    of a training doc that appears ANYWHERE in the eval split is flagged;
+    flagged windows coalesce into maximal removal runs exactly like
+    ``docs_dup_span_runs`` (same gaps-and-islands kernel,
+    ``_span_runs_frame(gate='eval')``) and the shared cut stage
+    (``_scrub_with_runs``) re-emits the cleaned text, so the three scrub
+    queries cannot drift apart.
+
+    Scale shape: the eval window set is one distinct over the eval slice's
+    spans (in production: broadcast, or the Bloom form of
+    ``docs_decontaminate_bloom`` when even that is too big); the gate is
+    an equi-join on the span hash, then the measured runs/cut stages —
+    identical exchange profile to docs_dup_span_scrub.
+    """
+    runs = _span_runs_frame(spark, sf_dir, gate="eval")
+    return _scrub_with_runs(spark, sf_dir, runs, training_only=True)

@@ -136,6 +136,34 @@ ALLOWED: dict[str, dict[str, str]] = {
         "pattern); the 256-row bucket table itself attaches via a broadcast "
         "EQUI-join and is not part of this exception",
     },
+    "docs_curated_epoch_mix": {
+        "nested-loop": "the effective-token total joins as a crossJoin "
+        "against a 1-row broadcast aggregate (the docs_training_mix_report "
+        "share pattern) — constant-size build side at any corpus",
+        "single-partition": "composes the funnel flags (and through them "
+        "docs_neardup_keep_best's adaptive state-sized CC loop — see "
+        "docs_neardup_clusters); the mix-specific stages are source-keyed "
+        "partial aggs over bounded cells",
+    },
+    "docs_curation_by_engagement_cohort": {
+        "nested-loop": "the |users| scalar joins as a crossJoin against a "
+        "1-row broadcast aggregate (the standard 1-row-scalar pattern) — "
+        "the attribution modulus",
+        "single-partition": "two declared sources: (a) the inherited "
+        "funnel-flags CC loop (see docs_neardup_clusters), and (b) the "
+        "dense rank index over the USER DIMENSION (distinct users — "
+        "dimension-sized, not event-sized); at a corpus where even the "
+        "user dim outgrows one reducer, swap the global row_number for "
+        "the (hash-bucket, within-bucket rank) composite index exactly as "
+        "docs_shard_assignment's scale note prescribes — semantics "
+        "identical, the md5 gate only needs a stable 0..N-1 bijection",
+    },
+    "docs_decontaminate_bloom": {
+        "nested-loop": "the Bloom bitmap attaches as a crossJoin against ONE "
+        "constant-size broadcast row (BLOOM_WORDS packed words, independent "
+        "of corpus size) — the whole point of the sketch is that this is "
+        "the only non-scan operator the corpus side pays",
+    },
     "docs_training_mix_report": {
         "nested-loop": "the corpus token total joins as a crossJoin against a "
         "broadcast 1-row aggregate over the already-bounded source x lang "

@@ -404,3 +404,82 @@ def test_watermark_evict_witnesses(spark):
     for b in (2, 3, 4):
         live = admitted_by_batch.get(b - 1, set()) | admitted_by_batch.get(b - 2, set())
         assert not (admitted_by_batch[b] & live)
+
+
+def test_dedup_within_watermark_state_plateaus(spark, tmp_path):
+    """The bounded-state contract as a regression gate (the full 24-batch
+    curve lives in SCALE.md via tools/state_curve_probe.py): an 8-batch
+    one-day-apart replay — per batch 50 FRESH keys, 20 DUPs of batch b-1
+    (dropped, must NOT extend state), 20 READMITs of batch b-3 (evicted,
+    re-admitted) — must show stateOperators numRowsTotal PLATEAU at
+    exactly 2 x the per-batch admissions (keys admitted in b-1 and b-2 are
+    the live state during b), not grow with keys-ever."""
+    import glob
+    import os
+    import time
+
+    from inspig_etl_spark.streaming.incremental import dedup_within_watermark
+
+    fresh, dup, readmit, nb = 50, 20, 20, 8
+    day, base = 86_400, 1_700_000_000
+    b, i = F.col("batch"), F.col("id")
+    mk = lambda n, lo: (
+        spark.range(n)
+        .crossJoin(spark.range(lo, nb + 1).withColumnRenamed("id", "batch"))
+    )
+    rows = (
+        mk(fresh, 1).select(F.md5(F.concat(F.lit("k"), b * fresh + i)).alias("fp"), b)
+        .unionByName(
+            mk(dup, 2).select(
+                F.md5(F.concat(F.lit("k"), (b - 1) * fresh + i)).alias("fp"), b
+            )
+        )
+        .unionByName(
+            mk(readmit, 4).select(
+                F.md5(F.concat(F.lit("k"), (b - 3) * fresh + i)).alias("fp"), b
+            )
+        )
+        .select(
+            "fp",
+            b.cast("bigint").alias("batch"),
+            F.timestamp_seconds(
+                F.lit(base) + (b - 1) * day + F.crc32(F.col("fp")) % 3600
+            ).alias("ts"),
+        )
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 10_000
+    for k in range(1, nb + 1):
+        sub = str(tmp_path / f"b{k}")
+        rows.filter(F.col("batch") == k).coalesce(1).write.parquet(sub)
+        dst = f"{src}/batch_{k}.parquet"
+        os.replace(glob.glob(f"{sub}/part-*.parquet")[0], dst)
+        os.utime(dst, (t0 + k * 10, t0 + k * 10))
+    stream = (
+        spark.readStream.schema("fp string, batch bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_within_watermark(stream, "ts", ["fp"], "6 hours")
+        .writeStream.format("memory")
+        .queryName("plateau_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    curve = [
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    ]
+    assert len(curve) == nb
+    per_batch_admitted = fresh + readmit  # dups are dropped, never admitted
+    # ramp: batches 1-3 pre-readmit, batch 4 readmits switch on, 5+ steady
+    assert curve[:2] == [fresh, 2 * fresh]
+    plateau = curve[4:]
+    assert plateau == [2 * per_batch_admitted] * len(plateau), curve
+    keys_ever = nb * fresh  # what the unbounded ledger would hold
+    assert max(curve) < keys_ever
