@@ -563,9 +563,12 @@ def _fold_i(pairs: F.Column) -> F.Column:
     )
 
 
-def _pq_sub(m: int) -> F.Column:
-    """The m-th PQ sub-vector slice of the SQ8-quantized column ``qz``."""
-    return F.slice(F.col("qz"), m * PQ_DSUB + 1, PQ_DSUB)
+def _pq_sub(m: int | F.Column) -> F.Column:
+    """The m-th PQ sub-vector slice of the SQ8-quantized column ``qz``
+    (``m`` may be a Python int or the Column index a transform lambda
+    passes — the ONE slice definition both the encoder and the LUT use,
+    so the sub-space layout cannot diverge between them)."""
+    return F.slice(F.col("qz"), m * PQ_DSUB + F.lit(1), F.lit(PQ_DSUB))
 
 
 def _pq_codes_col() -> F.Column:
@@ -581,9 +584,7 @@ def _pq_codes_col() -> F.Column:
                 lambda cent, k: F.struct(
                     _fold_i(
                         F.zip_with(
-                            F.slice(
-                                F.col("qz"), m * PQ_DSUB + F.lit(1), F.lit(PQ_DSUB)
-                            ),
+                            _pq_sub(m),
                             cent,
                             lambda x, y: (x - y) * (x - y),
                         )
@@ -604,7 +605,7 @@ def _pq_lut_col() -> F.Column:
             book,
             lambda cent: _fold_i(
                 F.zip_with(
-                    F.slice(F.col("qz"), m * PQ_DSUB + F.lit(1), F.lit(PQ_DSUB)),
+                    _pq_sub(m),
                     cent,
                     lambda x, y: x * y,
                 )
@@ -1622,3 +1623,234 @@ def embeddings_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- MMR-diversified retrieval ----------------------------------------------
+
+MMR_C = 10  # exact-scored shortlist per query feeding the diversifier
+MMR_K = 5  # diversified picks per query
+# integer MMR objective: 2*relevance - max-sim-to-selected (the lambda=2/3
+# point of lambda*rel - (1-lambda)*sim, scaled to stay in exact BIGINTs)
+_MMR_KEY_SCALE = 1_000_000_000  # key = mmr*SCALE - neighbor_id: unique + orderable
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> p[1] * p[2]), (acc, x) -> acc + x) AS BIGINT)"
+    )
+
+
+_MMR_NEXT = f"""list_position(
+  list_transform(range(0, len(ids)), p -> CASE
+    WHEN list_contains(sel, p) THEN NULL
+    ELSE (2 * rels[p + 1]
+          - COALESCE(list_max(list_transform(sel, s2 -> m[p + 1][s2 + 1])), 0))
+         * {_MMR_KEY_SCALE} - ids[p + 1] END),
+  list_max(
+  list_transform(range(0, len(ids)), p -> CASE
+    WHEN list_contains(sel, p) THEN NULL
+    ELSE (2 * rels[p + 1]
+          - COALESCE(list_max(list_transform(sel, s2 -> m[p + 1][s2 + 1])), 0))
+         * {_MMR_KEY_SCALE} - ids[p + 1] END))) - 1"""
+
+
+@register(
+    "embeddings_knn_mmr_diversified",
+    operators=(
+        "LLM-ann-mmr (diversified retrieval: IVF-cell exact-int8 shortlist "
+        "-> greedy maximal-marginal-relevance selection, integer 2:1 "
+        "relevance:diversity objective folded as a pure expression over "
+        "the per-query candidate matrix — the de-duplicating re-rank a "
+        "RAG / retrieval pipeline runs after ANN)"
+    ),
+    oracle=f"""
+WITH RECURSIVE sc AS (
+  SELECT vec_id, {_sql_sq8('embedding')} AS qz,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+cl AS (
+  SELECT vec_id, qz, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.qz AS cv,
+         {_sql_dot('q.qz', 'c.qz')} AS rel
+  FROM cl q JOIN cl c ON q.cell = c.cell
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, cv, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS rank
+    FROM s
+  ) WHERE rank <= {MMR_C}
+),
+pr AS (
+  SELECT a.query_id, a.rank - 1 AS i, b.rank - 1 AS j,
+         {_sql_dot('a.cv', 'b.cv')} AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id
+),
+simrow AS (
+  SELECT query_id, i, list(sim ORDER BY j) AS srow FROM pr GROUP BY query_id, i
+),
+mat AS (SELECT query_id, list(srow ORDER BY i) AS m FROM simrow GROUP BY query_id),
+ca AS (
+  SELECT query_id,
+         list(neighbor_id ORDER BY rank) AS ids,
+         list(rel ORDER BY rank) AS rels
+  FROM cand GROUP BY query_id
+),
+pq AS (SELECT ca.query_id, ids, rels, m FROM ca JOIN mat USING (query_id)),
+rec AS (
+  SELECT query_id, ids, rels, m, 0 AS step, CAST([] AS BIGINT[]) AS sel
+  FROM pq
+  UNION ALL
+  SELECT query_id, ids, rels, m, step + 1,
+         CASE WHEN len(sel) >= len(ids) THEN sel
+              ELSE list_append(sel, CAST(({_MMR_NEXT}) AS BIGINT)) END
+  FROM rec WHERE step < {MMR_K}
+),
+fin AS (SELECT query_id, ids, rels, sel FROM rec WHERE step = {MMR_K}),
+ex AS (
+  SELECT query_id, ids, rels,
+         UNNEST(range(1, len(sel) + 1)) AS mmr_rank,
+         UNNEST(sel) AS p
+  FROM fin
+)
+SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       ids[CAST(p AS INT) + 1] AS neighbor_id,
+       rels[CAST(p AS INT) + 1] AS score_q
+FROM ex
+""",
+)
+def embeddings_knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k retrieval: the greedy maximal-marginal-relevance
+    re-rank a retrieval/RAG pipeline runs AFTER ANN so the k results are
+    not k near-duplicates of each other. Per query, the IVF cell's exact
+    int8 shortlist (top-``MMR_C`` by relevance) is diversified by picking
+    ``MMR_K`` results greedily under the integer objective
+    ``2*rel(c) - max_sim(c, selected)`` (the lambda=2/3 MMR point; ties to
+    the lowest neighbor id via the single orderable key
+    ``mmr*1e9 - id``) — pick 1 is always the plain argmax-relevance, later
+    picks trade relevance against similarity to what is already shown.
+
+    The selection loop is NOT a driver loop and not a UDF: candidates fold
+    per query into (ids, rels, C x C sim matrix) arrays — C is a constant,
+    so the row is bounded — and the greedy recurrence runs as ONE
+    ``F.aggregate`` expression over ``sequence(1, MMR_K)`` inside codegen
+    (the oracle mirrors it with a recursive CTE, the
+    docs_curated_shard_manifest discipline). All scores are exact int8
+    inner products — BIGINT-exact cross-engine.
+
+    Scale shape: one cell equi-join for the shortlist (the knn_ivf shape),
+    one rank window bounded by cell occupancy, a candidate self-join
+    bounded by C^2 = {MMR_C * MMR_C} rows per query, two (query, i)-keyed
+    fold aggs, then a pure expression — no stage grows faster than
+    queries x C^2 at any corpus size.
+    """
+    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    )
+    qs = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("qz").alias("qv")
+    )
+    cs = cl.select(F.col("vec_id").alias("neighbor_id"), "cell", F.col("qz").alias("cv"))
+    rel = _fold_i(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
+    s = (
+        qs.join(cs, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cv", rel.alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    cand = s.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= MMR_C
+    )
+    a = cand.select("query_id", (F.col("rank") - 1).alias("i"), F.col("cv").alias("av"))
+    b = cand.select("query_id", (F.col("rank") - 1).alias("j"), F.col("cv").alias("bv"))
+    pr = a.join(b, "query_id").select(
+        "query_id",
+        "i",
+        "j",
+        _fold_i(F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y)).alias("sim"),
+    )
+    simrow = pr.groupBy("query_id", "i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "sim"))),
+            lambda x: x.getField("sim"),
+        ).alias("srow")
+    )
+    mat = simrow.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "srow"))),
+            lambda x: x.getField("srow"),
+        ).alias("m")
+    )
+    ca = cand.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "neighbor_id"))),
+            lambda x: x.getField("neighbor_id"),
+        ).alias("ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "rel"))),
+            lambda x: x.getField("rel"),
+        ).alias("rels"),
+    )
+    pq = ca.join(mat, "query_id")
+
+    def _keys(acc: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ids")) - 1),
+            lambda p: F.when(
+                F.array_contains(acc, p.cast("bigint")),
+                F.lit(None).cast("bigint"),
+            ).otherwise(
+                (
+                    2 * F.element_at(F.col("rels"), p + 1)
+                    - F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                acc,
+                                lambda s2: F.element_at(
+                                    F.element_at(F.col("m"), p + 1),
+                                    s2.cast("int") + 1,
+                                ),
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                )
+                * _MMR_KEY_SCALE
+                - F.element_at(F.col("ids"), p + 1)
+            ),
+        )
+
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MMR_K)),
+        F.expr("cast(array() as array<bigint>)"),
+        lambda acc, _: F.when(F.size(acc) >= F.size(F.col("ids")), acc).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    (
+                        F.array_position(_keys(acc), F.array_max(_keys(acc))) - 1
+                    ).cast("bigint")
+                ),
+            )
+        ),
+    )
+    return (
+        pq.withColumn("sel", sel)
+        .select("query_id", "ids", "rels", F.posexplode("sel").alias("r0", "p"))
+        .select(
+            "query_id",
+            (F.col("r0") + 1).cast("bigint").alias("mmr_rank"),
+            F.element_at(F.col("ids"), F.col("p").cast("int") + 1).alias(
+                "neighbor_id"
+            ),
+            F.element_at(F.col("rels"), F.col("p").cast("int") + 1).alias("score_q"),
+        )
+    )

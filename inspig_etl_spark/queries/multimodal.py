@@ -570,3 +570,219 @@ def multimodal_paired_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumn(
         "is_canonical", (F.col("cluster_id") == F.col("pair_id")).cast("int")
     )
+
+
+# --- video frame-level near-dup ----------------------------------------
+
+VFRAME_TWIN_OFFSET = 2_000_000  # video twins (image twins use 1_000_000)
+VF_CELLS = 65  # 1-D resample cells per frame -> 64 gradient bits
+VF_MATCH_MIN = 2  # frames (of 4) that must match for a video pair
+
+_VF_HEXD = "0123456789ABCDEF"
+
+
+def _vf_sql_byte(pos: str) -> str:
+    """Byte value at 0-based position ``pos`` of the frame hex string fx."""
+    return (
+        f"(strpos('{_VF_HEXD}', fx[2 * ({pos}) + 1]) - 1) * 16"
+        f" + (strpos('{_VF_HEXD}', fx[2 * ({pos}) + 2]) - 1)"
+    )
+
+
+# Per-frame 1-D dHash: 65 nearest-neighbor sample cells over the frame
+# bytes, bit j = cell j strictly greater than cell j+1 — the gradient-bit
+# recipe of dhash_media applied along the byte stream (a real sampler
+# would hash each decoded frame; the 1-D form is its deterministic stand-in
+# with the same banding/verify contract).
+_VF_CELL = f"""CASE WHEN afl = 0 THEN 0
+  WHEN twin = 1 AND frame_no = 0 AND (j * afl) // {VF_CELLS} = 0
+  THEN ({_vf_sql_byte(f'(j * afl) // {VF_CELLS}')} + 1) % 256
+  ELSE {_vf_sql_byte(f'(j * afl) // {VF_CELLS}')} END"""
+
+_VF_CTES = f"""m AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 12 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 1 AS INT) AS c,
+         encode(repeat(COALESCE(text, ''), 4)) AS pay
+  FROM documents WHERE doc_id % 3 = 2
+),
+p AS (
+  SELECT doc_id,
+         LEAST(w * h * c, octet_length(pay)) AS plen,
+         substr(hex(pay), 1, 2 * LEAST(w * h * c, octet_length(pay))) AS hx
+  FROM m
+),
+v AS (
+  SELECT doc_id + twin * {VFRAME_TWIN_OFFSET} AS id, plen, hx, twin
+  FROM p, (SELECT unnest([0, 1]) AS twin)
+),
+fr AS (
+  SELECT id, twin, frame_no,
+         substr(hx, frame_no * GREATEST(plen // 4, 1) * 2 + 1,
+                GREATEST(plen // 4, 1) * 2) AS fx,
+         length(substr(hx, frame_no * GREATEST(plen // 4, 1) * 2 + 1,
+                       GREATEST(plen // 4, 1) * 2)) // 2 AS afl
+  FROM v, (SELECT unnest([0, 1, 2, 3]) AS frame_no)
+),
+cells AS (
+  SELECT id, frame_no,
+         list_transform(range(0, {VF_CELLS}), j -> {_VF_CELL}) AS cl
+  FROM fr
+),
+hsh AS (
+  SELECT id, frame_no,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN cl[j + 1] > cl[j + 2]
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(32, 64), j ->
+           CASE WHEN cl[j + 1] > cl[j + 2]
+                THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)) AS BIGINT) AS hi
+  FROM cells
+),
+ver AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.frame_no
+  FROM hsh a JOIN hsh b
+    ON a.frame_no = b.frame_no AND a.lo = b.lo AND a.hi = b.hi
+   AND a.id < b.id
+  WHERE NOT (a.lo = 0 AND a.hi = 0)
+)"""
+
+
+@register(
+    "multimodal_video_frame_neardup",
+    operators=(
+        "LLM-multimodal-video-neardup (keyframe-signature video dedup: per "
+        "sampled frame a 1-D 64-bit gradient signature (expression-only, "
+        "no codec), EXACT signature equi-join per frame position, video "
+        "pair when >= 2 of 4 positions match — robustness comes from "
+        "multiple frames, not per-frame Hamming slack; planted one-byte-"
+        "perturbed twins are the guaranteed witness)"
+    ),
+    oracle=f"""
+WITH {_VF_CTES}
+SELECT id_a, id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_matched
+FROM ver
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= {VF_MATCH_MIN}
+""",
+)
+def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality near-dup by keyframe-signature matching: two videos
+    are near-duplicates when >= VF_MATCH_MIN of their 4 sampled frame
+    positions carry the SAME 64-bit signature — a copied or trivially-
+    edited video matches on the untouched frames while different footage
+    does not. Frames come from the real
+    ``operators.multimodal.frame_sample`` operator (the payload-slicing
+    contract already oracled by multimodal_frame_sample); each frame gets
+    a 1-D dHash — {VF_CELLS} nearest-neighbor byte samples, bit j = cell j
+    strictly brighter than cell j+1 — as pure integer expressions over the
+    frame's hex encoding (the dhash_media gradient recipe minus the 2-D
+    grid, which raw frame slices don't have; a production build swaps in
+    per-frame decoded dHash behind the same signature columns). Planted
+    twins (first payload byte +1 mod 256, id + {VFRAME_TWIN_OFFSET})
+    guarantee a positive: the perturbation touches only frame 0, so twins
+    match exactly on frames 1-3.
+
+    Why EXACT match and not per-frame Hamming banding: the tolerance knob
+    here is the 2-of-4 frame-position vote (the production shape of
+    keyframe fingerprinting — robustness from many frames, not from bit
+    slack). The first build of this kernel used the image detector's
+    8-bit Hamming byte bands per frame and MEASURED them degenerate on
+    short text-byte frames: 1.85M candidate pairs at sf0.1 ->> 181M at the
+    10x replica (98x, max bucket 1034 of a 2048-bucket space) — an 8-bit
+    key has too little entropy when frames shorter than {VF_CELLS} bytes
+    force fixed zero bits (SCALE.md r12 note). The exact-signature
+    equi-join keys on all 64 bits, so buckets are true signature groups.
+
+    Scale shape: signatures are per-row expressions on the frame scan; the
+    candidate join is ONE equi-join on (frame_no, lo, hi) — bucket sizes
+    are genuine duplicate-group sizes, never hash-band collisions; all-
+    zero signatures (empty payloads — no evidence) are excluded from
+    candidacy; the final pair aggregation is bounded by true matches.
+    """
+    from inspig_etl_spark.operators.multimodal import frame_sample, synthetic_media
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    media = synthetic_media(docs).filter(F.col("media_type") == "video").select(
+        "id", "media_type", "blob"
+    )
+    b0 = F.conv(F.substring(F.hex(F.col("blob")), 17, 2), 16, 10).cast("int")
+    perturbed = F.concat(
+        F.expr("substring(blob, 1, 8)"),
+        F.unhex(
+            F.lpad(F.conv(((b0 + 1) % 256).cast("string"), 10, 16), 2, "0")
+        ),
+        F.expr("substring(blob, 10)"),
+    )
+    twins = media.select(
+        (F.col("id") + VFRAME_TWIN_OFFSET).alias("id"),
+        F.col("media_type"),
+        F.when(F.expr("octet_length(blob)") <= 8, F.col("blob"))
+        .otherwise(perturbed)
+        .alias("blob"),
+    )
+    frames = frame_sample(media.unionByName(twins), n_frames=4).select(
+        "id",
+        "frame_no",
+        F.hex("frame_bytes").alias("fx"),
+        F.col("frame_size").cast("bigint").alias("afl"),
+    )
+
+    def _fdiv(a: F.Column, b: int) -> F.Column:
+        # integer floor-div for nonnegative operands, lambda-safe (Column
+        # has no floordiv; values stay far below 2^52 so the double is exact)
+        return ((a - a % b) / b).cast("bigint")
+
+    def _byte(g: F.Column) -> F.Column:
+        return F.conv(F.col("fx").substr(2 * g + 1, F.lit(2)), 16, 10).cast(
+            "bigint"
+        )
+
+    cell = lambda j: F.when(F.col("afl") == 0, F.lit(0).cast("bigint")).otherwise(
+        _byte(_fdiv(j * F.col("afl"), VF_CELLS))
+    )
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(VF_CELLS - 1)).cast("array<bigint>"), cell
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(32)])
+    sig = frames.withColumn("cl", cells).select(
+        "id",
+        "frame_no",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(F.col("cl"), j + 1)
+                > F.element_at(F.col("cl"), j + 2),
+                F.element_at(pow2, j + 1),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ).alias("lo"),
+        F.aggregate(
+            F.sequence(F.lit(32), F.lit(63)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(F.col("cl"), j + 1)
+                > F.element_at(F.col("cl"), j + 2),
+                F.element_at(pow2, j - 31),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ).alias("hi"),
+    )
+    # persist(): the signature feeds BOTH sides of the self-join — without
+    # materialization the 65-cell hex-parse expression runs twice per frame
+    # (the _shingled pattern; bounded to one (id, frame_no, lo, hi) row per
+    # frame). Multi-query sessions clearCache() after the action.
+    evidenced = sig.filter(~((F.col("lo") == 0) & (F.col("hi") == 0))).persist()
+    sa = evidenced.select(F.col("id").alias("id_a"), "frame_no", "lo", "hi")
+    sb = evidenced.select(F.col("id").alias("id_b"), "frame_no", "lo", "hi")
+    ver = sa.join(sb, ["frame_no", "lo", "hi"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        ver.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= VF_MATCH_MIN)
+    )

@@ -408,25 +408,221 @@ def test_cohort_retention_matrix_invariants(spark):
 
 
 def test_ann_recall_report_invariants(spark):
-    """The tuning table's internal consistency: flat recall is 1.0 by
-    construction; IVF recall and scored-candidates both rise monotonically
-    with nprobe (more probed cells can only add candidates); refine recall
-    rises with C and never falls below raw ADC (the re-rank only reorders
-    a superset shortlist of the ADC top-k... recall-wise the shortlist at
-    C >= k contains the ADC top-k candidates); and mean cost never exceeds
-    the flat scan."""
+    """The tuning table's internal consistency. Two tiers of assertion:
+
+    GUARANTEED (hold for any data regen): flat recall is 1.0 by
+    construction; IVF hits and scored-candidates rise monotonically with
+    nprobe (probing more cells only ADDS candidates, and a ground-truth
+    pair whose neighbor enters the candidate set stays in the exact-scored
+    top-k — superset argument under the shared (score, id) total order);
+    refine scored_pairs rises with C; hits <= possible; mean cost never
+    exceeds the flat scan.
+
+    DATA-PINNED (true of the current testdata, NOT mathematically forced —
+    kept as drift tripwires with this comment as the waiver): recall_ppm
+    monotone in nprobe (its denominator ``possible`` also grows as more
+    queries become served, so the RATIO could legally dip) and
+    rf10.recall_ppm <= rf25.recall_ppm (the int8 re-rank at larger C can
+    evict a float-ground-truth pair from the top-k). If a regen breaks one
+    of these, re-pin the expectation — it is not a kernel bug."""
     rows = Q["embeddings_ann_recall_report"](spark, SF_CORRECT).collect()
     by = {(r.index_name, r.nprobe, r.shortlist_c): r for r in rows}
     assert len(rows) == 8
     flat = by[("flat", 1, 0)]
     assert flat.recall_ppm == 1_000_000 and flat.hits == flat.possible
     ivf = [by[("ivf", p, 0)] for p in (1, 2, 4)]
-    assert ivf[0].recall_ppm <= ivf[1].recall_ppm <= ivf[2].recall_ppm
+    # guaranteed: candidate supersets can only add hits and scored pairs
+    assert ivf[0].hits <= ivf[1].hits <= ivf[2].hits
     assert ivf[0].scored_pairs <= ivf[1].scored_pairs <= ivf[2].scored_pairs
     adc = by[("ivfpq_adc", 1, 0)]
     rf10, rf25 = by[("ivfpq_refine", 1, 10)], by[("ivfpq_refine", 1, 25)]
-    assert rf10.recall_ppm <= rf25.recall_ppm
     assert adc.scored_pairs <= rf10.scored_pairs <= rf25.scored_pairs
+    # data-pinned expectations (see docstring) — current testdata readings
+    assert ivf[0].recall_ppm <= ivf[1].recall_ppm <= ivf[2].recall_ppm
+    assert rf10.recall_ppm <= rf25.recall_ppm
     for r in rows:
         assert r.hits <= r.possible
         assert r.mean_scored_milli <= flat.mean_scored_milli
+
+
+def test_curated_epoch_mix_reconciles(spark):
+    """The curated mix manifest's three reconciliation contracts:
+
+    - against the FUNNEL: sum(n_docs) = stage-4 survivors, sum(n_tokens) =
+      stage-5 scrubbed tokens (the mix weighs exactly what ships);
+    - against the RAW mix report: per-source raw_tokens = the report's
+      token sums over its langs (NULL source maps to the manifest's '??');
+    - internally: epochs >= 1 so effective >= curated tokens, and the
+      integer ppm shares sum to 1e6 minus at most one floor-loss unit per
+      contributing source."""
+    mix = Q["docs_curated_epoch_mix"](spark, SF_CORRECT).collect()
+    funnel = {r.stage: r for r in Q["docs_curation_funnel"](spark, SF_CORRECT).collect()}
+    assert sum(r.n_docs for r in mix) == funnel[4].n_docs
+    assert sum(r.n_tokens for r in mix) == funnel[5].n_tokens
+
+    report = Q["docs_training_mix_report"](spark, SF_CORRECT).collect()
+    raw_by_src: dict = {}
+    for r in report:
+        key = r.source if r.source is not None else "??"
+        raw_by_src[key] = raw_by_src.get(key, 0) + r.n_tokens
+    for r in mix:
+        assert r.raw_tokens == raw_by_src[r.source], r.source
+
+    contributing = [r for r in mix if r.effective_tokens > 0]
+    share_sum = sum(r.share_ppm for r in contributing)
+    assert 1_000_000 - len(contributing) <= share_sum <= 1_000_000
+    for r in mix:
+        assert r.effective_tokens >= r.n_tokens  # every weight >= 1.0 epoch
+        assert r.n_docs <= r.raw_docs and r.n_tokens <= r.raw_tokens
+        assert 1_000_000 <= r.w_ppm <= 3_250_000
+
+
+def test_curation_by_cohort_partitions_the_funnel(spark):
+    """The cohort x band cells partition the attributed corpus exactly:
+    doc/survivor/token totals across cells equal the funnel's stage-0/
+    stage-4/stage-5 numbers (attribution assigns every flagged doc to
+    exactly one author), each cell's survival_ppm recomputes from its own
+    counts, and bands come from the fixed cut set."""
+    cells = Q["docs_curation_by_engagement_cohort"](spark, SF_CORRECT).collect()
+    funnel = {r.stage: r for r in Q["docs_curation_funnel"](spark, SF_CORRECT).collect()}
+    assert sum(c.n_docs for c in cells) == funnel[0].n_docs
+    assert sum(c.n_survivors for c in cells) == funnel[4].n_docs
+    assert sum(c.n_tokens for c in cells) == funnel[0].n_tokens
+    assert sum(c.curated_tokens for c in cells) == funnel[5].n_tokens
+    for c in cells:
+        assert c.band in ("high", "mid", "low")
+        assert c.survival_ppm == c.n_survivors * 1_000_000 // c.n_docs
+        assert 0 <= c.n_survivors <= c.n_docs
+        assert c.curated_tokens <= c.n_tokens
+
+
+def test_bloom_decontamination_never_misses(spark):
+    """The Bloom kernel's one-sided-error contract vs the exact join:
+    per doc, bloom_cnt >= the exact shared_cnt (a member shingle's k bits
+    are all set by construction — no false negatives), so every exactly-
+    contaminated doc is flagged; the same docs are covered; and bloom_cnt
+    never exceeds the doc's shingle count."""
+    exact = {
+        r.doc_id: r
+        for r in Q["docs_decontaminate_eval_overlap"](spark, SF_CORRECT).collect()
+    }
+    bloom = {
+        r.doc_id: r for r in Q["docs_decontaminate_bloom"](spark, SF_CORRECT).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert any(r.is_contaminated for r in exact.values())
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b.bloom_cnt >= e.shared_cnt, d
+        assert b.bloom_cnt <= b.shingle_cnt, d
+        if e.is_contaminated:
+            assert b.is_flagged, d
+
+
+def test_mmr_greedy_matches_python_reference(spark):
+    """The MMR expression fold (the risky part — a greedy recurrence coded
+    as F.aggregate over per-query candidate arrays) re-verified against a
+    transparent Python loop: rebuild the same exact-int8 shortlist through
+    the kernel's own public stages, run greedy MMR in plain Python ints,
+    and demand identical (query, rank) -> (neighbor, score) picks. Also
+    pins pick 1 = plain argmax relevance and distinct selections."""
+    from pyspark.sql import Window as W
+
+    from inspig_etl_spark.operators.similarity import with_ivf_cell
+    from inspig_etl_spark.queries.llm_similarity import (
+        _CENTROIDS,
+        _fold_i,
+        _sq8,
+        _vectors,
+        DIM,
+        MMR_C,
+        MMR_K,
+        QUERY_MOD,
+    )
+
+    emb = _vectors(spark, SF_CORRECT).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
+        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
+    )
+    qs = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("qz").alias("qv")
+    )
+    cs = cl.select(
+        F.col("vec_id").alias("neighbor_id"), "cell", F.col("qz").alias("cv")
+    )
+    rel = _fold_i(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
+    w = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    cand = (
+        qs.join(cs, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cv", rel.alias("rel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_C)
+        .collect()
+    )
+    by_q: dict = {}
+    for r in cand:
+        by_q.setdefault(r.query_id, []).append(r)
+    expect = {}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        vecs = [list(r.cv) for r in rows]
+        sel: list = []
+        for _ in range(min(MMR_K, len(rows))):
+            best = None
+            for p, r in enumerate(rows):
+                if p in sel:
+                    continue
+                maxsim = max(
+                    (sum(x * y for x, y in zip(vecs[p], vecs[s])) for s in sel),
+                    default=0,
+                )
+                key = (2 * r.rel - maxsim, -r.neighbor_id)
+                if best is None or key > best[0]:
+                    best = (key, p)
+            sel.append(best[1])
+        for rank0, p in enumerate(sel):
+            expect[(qid, rank0 + 1)] = (rows[p].neighbor_id, rows[p].rel)
+
+    got = {
+        (r.query_id, r.mmr_rank): (r.neighbor_id, r.score_q)
+        for r in Q["embeddings_knn_mmr_diversified"](spark, SF_CORRECT).collect()
+    }
+    assert got == expect
+    top1 = {qid: rows[0] for qid, rows in by_q.items()}
+    for qid, r in top1.items():
+        assert got[(qid, 1)] == (r.neighbor_id, r.rel)  # pick 1 = argmax rel
+    for qid in by_q:
+        picks = [n for (q2, _), (n, _) in got.items() if q2 == qid]
+        assert len(picks) == len(set(picks))
+
+
+def test_eval_span_scrub_is_surgical_and_consistent(spark):
+    """The surgical decontamination scrub: eval docs never appear in the
+    output; every removed token is accounted for by the eval-gated runs
+    frame (n_removed = total length of the doc's merged intervals — the
+    same bookkeeping the ExactSubstr scrub test pins); a scrubbed doc
+    loses at least one full SPAN_N window; and the corpus has a positive
+    witness (some training doc actually quotes the eval split)."""
+    from inspig_etl_spark.queries.llm_dedup import (
+        EVAL_MOD,
+        SPAN_N,
+        _span_runs_frame,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in Q["docs_decontaminate_span_scrub"](spark, SF_CORRECT).collect()
+    }
+    assert out and all(d % EVAL_MOD != 0 for d in out)
+    runs: dict = {}
+    for r in _span_runs_frame(spark, SF_CORRECT, gate="eval").collect():
+        runs.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    scrubbed = [d for d, r in out.items() if r.n_removed > 0]
+    assert scrubbed, "no training doc overlaps the eval split?"
+    for d, r in out.items():
+        expect = sum(e - s + 1 for s, e in runs.get(d, []))
+        assert r.n_removed == expect, d
+        if r.n_removed:
+            assert r.n_removed >= SPAN_N
+            assert len(r.clean_text.split()) == r.n_toks - r.n_removed

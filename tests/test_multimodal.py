@@ -270,3 +270,36 @@ def test_paired_neardup_or_composition(spark):
     ]
     for a, b in crossed:
         assert cluster[a + PHASH_TWIN_OFFSET] == cluster[b]
+
+
+def test_video_frame_neardup_finds_every_twin(spark):
+    """Witness coverage: every video whose payload yields evidence (>= 2
+    frame positions with a non-zero signature — all-zero sigs are excluded
+    from candidacy by design) must pair with its planted one-byte twin
+    (the perturbation touches only frame 0, so frames 1-3 are identical);
+    pair bookkeeping stays inside its bounds (2..4 matched frames, ordered
+    ids). On this corpus EVERY video qualifies, so the witness set is the
+    full video universe."""
+    from inspig_etl_spark.queries.multimodal import (
+        VF_MATCH_MIN,
+        VFRAME_TWIN_OFFSET,
+        multimodal_video_frame_neardup,
+    )
+
+    rows = multimodal_video_frame_neardup(spark, SF_SMOKE).collect()
+    vids = {
+        r.doc_id
+        for r in table(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") % 3 == 2) & F.col("text").isNotNull())
+        .select("doc_id")
+        .collect()
+    }
+    twin_pairs = {
+        r.id_a: r for r in rows if r.id_b - r.id_a == VFRAME_TWIN_OFFSET
+    }
+    assert set(twin_pairs) >= vids, sorted(vids - set(twin_pairs))[:5]
+    for v in vids:
+        assert twin_pairs[v].n_frames_matched >= 3
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert VF_MATCH_MIN <= r.n_frames_matched <= 4
