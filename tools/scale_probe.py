@@ -59,6 +59,8 @@ NAMES = [
     # the curated epoch mix, and the curation x cohort composition
     "stream_dedup_watermark_evict", "docs_curated_epoch_mix",
     "docs_curation_by_engagement_cohort", "docs_decontaminate_bloom",
+    "embeddings_knn_mmr_diversified", "docs_decontaminate_span_scrub",
+    "multimodal_video_frame_neardup",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
