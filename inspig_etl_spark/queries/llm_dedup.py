@@ -1991,3 +1991,111 @@ def docs_decontaminate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     runs = _span_runs_frame(spark, sf_dir, gate="eval")
     return _scrub_with_runs(spark, sf_dir, runs, training_only=True)
+
+
+# --- near-dup cluster quality diagnostic -------------------------------------
+
+
+def _cluster_quality_oracle() -> str:
+    from inspig_etl_spark.queries.llm_text import _SQL_CLS_FEATURES, _SQL_CLS_LOGIT
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, {sql_tokens('text')} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+l AS (SELECT doc_id, {_SQL_CLS_LOGIT} AS logit_e4 FROM f),
+cc AS (SELECT doc_id, cluster_id FROM ({_CLUSTERS_ORACLE}) z),
+sz AS (SELECT cluster_id, COUNT(*) AS csize FROM cc GROUP BY cluster_id),
+j AS (
+  SELECT cc.cluster_id, sz.csize, l.logit_e4
+  FROM cc JOIN sz USING (cluster_id) JOIN l USING (doc_id)
+  WHERE l.logit_e4 IS NOT NULL
+),
+b AS (
+  SELECT cluster_id, logit_e4,
+         CASE WHEN csize = 1 THEN 'singleton'
+              WHEN csize = 2 THEN 'pair'
+              WHEN csize <= 4 THEN 'small'
+              ELSE 'large' END AS size_band
+  FROM j
+)
+SELECT size_band,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       -- logit sums go NEGATIVE: DuckDB integer // and Spark div BOTH
+       -- truncate toward zero (verified: -7 // 2 = -3), so plain integer
+       -- division is cross-engine-safe even here
+       CAST(CAST(SUM(logit_e4) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS mean_logit_e4,
+       CAST(COUNT(CASE WHEN logit_e4 >= 0 THEN 1 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS keep_ppm
+FROM b GROUP BY size_band
+"""
+
+
+@register(
+    "docs_neardup_cluster_quality",
+    operators=(
+        "LLM-dedup-quality-diagnostic (the dedup x quality observability "
+        "table: transitive near-dup clusters bucketed by size band, each "
+        "band's cluster/doc counts, floor-mean classifier logit and "
+        "integer-ppm keep rate — answers 'are duplicated documents lower "
+        "quality than singletons', the check run before trusting survivor "
+        "selection to the quality model)"
+    ),
+    oracle=_cluster_quality_oracle(),
+)
+def docs_neardup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability across the dedup and quality stacks: every doc carries
+    its transitive near-dup cluster label (singletons label themselves)
+    and its fixed-point classifier logit; per cluster-SIZE band
+    (singleton / pair / small 3-4 / large 5+) the report shows how many
+    clusters and docs land there, the band's floor-mean logit and its
+    integer-ppm keep rate. A healthy corpus shows duplicated bands at or
+    below singleton quality — if 'large' outranks 'singleton', survivor
+    election by logit (docs_neardup_keep_best) is re-ranking junk.
+
+    Cross-engine care: logit sums are frequently NEGATIVE — this is the
+    registry's first negative integer division. Verified (not assumed):
+    DuckDB's integer ``//`` TRUNCATES toward zero exactly like Spark's
+    ``div`` (-7 // 2 = -3 on both; only float ``//`` floors), so plain
+    integer division matches bit-for-bit.
+
+    Scale shape: the CC labels are the materialized dedup artifact (the
+    measured docs_neardup_clusters loop); on top sit one cluster-keyed
+    size agg, two doc_id equi-joins, and a 4-row band aggregation —
+    nothing beyond the CC kernel's own exchanges grows with the corpus.
+    """
+    from inspig_etl_spark.queries.llm_text import _cls_logit_frame
+
+    cc = _clusters(spark, sf_dir, algorithm="auto").select("doc_id", "cluster_id")
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    logit = (
+        _cls_logit_frame(spark, sf_dir)
+        .select("doc_id", "logit_e4")
+        .filter(F.col("logit_e4").isNotNull())
+    )
+    band = (
+        F.when(F.col("csize") == 1, "singleton")
+        .when(F.col("csize") == 2, "pair")
+        .when(F.col("csize") <= 4, "small")
+        .otherwise("large")
+    )
+    j = (
+        cc.join(sz, "cluster_id")
+        .join(logit, "doc_id")
+        .select("cluster_id", band.alias("size_band"), "logit_e4")
+    )
+    return j.groupBy("size_band").agg(
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("cast(sum(logit_e4) div count(*) as bigint)").alias(
+            "mean_logit_e4"
+        ),
+        F.expr(
+            "cast(count_if(logit_e4 >= 0) * 1000000 div count(*) as bigint)"
+        ).alias("keep_ppm"),
+    )

@@ -1854,3 +1854,132 @@ def embeddings_knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFram
             F.element_at(F.col("rels"), F.col("p").cast("int") + 1).alias("score_q"),
         )
     )
+
+
+# --- incremental IVF index maintenance ---------------------------------------
+
+IVF_INCR_MOD = 3  # vec_id % 3 == 1 plays the arriving batch (rest = ledger)
+IVF_DRIFT_MAX_PPM = 20_000  # a cell's corpus share moving >= 2pp flags retrain
+
+
+@register(
+    "embeddings_ivf_incremental_drift",
+    operators=(
+        "LLM-ann-ivf-incremental (index maintenance AT INGEST: the arriving "
+        "embedding batch is assigned to the EXISTING coarse cells — one "
+        "scan of the batch, ledger untouched — and the per-cell occupancy "
+        "report compares corpus shares before/after with an integer-ppm "
+        "drift gate that flags when the quantizer needs retraining; the "
+        "incremental-ingest pattern (docs_minhash_incremental_neardup) "
+        "applied to the ANN index)"
+    ),
+    oracle=f"""
+WITH sc AS (
+  SELECT vec_id,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS_D64}
+),
+cl AS (
+  SELECT vec_id, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+agg AS (
+  SELECT cell,
+         CAST(COUNT(CASE WHEN vec_id % {IVF_INCR_MOD} <> 1 THEN 1 END) AS BIGINT)
+           AS ledger_cnt,
+         CAST(COUNT(CASE WHEN vec_id % {IVF_INCR_MOD} = 1 THEN 1 END) AS BIGINT)
+           AS batch_cnt
+  FROM cl GROUP BY cell
+),
+sp AS (
+  SELECT CAST(c AS INT) AS cell,
+         COALESCE(a.ledger_cnt, 0) AS ledger_cnt,
+         COALESCE(a.batch_cnt, 0) AS batch_cnt
+  FROM range({IVF_CELLS}) r(c) LEFT JOIN agg a ON a.cell = r.c
+),
+tot AS (
+  SELECT CAST(SUM(ledger_cnt) AS BIGINT) AS ledger_tot,
+         CAST(SUM(ledger_cnt + batch_cnt) AS BIGINT) AS grand_tot
+  FROM sp
+),
+s AS (
+  SELECT cell, ledger_cnt, batch_cnt,
+         CAST(ledger_cnt * 1000000 // NULLIF(ledger_tot, 0) AS BIGINT)
+           AS before_ppm,
+         CAST((ledger_cnt + batch_cnt) * 1000000 // NULLIF(grand_tot, 0)
+              AS BIGINT) AS after_ppm
+  FROM sp CROSS JOIN tot
+)
+SELECT cell, ledger_cnt, batch_cnt, before_ppm, after_ppm,
+       CAST(abs(after_ppm - before_ppm) AS BIGINT) AS drift_ppm,
+       abs(after_ppm - before_ppm) >= {IVF_DRIFT_MAX_PPM} AS retrain
+FROM s
+""",
+)
+def embeddings_ivf_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance at ingest: an arriving embedding batch
+    (``vec_id % {IVF_INCR_MOD} == 1`` plays the new data) is assigned to
+    the EXISTING coarse-quantizer cells — the production move, since
+    re-clustering the corpus per ingest is impossible — and the per-cell
+    occupancy report answers the one question an index operator asks:
+    did the data distribution drift enough that the quantizer needs
+    retraining? Per cell (zero-filled over the full {IVF_CELLS}-cell
+    bank): ledger/batch counts, integer-ppm corpus share before vs after
+    the ingest, absolute drift, and the retrain flag at
+    {IVF_DRIFT_MAX_PPM} ppm (2 pp). When the flag fires, the Lloyd
+    kernel (operators/clustering.py) retrains and the codes re-encode in
+    one scan (the embeddings_ivfpq_adc_knn docstring's index lifecycle).
+
+    Scale shape: ONE scan assigning cells (the shared ``with_ivf_cell``
+    argmax expression — at ingest only the batch is scanned; here both
+    sides are derived from one table so the split is by id), a
+    partial-aggregated groupBy onto the {IVF_CELLS}-row cell space, the
+    literal cell spine zero-fill, and the 1-row broadcast totals — no
+    stage beyond the scan exceeds cell-bank cardinality.
+    """
+    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select("vec_id", "cell")
+    agg = cl.groupBy("cell").agg(
+        F.count(F.when(F.col("vec_id") % IVF_INCR_MOD != 1, 1))
+        .cast("bigint")
+        .alias("ledger_cnt"),
+        F.count(F.when(F.col("vec_id") % IVF_INCR_MOD == 1, 1))
+        .cast("bigint")
+        .alias("batch_cnt"),
+    )
+    spine = spark.range(IVF_CELLS).select(F.col("id").cast("int").alias("cell"))
+    sp = spine.join(agg, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("ledger_cnt"), F.lit(0)).cast("bigint").alias("ledger_cnt"),
+        F.coalesce(F.col("batch_cnt"), F.lit(0)).cast("bigint").alias("batch_cnt"),
+    )
+    tot = sp.agg(
+        F.sum("ledger_cnt").cast("bigint").alias("ledger_tot"),
+        F.sum(F.col("ledger_cnt") + F.col("batch_cnt"))
+        .cast("bigint")
+        .alias("grand_tot"),
+    )
+    s = sp.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "ledger_cnt",
+        "batch_cnt",
+        F.expr("cast(ledger_cnt * 1000000 div nullif(ledger_tot, 0) as bigint)")
+        .alias("before_ppm"),
+        F.expr(
+            "cast((ledger_cnt + batch_cnt) * 1000000 div nullif(grand_tot, 0)"
+            " as bigint)"
+        ).alias("after_ppm"),
+    )
+    return s.select(
+        "cell",
+        "ledger_cnt",
+        "batch_cnt",
+        "before_ppm",
+        "after_ppm",
+        F.abs(F.col("after_ppm") - F.col("before_ppm"))
+        .cast("bigint")
+        .alias("drift_ppm"),
+        (
+            F.abs(F.col("after_ppm") - F.col("before_ppm")) >= IVF_DRIFT_MAX_PPM
+        ).alias("retrain"),
+    )

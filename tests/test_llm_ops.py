@@ -626,3 +626,49 @@ def test_eval_span_scrub_is_surgical_and_consistent(spark):
         if r.n_removed:
             assert r.n_removed >= SPAN_N
             assert len(r.clean_text.split()) == r.n_toks - r.n_removed
+
+
+def test_ivf_incremental_drift_report_is_consistent(spark):
+    """The index-maintenance report covers the full cell bank (zero-filled
+    8 rows), its counts re-add to the valid-vector universe split by the
+    batch rule, ppm shares sum to 1e6 within integer floor loss, and the
+    retrain flag is exactly the threshold predicate."""
+    from inspig_etl_spark.queries.llm_similarity import (
+        DIM,
+        IVF_CELLS,
+        IVF_DRIFT_MAX_PPM,
+        IVF_INCR_MOD,
+        _vectors,
+    )
+
+    rows = Q["embeddings_ivf_incremental_drift"](spark, SF_CORRECT).collect()
+    assert len(rows) == IVF_CELLS
+    assert sorted(r.cell for r in rows) == list(range(IVF_CELLS))
+    vecs = _vectors(spark, SF_CORRECT).filter(F.size("embedding") == DIM)
+    n_batch = vecs.filter(F.col("vec_id") % IVF_INCR_MOD == 1).count()
+    n_ledger = vecs.filter(F.col("vec_id") % IVF_INCR_MOD != 1).count()
+    assert sum(r.batch_cnt for r in rows) == n_batch
+    assert sum(r.ledger_cnt for r in rows) == n_ledger
+    for tot in ("before_ppm", "after_ppm"):
+        s = sum(getattr(r, tot) for r in rows)
+        assert 1_000_000 - IVF_CELLS <= s <= 1_000_000
+    for r in rows:
+        assert r.drift_ppm == abs(r.after_ppm - r.before_ppm)
+        assert r.retrain == (r.drift_ppm >= IVF_DRIFT_MAX_PPM)
+
+
+def test_cluster_quality_bands_partition_the_labeled_corpus(spark):
+    """The diagnostic's bands partition the logit-labeled corpus: doc
+    totals re-add to the cluster universe, each cluster lands in exactly
+    one band (cluster counts re-add to distinct clusters), and per-band
+    keep_ppm recomputes from its own counts."""
+    from inspig_etl_spark.queries.llm_dedup import _clusters
+
+    rows = Q["docs_neardup_cluster_quality"](spark, SF_CORRECT).collect()
+    cc = _clusters(spark, SF_CORRECT, algorithm="auto").collect()
+    assert sum(r.n_docs for r in rows) == len(cc)
+    assert sum(r.n_clusters for r in rows) == len({r.cluster_id for r in cc})
+    assert {r.size_band for r in rows} <= {"singleton", "pair", "small", "large"}
+    for r in rows:
+        assert 0 <= r.keep_ppm <= 1_000_000
+        assert r.n_docs >= r.n_clusters

@@ -158,6 +158,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "docs_shard_assignment's scale note prescribes — semantics "
         "identical, the md5 gate only needs a stable 0..N-1 bijection",
     },
+    "embeddings_ivf_incremental_drift": {
+        "nested-loop": "the ledger/grand totals join as a crossJoin against "
+        "a 1-row broadcast aggregate (the standard 1-row-scalar pattern) "
+        "onto the IVF_CELLS-row report",
+    },
     "docs_decontaminate_bloom": {
         "nested-loop": "the Bloom bitmap attaches as a crossJoin against ONE "
         "constant-size broadcast row (BLOOM_WORDS packed words, independent "

@@ -483,3 +483,71 @@ def test_dedup_within_watermark_state_plateaus(spark, tmp_path):
     assert plateau == [2 * per_batch_admitted] * len(plateau), curve
     keys_ever = nb * fresh  # what the unbounded ledger would hold
     assert max(curve) < keys_ever
+
+
+def test_sessionize_stream_state_plateaus(spark, tmp_path):
+    """The sessionization bounded-state contract as a regression gate (the
+    24-batch curve lives in SCALE.md): cohort(b) of users emits one event
+    in batches b and b+1 (one day apart, 1h watermark, 30-min gap), so
+    per-user state must plateau at <= 3 cohort widths (2 active cohorts
+    plus one batch of event-time-timeout latency) while users-ever grows
+    by a cohort per batch."""
+    import glob
+    import os
+    import time
+
+    from inspig_etl_spark.streaming.sessionize import sessionize_stream
+
+    cohort, nb = 40, 8
+    day, base = 86_400, 1_700_000_000
+    b, u = F.col("batch"), F.col("id")
+    mk = lambda lo: (
+        spark.range(cohort)
+        .crossJoin(spark.range(lo, nb + 1).withColumnRenamed("id", "batch"))
+    )
+    ev = (
+        mk(1).select((b * cohort + u).alias("user_id"), b)
+        .unionByName(mk(2).select(((b - 1) * cohort + u).alias("user_id"), b))
+        .select(
+            "user_id",
+            b.cast("bigint").alias("batch"),
+            (F.lit(base) + (b - 1) * day + F.col("user_id") % 1800).alias(
+                "ts_sec"
+            ),
+        )
+        .withColumn("event_id", F.col("user_id") * 1000 + b)
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 10_000
+    for k in range(1, nb + 1):
+        sub = str(tmp_path / f"b{k}")
+        ev.filter(F.col("batch") == k).coalesce(1).write.parquet(sub)
+        dst = f"{src}/batch_{k}.parquet"
+        os.replace(glob.glob(f"{sub}/part-*.parquet")[0], dst)
+        os.utime(dst, (t0 + k * 10, t0 + k * 10))
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, batch bigint, ts_sec bigint, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName("plateau_sessionize")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    curve = [
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    ]
+    assert len(curve) == nb
+    plateau = curve[2:]
+    assert plateau == [3 * cohort] * len(plateau), curve
+    assert max(curve) < nb * cohort  # users-ever keeps growing; state doesn't

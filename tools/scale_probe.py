@@ -60,7 +60,8 @@ NAMES = [
     "stream_dedup_watermark_evict", "docs_curated_epoch_mix",
     "docs_curation_by_engagement_cohort", "docs_decontaminate_bloom",
     "embeddings_knn_mmr_diversified", "docs_decontaminate_span_scrub",
-    "multimodal_video_frame_neardup",
+    "multimodal_video_frame_neardup", "embeddings_ivf_incremental_drift",
+    "docs_neardup_cluster_quality",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
