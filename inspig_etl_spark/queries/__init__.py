@@ -107,6 +107,7 @@ def _load() -> None:
         llm_clustering,
         llm_sketches,
         analytics_ext,
+        hybrid_search,
     )
 
     _reorder_for_window()

@@ -672,3 +672,32 @@ def test_cluster_quality_bands_partition_the_labeled_corpus(spark):
     for r in rows:
         assert 0 <= r.keep_ppm <= 1_000_000
         assert r.n_docs >= r.n_clusters
+
+
+def test_hybrid_rrf_fusion_is_consistent(spark):
+    """The fused ranking's internal contracts: fused_score recomputes from
+    the two tower ranks via integer RRF; every result came from at least
+    one tower; hybrid ranks are dense 1..k per query; a doc ranked top-1
+    by BOTH towers would dominate — verified in the data by checking that
+    whenever both ranks are present the fused score strictly exceeds
+    either single-tower contribution; and both towers contribute to the
+    final table somewhere (the composition is live, not one-sided)."""
+    from inspig_etl_spark.queries.hybrid_search import HYBRID_K, IDF_E6, RRF_K
+
+    rows = Q["docs_hybrid_rrf_search"](spark, SF_CORRECT).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        lex = IDF_E6 // (RRF_K + r.rank_lex) if r.rank_lex is not None else 0
+        vec = IDF_E6 // (RRF_K + r.rank_vec) if r.rank_vec is not None else 0
+        assert r.fused_score == lex + vec
+        assert r.rank_lex is not None or r.rank_vec is not None
+        if r.rank_lex is not None and r.rank_vec is not None:
+            assert r.fused_score > max(lex, vec)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.hybrid_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= HYBRID_K
+    assert any(r.rank_lex is not None for r in rows)
+    assert any(r.rank_vec is not None for r in rows)

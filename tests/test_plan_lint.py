@@ -158,6 +158,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "docs_shard_assignment's scale note prescribes — semantics "
         "identical, the md5 gate only needs a stable 0..N-1 bijection",
     },
+    "docs_hybrid_rrf_search": {
+        "nested-loop": "the corpus-size scalar N joins as a crossJoin "
+        "against a 1-row broadcast aggregate to df-gate the rare-bigram "
+        "vocabulary (the standard 1-row-scalar pattern)",
+    },
     "embeddings_ivf_incremental_drift": {
         "nested-loop": "the ledger/grand totals join as a crossJoin against "
         "a 1-row broadcast aggregate (the standard 1-row-scalar pattern) "

@@ -61,7 +61,7 @@ NAMES = [
     "docs_curation_by_engagement_cohort", "docs_decontaminate_bloom",
     "embeddings_knn_mmr_diversified", "docs_decontaminate_span_scrub",
     "multimodal_video_frame_neardup", "embeddings_ivf_incremental_drift",
-    "docs_neardup_cluster_quality",
+    "docs_neardup_cluster_quality", "docs_hybrid_rrf_search",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
