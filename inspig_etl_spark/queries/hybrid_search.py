@@ -142,18 +142,18 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capping unigrams left ZERO usable terms, measured; bigrams give a
     916-term space with a real rare tail, and phrase-ish bigram match is
     the better lexical signal anyway). Per query doc, candidates are docs
-    sharing at least one RARE bigram (df <= {DF_CAP_PCT}% of docs — the
+    sharing at least one RARE bigram (df <= 5% of docs, ``DF_CAP_PCT`` — the
     df cap is what keeps the inverted-index join bounded: common-term
     postings scale with the corpus and carry no ranking signal), scored
     by the summed integer idf ``(N * 1e6) div df`` of the shared distinct
-    bigrams (the docs_tfidf_topterms fixed-point idf), top-{LEX_C}.
+    bigrams (the docs_tfidf_topterms fixed-point idf), top-10 (``LEX_C``).
 
     VECTOR tower: the IVF coarse-cell exact-int8 shortlist (the
-    embeddings_knn_mmr_diversified candidate stage), top-{VEC_C}.
+    embeddings_knn_mmr_diversified candidate stage), top-10 (``VEC_C``).
 
     FUSION: integer RRF — each tower contributes
-    ``1e6 div ({RRF_K} + rank)``, a doc missing from a tower contributes
-    0, final top-{HYBRID_K} per query by fused score with id tie-break.
+    ``1e6 div (60 + rank)`` (``RRF_K`` = 60), a doc missing contributes
+    0, final top-5 (``HYBRID_K``) per query by fused score, id tie-break.
     Rank-based fusion needs no cross-tower score calibration, which is
     exactly why deployments use it; the integer form makes it hash-exact.
 

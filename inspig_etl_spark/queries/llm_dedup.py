@@ -1295,7 +1295,7 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate of a val doc lands in train and the eval measures
     memorization. The split key is therefore the CLUSTER label from the
     transitive near-dup closure (singletons label themselves), so whole
-    clusters move together: md5('split' || cluster_id) % 100 < {VAL_PCT}
+    clusters move together: md5('split' || cluster_id) % 100 < ``VAL_PCT``
     sends ~10% of clusters to val, deterministically across engines,
     partitionings and reruns.
 
@@ -1805,7 +1805,7 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``docs_decontaminate_eval_overlap``: instead of equi-joining every
     corpus shingle against the eval shingle ledger (a shuffle that scales
     with the corpus), the eval set is folded ONCE into a fixed-size bitmap
-    (md5-derived, k={BLOOM_K} domain-separated bit positions, 32 bits per
+    (md5-derived, k=4 (``BLOOM_K``) domain-separated bit positions, 32 bits per
     BIGINT word so no shift overflow on either engine) that attaches to
     the corpus as a single broadcast row; the per-doc contamination count
     is then ``size(filter(sh, all-k-bits-set))`` — expression-only, inside

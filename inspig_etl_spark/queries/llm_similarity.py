@@ -1459,7 +1459,7 @@ pq_top AS (SELECT query_id, neighbor_id FROM adcr WHERE rk <= {TOP_K}),
 )
 def embeddings_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index tuning table: for every retrieval configuration, exact
-    integer recall@{TOP_K} against the float-cosine brute-force ground
+    integer recall@k (``TOP_K``) against the float-cosine brute-force ground
     truth, plus the configuration's candidate-scoring cost — the two axes
     that decide (index, nprobe, C) before committing a 100 TB index build.
 
@@ -1747,7 +1747,7 @@ def embeddings_knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: one cell equi-join for the shortlist (the knn_ivf shape),
     one rank window bounded by cell occupancy, a candidate self-join
-    bounded by C^2 = {MMR_C * MMR_C} rows per query, two (query, i)-keyed
+    bounded by C^2 = 100 rows per query, two (query, i)-keyed
     fold aggs, then a pure expression — no stage grows faster than
     queries x C^2 at any corpus size.
     """
@@ -1918,22 +1918,22 @@ FROM s
 )
 def embeddings_ivf_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance at ingest: an arriving embedding batch
-    (``vec_id % {IVF_INCR_MOD} == 1`` plays the new data) is assigned to
+    (``vec_id % IVF_INCR_MOD == 1`` plays the new data) is assigned to
     the EXISTING coarse-quantizer cells — the production move, since
     re-clustering the corpus per ingest is impossible — and the per-cell
     occupancy report answers the one question an index operator asks:
     did the data distribution drift enough that the quantizer needs
-    retraining? Per cell (zero-filled over the full {IVF_CELLS}-cell
+    retraining? Per cell (zero-filled over the full 8-cell ``IVF_CELLS``
     bank): ledger/batch counts, integer-ppm corpus share before vs after
     the ingest, absolute drift, and the retrain flag at
-    {IVF_DRIFT_MAX_PPM} ppm (2 pp). When the flag fires, the Lloyd
+    ``IVF_DRIFT_MAX_PPM`` = 20,000 ppm (2 pp). When the flag fires, the Lloyd
     kernel (operators/clustering.py) retrains and the codes re-encode in
     one scan (the embeddings_ivfpq_adc_knn docstring's index lifecycle).
 
     Scale shape: ONE scan assigning cells (the shared ``with_ivf_cell``
     argmax expression — at ingest only the batch is scanned; here both
     sides are derived from one table so the split is by id), a
-    partial-aggregated groupBy onto the {IVF_CELLS}-row cell space, the
+    partial-aggregated groupBy onto the cell-bank-row space, the
     literal cell spine zero-fill, and the 1-row broadcast totals — no
     stage beyond the scan exceeds cell-bank cardinality.
     """

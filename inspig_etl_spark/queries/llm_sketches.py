@@ -289,15 +289,15 @@ def docs_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Build: exact per-token counts feed the sketch (equivalent to hashing
     the raw stream — addition is associative — but shuffles one row per
     DISTINCT token instead of per occurrence), then each token adds its
-    count to one counter per hash row; the sketch is d*w = {CMS_D}x{CMS_W}
+    count to one counter per hash row; the sketch is d*w = 4x1024
     cells TOTAL, regardless of corpus size, and two shards' sketches merge
     by element-wise sum. Query: a token's estimate is the MIN of its d
     counters — >= the true count by construction (collisions only ever
-    add), which the invariant test pins. The exact top-{CMS_TOP} tokens
+    add), which the invariant test pins. The exact top-k (``CMS_TOP``) tokens
     ride along so the driver hash-gates estimate AND truth side by side.
 
     Scale shape: one partial-aggregated groupBy(tok), one constant-size
-    (d*w) aggregation, and a {CMS_TOP}-row TakeOrdered probe joined back
+    (d*w) aggregation, and a ``CMS_TOP``-row TakeOrdered probe joined back
     against the constant-size sketch — nothing here grows with the corpus
     except the first count pass.
     """

@@ -1286,7 +1286,7 @@ FROM t0 LEFT JOIN {last} USING (doc_id)
 )
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the trained tokenizer: the merge sequence
-    from the training loop (same {BPE_TRAIN_ROUNDS}-round run — trainer
+    from the training loop (same ``BPE_TRAIN_ROUNDS``-round run — trainer
     and encoder must agree or the vocabulary drifts) is applied to every
     document, and each doc reports its original whitespace-token count,
     its encoded piece count, and how many merges fired. This is the

@@ -320,7 +320,7 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
     Because the synthetic corpus has no two images with equal dims AND
     equal text, a deterministic witness set is planted: every image gets a
-    twin (id + {PHASH_TWIN_OFFSET}) whose FIRST payload byte is +1 — a
+    twin (id + ``PHASH_TWIN_OFFSET``) whose FIRST payload byte is +1 — a
     one-sampled-pixel perturbation. Nearly every (image, twin) pair
     surfaces at small Hamming distance, but not all: the +1 raises one
     sampled gray cell, and when that cell sits boundary-equal to its
@@ -676,12 +676,12 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     does not. Frames come from the real
     ``operators.multimodal.frame_sample`` operator (the payload-slicing
     contract already oracled by multimodal_frame_sample); each frame gets
-    a 1-D dHash — {VF_CELLS} nearest-neighbor byte samples, bit j = cell j
+    a 1-D dHash — 65 (``VF_CELLS``) nearest-neighbor byte samples, bit j = cell j
     strictly brighter than cell j+1 — as pure integer expressions over the
     frame's hex encoding (the dhash_media gradient recipe minus the 2-D
     grid, which raw frame slices don't have; a production build swaps in
     per-frame decoded dHash behind the same signature columns). Planted
-    twins (first payload byte +1 mod 256, id + {VFRAME_TWIN_OFFSET})
+    twins (first payload byte +1 mod 256, id + ``VFRAME_TWIN_OFFSET``)
     guarantee a positive: the perturbation touches only frame 0, so twins
     match exactly on frames 1-3.
 
@@ -692,7 +692,7 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     8-bit Hamming byte bands per frame and MEASURED them degenerate on
     short text-byte frames: 1.85M candidate pairs at sf0.1 ->> 181M at the
     10x replica (98x, max bucket 1034 of a 2048-bucket space) — an 8-bit
-    key has too little entropy when frames shorter than {VF_CELLS} bytes
+    key has too little entropy when frames shorter than the 65 sample cells
     force fixed zero bits (SCALE.md r12 note). The exact-signature
     equi-join keys on all 64 bits, so buckets are true signature groups.
 

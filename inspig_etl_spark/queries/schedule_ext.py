@@ -63,7 +63,7 @@ GROUP BY mode, wk_nm
 """,
 )
 def schedule_seq_filter_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three protocol values ('-1' every task, '{_SUBSET}' only those
+    """All three protocol values ('-1' every task, a '1,3'-style subset list only those
     SEQs, '' none — zero rows, the reference's skip-the-count behavior)
     resolved through :func:`parse_seq_filter` and evaluated in ONE pass:
     each mode's rule subset is tagged and unioned on the RULES side (a few
