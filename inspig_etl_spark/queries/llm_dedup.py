@@ -2099,3 +2099,193 @@ def docs_neardup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(count_if(logit_e4 >= 0) * 1000000 div count(*) as bigint)"
         ).alias("keep_ppm"),
     )
+
+
+# --- epoch-expanded curated shard manifest -----------------------------------
+
+
+def _epoch_manifest_oracle() -> str:
+    """Epoch-expanded survivors -> deterministic per-(doc, epoch) shard
+    assignment -> greedy packing, as one recursive-CTE oracle over the
+    shared flags chain (the _manifest_oracle shape with the mix's epoch
+    repeats in the member universe)."""
+    from inspig_etl_spark.functions.text import sql_md5_long
+    from inspig_etl_spark.queries.llm_sampling import N_SHARDS
+
+    c = MANIFEST_CAPACITY
+    key = "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch_no AS VARCHAR)"
+    return f"""
+WITH RECURSIVE {_funnel_flags_sql()},
+surv0 AS (
+  SELECT fl.doc_id, fl.n_toks - fl.n_removed AS n,
+         CAST(FLOOR((1000000 + (LENGTH(COALESCE(d.source, '??')) % 4) * 750000)
+                    / 1000000.0) AS INT)
+         + CASE WHEN {sql_md5_long("'mix' || CAST(fl.doc_id AS VARCHAR)")} % {_PPM}
+                     < (1000000 + (LENGTH(COALESCE(d.source, '??')) % 4) * 750000)
+                       % {_PPM}
+                THEN 1 ELSE 0 END AS epochs
+  FROM flags fl JOIN documents d ON d.doc_id = fl.doc_id
+  WHERE fl.s4
+),
+surv AS (
+  SELECT doc_id, n,
+         CAST(unnest(generate_series(1, epochs)) AS BIGINT) AS epoch_no
+  FROM surv0
+),
+sh AS (
+  SELECT doc_id, epoch_no, n,
+         CAST({sql_md5_long(f"'shard' || {key}")} % {N_SHARDS} AS INT) AS shard,
+         {sql_md5_long(f"'ord' || {key}")} AS ord_h
+  FROM surv
+),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY ord_h, doc_id, epoch_no) AS rn
+  FROM sh
+),
+rec AS (
+  SELECT shard, rn, doc_id, epoch_no, n, ord_h,
+         CAST(0 AS BIGINT) AS bin_no, n AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.epoch_no, o.n, o.ord_h,
+         CASE WHEN r.fill + o.n <= {c} THEN r.bin_no ELSE r.bin_no + 1 END,
+         CASE WHEN r.fill + o.n <= {c} THEN r.fill + o.n ELSE o.n END
+  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+),
+b AS (
+  SELECT shard, bin_no,
+         string_agg({key}, ',' ORDER BY ord_h, doc_id, epoch_no) AS members,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n) AS BIGINT) AS token_cnt
+  FROM rec GROUP BY shard, bin_no
+)
+SELECT shard, bin_no, members, n_items, token_cnt,
+       CAST(SUM(token_cnt) OVER (PARTITION BY shard) AS BIGINT) AS shard_tokens
+FROM b
+"""
+
+
+@register(
+    "docs_curated_epoch_shard_manifest",
+    operators=(
+        "LLM-curated-epoch-shards (the trainer's ACTUAL corpus "
+        "materialized: funnel survivors x their fractional epoch repeats "
+        "(same 'mix' gate as the epoch mix) -> deterministic per-(doc, "
+        "epoch) md5 shard assignment -> greedy fixed-capacity packing -> "
+        "(shard, bin, ordered doc:epoch members, token counts) manifest — "
+        "closes the mix -> shards loop that docs_curated_shard_manifest "
+        "(single-pass corpus) and docs_curated_epoch_mix (accounting) "
+        "leave open)"
+    ),
+    oracle=_epoch_manifest_oracle(),
+)
+def docs_curated_epoch_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trainer's actual data order: ``docs_curated_shard_manifest``
+    packs each survivor ONCE, but the epoch mix ships doc d ``epochs(d)``
+    times — this manifest packs the EPOCH-EXPANDED stream, one member per
+    (doc, epoch occurrence), so the shard files it describes are the bytes
+    a multi-epoch training run actually reads. Epoch counts use the exact
+    ``docs_curated_epoch_mix`` rule (per-source weight on the coalesced
+    source label, the shared 'mix' fractional hash gate), so
+    sum(n over members) per the whole manifest reconciles to the mix's
+    effective_tokens total (pinned in tests). Shard and order hashes are
+    domain-separated over the 'doc:epoch' composite key, so an epoch's
+    occurrences scatter independently across shards — repeats of a doc do
+    NOT cluster in one shard file (the property epoch-major concatenation
+    would lose).
+
+    Scale shape: identical to docs_curated_shard_manifest with the member
+    universe multiplied by the mean epoch weight (~1.7x here): epoch
+    expansion is per-row ``explode(sequence)``, shard+pack is ONE shuffle
+    on the shard key + the streaming Arrow fold with two integers of state
+    per shard, and the manifest aggregation lands on (shard, bin) keys.
+    """
+    import pandas as pd
+
+    from inspig_etl_spark.functions.text import md5_long
+    from inspig_etl_spark.queries.llm_sampling import N_SHARDS
+
+    docs = table(spark, sf_dir, "documents")
+    src_c = F.coalesce(F.col("source"), F.lit("??"))
+    w_ppm = F.lit(1000000) + (F.length("source") % 4) * 750000
+    gate = md5_long(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % _PPM
+    epochs = F.floor(w_ppm / F.lit(1000000.0)).cast("int") + F.when(
+        gate < w_ppm % _PPM, 1
+    ).otherwise(0)
+    surv = (
+        _funnel_flags_frame(spark, sf_dir)
+        .filter(F.col("s4"))
+        .select("doc_id", (F.col("n_toks") - F.col("n_removed")).alias("n"))
+        .join(docs.select("doc_id", src_c.alias("source")), "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(1), epochs)).alias("epoch_no"),
+        )
+        .withColumn("epoch_no", F.col("epoch_no").cast("bigint"))
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch_no").cast("string")
+    )
+    sh = surv.select(
+        "doc_id",
+        "epoch_no",
+        "n",
+        (md5_long(F.concat(F.lit("shard"), key)) % N_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        md5_long(F.concat(F.lit("ord"), key)).alias("ord_h"),
+    )
+
+    def pack(batches):
+        state: dict = {}  # shard -> [bin_no, fill]
+        for pdf in batches:
+            bin_nos = []
+            for shard, n in zip(pdf["shard"], pdf["n"]):
+                n = int(n)
+                st = state.get(shard)
+                if st is None:
+                    st = state[shard] = [0, n]
+                elif st[1] + n <= MANIFEST_CAPACITY:
+                    st[1] += n
+                else:
+                    st[0] += 1
+                    st[1] = n
+                bin_nos.append(st[0])
+            out = pdf[["doc_id", "epoch_no", "n", "shard", "ord_h"]].copy()
+            out["bin_no"] = pd.Series(bin_nos, dtype="int64")
+            yield out
+
+    packed = (
+        sh.repartition("shard")
+        .sortWithinPartitions("shard", "ord_h", "doc_id", "epoch_no")
+        .mapInPandas(
+            pack,
+            "doc_id long, epoch_no long, n long, shard int, ord_h long,"
+            " bin_no long",
+        )
+    )
+    per_bin = packed.groupBy("shard", "bin_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ord_h", "doc_id", "epoch_no"))
+                ),
+                lambda s: F.concat(
+                    s.getField("doc_id").cast("string"),
+                    F.lit(":"),
+                    s.getField("epoch_no").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n").cast("bigint").alias("token_cnt"),
+    )
+    return per_bin.withColumn(
+        "shard_tokens",
+        F.sum("token_cnt").over(Window.partitionBy("shard")).cast("bigint"),
+    )

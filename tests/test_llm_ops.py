@@ -701,3 +701,35 @@ def test_hybrid_rrf_fusion_is_consistent(spark):
         assert len(rs) <= HYBRID_K
     assert any(r.rank_lex is not None for r in rows)
     assert any(r.rank_vec is not None for r in rows)
+
+
+def test_epoch_shard_manifest_reconciles_to_the_mix(spark):
+    """The epoch-expanded manifest IS the mix materialized: total member
+    tokens across all bins equal the epoch mix's effective_tokens total;
+    member count equals the mix's total epoch occurrences for survivors;
+    every member's doc appears exactly its epoch count; bins respect
+    capacity (oversized singletons excepted, same contract as the
+    single-pass manifest); shard totals re-add from their bins."""
+    from inspig_etl_spark.queries.llm_dedup import MANIFEST_CAPACITY
+
+    bins = Q["docs_curated_epoch_shard_manifest"](spark, SF_CORRECT).collect()
+    mix = Q["docs_curated_epoch_mix"](spark, SF_CORRECT).collect()
+    assert sum(b.token_cnt for b in bins) == sum(r.effective_tokens for r in mix)
+    members = [m for b in bins for m in b.members.split(",") if m]
+    assert len(members) == len(set(members))  # (doc, epoch) appears once
+    assert len(members) == sum(b.n_items for b in bins)
+    from collections import Counter
+
+    per_doc = Counter(int(m.split(":")[0]) for m in members)
+    # each doc's occurrence count is a contiguous 1..epochs range
+    for m in members:
+        d, e = (int(x) for x in m.split(":"))
+        assert 1 <= e <= per_doc[d]
+    for b in bins:
+        assert b.token_cnt <= MANIFEST_CAPACITY or b.n_items == 1
+    shard_tot: dict = {}
+    for b in bins:
+        shard_tot.setdefault(b.shard, 0)
+        shard_tot[b.shard] += b.token_cnt
+    for b in bins:
+        assert b.shard_tokens == shard_tot[b.shard]

@@ -62,6 +62,7 @@ NAMES = [
     "embeddings_knn_mmr_diversified", "docs_decontaminate_span_scrub",
     "multimodal_video_frame_neardup", "embeddings_ivf_incremental_drift",
     "docs_neardup_cluster_quality", "docs_hybrid_rrf_search",
+    "docs_curated_epoch_shard_manifest",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
