@@ -2289,3 +2289,143 @@ def docs_curated_epoch_shard_manifest(
         "shard_tokens",
         F.sum("token_cnt").over(Window.partitionBy("shard")).cast("bigint"),
     )
+
+
+# --- semantic (embedding-space) decontamination ----------------------------
+#
+# N-gram overlap (docs_decontaminate_eval_overlap / _bloom / _span_scrub)
+# misses PARAPHRASED leakage: an eval question rewritten with different
+# surface tokens shares no shingles but sits next to the original in
+# embedding space. Modern pipelines therefore run an embedding-cosine
+# decontamination pass alongside the lexical one; this kernel is that pass,
+# composed from the repo's ANN stack (``embeddings.vec_id`` aligns with
+# ``documents.doc_id`` — the same id-space convention docs_hybrid_rrf_search
+# relies on, and the SAME held-out split as every lexical decontaminator:
+# ``doc_id % EVAL_MOD``).
+#
+# The threshold sits BELOW the near-dup threshold (0.35 vs NEARDUP_COS
+# 0.45) on purpose: decontamination is recall-biased — dropping a clean
+# training doc costs one document, while leaking an eval neighbor corrupts
+# the benchmark — so the flag fires earlier than the dedup survivor
+# election would.
+SEM_CONTAM_COS = 0.35
+
+
+def _sem_decon_oracle() -> str:
+    from inspig_etl_spark.operators.similarity import sql_dot, sql_norm
+    from inspig_etl_spark.queries.llm_similarity import (
+        _SQL_IVF_BEST,
+        _SQL_IVF_CASE,
+        _SQL_IVF_SCORES,
+        _SQL_VECTORS,
+    )
+
+    return f"""
+WITH sc AS (
+  SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+         {_SQL_IVF_SCORES}
+  FROM {_SQL_VECTORS}
+),
+cl AS (
+  SELECT vec_id, embedding, nrm, {_SQL_IVF_CASE} AS cell
+  FROM (SELECT *, {_SQL_IVF_BEST} AS best FROM sc)
+),
+ev AS (
+  SELECT cell, vec_id AS eval_id, embedding AS ev, nrm AS en
+  FROM cl WHERE vec_id % {EVAL_MOD} = 0
+),
+tr AS (
+  SELECT cell, vec_id AS doc_id, embedding AS tv, nrm AS tn
+  FROM cl WHERE vec_id % {EVAL_MOD} <> 0
+),
+s AS (
+  SELECT doc_id, eval_id, {sql_dot('tv', 'ev')} / (tn * en) AS sim
+  FROM tr JOIN ev USING (cell)
+),
+c AS (
+  SELECT doc_id, eval_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY sim DESC, eval_id) AS rk
+  FROM s WHERE sim >= {SEM_CONTAM_COS}
+)
+SELECT c.doc_id, d.source, c.eval_id, ROUND(c.sim, 6) AS cosine_sim
+FROM c JOIN documents d ON d.doc_id = c.doc_id
+WHERE rk = 1
+"""
+
+
+@register(
+    "docs_decontaminate_semantic",
+    operators=(
+        "LLM-decontamination-semantic (embedding-cosine eval-leak scrub: "
+        "flag training docs whose embedding sits within cosine >= "
+        "threshold of ANY held-out eval doc — catches paraphrased leakage "
+        "the n-gram decontaminators miss; candidates form only inside an "
+        "IVF cell, composing the ANN coarse quantizer with the curation "
+        "split)"
+    ),
+    oracle=_sem_decon_oracle(),
+)
+def docs_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: a TRAINING document is flagged when
+    its embedding's cosine against any EVAL-split embedding reaches
+    ``SEM_CONTAM_COS``; the output is one row per contaminated training doc
+    with its nearest contaminating eval id (ties broken by eval_id) and the
+    cosine, joined to ``documents`` for the source attribution a scrub
+    report needs.
+
+    Scale shape: both sides take their IVF cell from the shared coarse
+    quantizer (one per-row expression), so candidates form only inside a
+    cell — an equi-join shuffling O(|corpus|) rows, never |train| x |eval|.
+    At 100 TB the eval side is a constant-size benchmark suite, so the
+    production variant broadcasts the (cell-keyed) eval vectors and the
+    train side never shuffles at all; here both sides scale with the
+    synthetic corpus so the cell join stays symmetric. Like every
+    single-probe IVF kernel the cell restriction trades recall for cost —
+    a cross-cell paraphrase pair is missed; raise nprobe (the multiprobe
+    pattern in queries/llm_similarity.py) when the leak budget demands it.
+    The per-doc argmax window partitions on doc_id (bounded by the cell's
+    candidate count, never global).
+    """
+    from inspig_etl_spark.operators.similarity import dot, norm, with_ivf_cell
+    from inspig_etl_spark.queries.llm_similarity import _CENTROIDS, _vectors
+
+    emb = with_ivf_cell(_vectors(spark, sf_dir), "embedding", _CENTROIDS)
+    n = emb.select(
+        "cell", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    ev = n.select(
+        "cell",
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ev"),
+        F.col("nrm").alias("en"),
+    ).filter(F.col("eval_id") % EVAL_MOD == 0)
+    tr = n.select(
+        "cell",
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("tv"),
+        F.col("nrm").alias("tn"),
+    ).filter(F.col("doc_id") % EVAL_MOD != 0)
+    # nullif: zero-norm guard — NULL sim fails the threshold on both
+    # engines (DuckDB x/0 is NULL), same convention as the cosine kernels.
+    sim = dot(F.col("tv"), F.col("ev")) / F.nullif(
+        F.col("tn") * F.col("en"), F.lit(0.0)
+    )
+    hits = (
+        tr.join(ev, ["cell"])
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEM_CONTAM_COS)
+    )
+    best = hits.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.col("eval_id"))
+        ),
+    ).filter(F.col("rk") == 1)
+    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "source")
+    return best.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        "eval_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+    )

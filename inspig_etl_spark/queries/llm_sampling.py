@@ -479,3 +479,144 @@ def docs_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(PRIORITY_K)
         .select("doc_id", "source", "weight", "priority")
     )
+
+
+# --- curriculum ordering ----------------------------------------------------
+#
+# A pretraining run does not read shards in doc_id order: curriculum
+# schedules feed cleaner text first and shuffle deterministically inside
+# each difficulty stage (otherwise a restart replays a different corpus).
+# The ORDER itself is the artifact — a manifest column consumers sort by —
+# and materializing an integer position for every doc is where naive plans
+# die at 100 TB: ``ROW_NUMBER() OVER (ORDER BY ...)`` with no partition
+# spec is a single-partition sort of the whole corpus.
+#
+# This kernel materializes the exact same positions with the two-phase
+# distributed ranking used by every at-scale sorter (count per sort-key
+# range bucket -> tiny cumulative-offset table -> broadcast back -> rank
+# inside the bucket and add the offset): the only unpartitioned work is a
+# window over CUR_B rows per stage.
+CUR_KEY_MOD = 1_000_000  # intra-stage shuffle key domain (md5-derived)
+CUR_B = 8  # sort-key range buckets per stage — the parallelism knob
+_CUR_BUCKET_W = CUR_KEY_MOD // CUR_B
+
+
+def _curriculum_oracle() -> str:
+    from inspig_etl_spark.queries.llm_text import (
+        _QBS_HEAD,
+        _QBS_TAIL,
+        _SQL_CLS_FEATURES,
+        _SQL_CLS_LOGIT,
+        _SQL_TOKS,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+),
+f AS (
+{_SQL_CLS_FEATURES}
+),
+s AS (
+  SELECT doc_id, source, {_SQL_CLS_LOGIT} AS logit_e4 FROM f
+),
+k AS (
+  SELECT doc_id, source, logit_e4,
+         CAST(CASE WHEN logit_e4 >= {_QBS_HEAD} THEN 1
+                   WHEN logit_e4 >= {_QBS_TAIL} THEN 2
+                   ELSE 3 END AS BIGINT) AS stage,
+         {sql_md5_long("'cur' || CAST(doc_id AS VARCHAR)")} % {CUR_KEY_MOD}
+           AS sort_key
+  FROM s
+)
+SELECT doc_id, source, logit_e4, stage, sort_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage
+                               ORDER BY sort_key, doc_id) AS BIGINT)
+         AS stage_pos
+FROM k
+"""
+
+
+@register(
+    "docs_curriculum_order",
+    operators=(
+        "LLM-curriculum-order (deterministic training-order manifest: "
+        "classifier-logit difficulty stages consumed clean-first, md5 "
+        "intra-stage shuffle key, and an EXACT per-stage position "
+        "materialized by two-phase distributed ranking — per-range-bucket "
+        "counts, a broadcast cumulative-offset table, then rank-in-bucket "
+        "+ offset — never a global single-partition window)"
+    ),
+    oracle=_curriculum_oracle(),
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training-order manifest with exact integer positions.
+
+    Semantics (the oracle states them directly): stage 1 = classifier
+    logit >= head threshold (cleanest text, consumed first), stage 2 =
+    middle, stage 3 = tail; within a stage the order is a deterministic
+    md5 shuffle key (restart-stable, partitioning-independent), and
+    ``stage_pos`` is the doc's 1-based position in that order.
+
+    The Spark plan is the 100 TB shape, NOT the oracle's global window:
+
+    1. per-row stage / sort_key expressions on the scan;
+    2. ``bucket = sort_key div bucket_width`` — monotone in sort_key, so
+       bucket boundaries respect the order (md5 keys are uniform, so the
+       CUR_B buckets balance; raise CUR_B with corpus size);
+    3. count per (stage, bucket) -> cumulative offsets via a window over
+       <= CUR_B rows per stage (the only unpartitioned-ish work, bounded
+       by a constant) -> broadcast join back;
+    4. ``row_number`` partitioned by (stage, bucket) — each partition is
+       ~|stage|/CUR_B rows — plus the bucket's offset.
+
+    Equality with the oracle's single ROW_NUMBER is the correctness gate
+    for the offset composition (an off-by-one anywhere shifts every
+    position after it).
+    """
+    from inspig_etl_spark.queries.llm_text import (
+        _QBS_HEAD,
+        _QBS_TAIL,
+        _cls_logit_frame,
+    )
+
+    scored = _cls_logit_frame(spark, sf_dir).select("doc_id", "source", "logit_e4")
+    stage = (
+        F.when(F.col("logit_e4") >= _QBS_HEAD, 1)
+        .when(F.col("logit_e4") >= _QBS_TAIL, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    sort_key = (
+        md5_long(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))) % CUR_KEY_MOD
+    )
+    base = scored.select(
+        "doc_id",
+        "source",
+        "logit_e4",
+        stage.alias("stage"),
+        sort_key.alias("sort_key"),
+    ).withColumn("bucket", F.expr(f"sort_key div {_CUR_BUCKET_W}"))
+    counts = base.groupBy("stage", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cum = Window.partitionBy("stage").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "stage",
+        "bucket",
+        F.coalesce(F.sum("n").over(cum), F.lit(0).cast("bigint")).alias("offset"),
+    )
+    ranked = base.join(F.broadcast(offsets), ["stage", "bucket"])
+    in_bucket = Window.partitionBy("stage", "bucket").orderBy("sort_key", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "logit_e4",
+        "stage",
+        "sort_key",
+        (F.col("offset") + F.row_number().over(in_bucket))
+        .cast("bigint")
+        .alias("stage_pos"),
+    )

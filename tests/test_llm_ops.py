@@ -733,3 +733,53 @@ def test_epoch_shard_manifest_reconciles_to_the_mix(spark):
         shard_tot[b.shard] += b.token_cnt
     for b in bins:
         assert b.shard_tokens == shard_tot[b.shard]
+
+
+def test_semantic_decontamination_invariants(spark):
+    """Properties the parity hash can't express:
+    (a) only TRAINING docs are flagged (no eval doc_id in the output) and
+        every contaminating neighbor IS an eval doc — the split is honored
+        on both sides of the pair;
+    (b) every reported cosine clears the threshold;
+    (c) the cell restriction may MISS leaks but must never invent them:
+        every reported (doc, eval, cosine) must agree with an independent
+        numpy cosine over the raw vectors.
+    """
+    import numpy as np
+
+    from inspig_etl_spark.queries.llm_dedup import EVAL_MOD, SEM_CONTAM_COS
+
+    rows = Q["docs_decontaminate_semantic"](spark, SF_CORRECT).collect()
+    assert rows, "sf0.01 must contain at least one semantic leak witness"
+    assert all(r.doc_id % EVAL_MOD != 0 for r in rows)
+    assert all(r.eval_id % EVAL_MOD == 0 for r in rows)
+    assert all(r.cosine_sim >= SEM_CONTAM_COS for r in rows)
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").collect()
+        if r.embedding
+    }
+    for r in rows:
+        a, b = vecs[r.doc_id], vecs[r.eval_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(round(cos, 6) - r.cosine_sim) <= 1e-6
+
+
+def test_curriculum_order_positions_are_exact_permutations(spark):
+    """The two-phase distributed ranking must produce EXACTLY the positions
+    a single global window would: per stage, stage_pos is a permutation of
+    1..n, and position order agrees with (sort_key, doc_id) order — an
+    off-by-one in any bucket offset shifts every later position and fails
+    here before the oracle ever runs."""
+    rows = Q["docs_curriculum_order"](spark, SF_CORRECT).collect()
+    assert rows
+    by_stage: dict[int, list] = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert set(by_stage) <= {1, 2, 3}
+    for stage_rows in by_stage.values():
+        pos = sorted(r.stage_pos for r in stage_rows)
+        assert pos == list(range(1, len(stage_rows) + 1))
+        ordered = sorted(stage_rows, key=lambda r: (r.sort_key, r.doc_id))
+        assert [r.stage_pos for r in ordered] == pos

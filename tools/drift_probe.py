@@ -49,8 +49,10 @@ def main() -> None:
     lineitem = os.path.join(SF_DIR, "lineitem.parquet")
 
     def trivial_scan(sp, _sf):
-        # One-column parquet scan + local count: the floor of what ANY
-        # query pays. Moves only with host conditions / IO, never a plan.
+        # One-column parquet scan + count. groupBy().count() still does a
+        # one-row partial-count exchange, so this is scan + local partials
+        # + a single-row shuffle — the floor of what ANY query pays.
+        # Moves only with host conditions / IO, never a plan.
         return sp.read.parquet(lineitem).select("l_quantity").groupBy().count()
 
     qmap = dict(qmap)

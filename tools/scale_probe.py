@@ -63,6 +63,9 @@ NAMES = [
     "multimodal_video_frame_neardup", "embeddings_ivf_incremental_drift",
     "docs_neardup_cluster_quality", "docs_hybrid_rrf_search",
     "docs_curated_epoch_shard_manifest",
+    # r12 late kernels: embedding-space decontamination (IVF-cell-bounded)
+    # and the two-phase distributed curriculum ranking
+    "docs_decontaminate_semantic", "docs_curriculum_order",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
