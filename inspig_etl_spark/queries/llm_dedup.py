@@ -2429,3 +2429,87 @@ def docs_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_id",
         F.round(F.col("sim"), 6).alias("cosine_sim"),
     )
+
+
+def _decon_union_oracle() -> str:
+    return f"""
+WITH lex AS ({_DECON_ORACLE}),
+sem AS ({_sem_decon_oracle()}),
+d AS (SELECT doc_id, source FROM documents WHERE doc_id % {EVAL_MOD} <> 0),
+f AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(lex.is_contaminated, FALSE) AS lex_flag,
+         sem.doc_id IS NOT NULL AS sem_flag
+  FROM d LEFT JOIN lex ON lex.doc_id = d.doc_id
+         LEFT JOIN sem ON sem.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS train_docs,
+       COUNT(CASE WHEN lex_flag THEN 1 END) AS lex_cnt,
+       COUNT(CASE WHEN sem_flag THEN 1 END) AS sem_cnt,
+       COUNT(CASE WHEN lex_flag AND sem_flag THEN 1 END) AS both_cnt,
+       COUNT(CASE WHEN sem_flag AND NOT lex_flag THEN 1 END) AS sem_only_cnt,
+       COUNT(CASE WHEN lex_flag OR sem_flag THEN 1 END) AS any_cnt
+FROM f GROUP BY source
+"""
+
+
+@register(
+    "docs_decontaminate_union_report",
+    operators=(
+        "LLM-decontamination-union (the production scrub policy measured: "
+        "a training doc leaves the corpus when flagged by EITHER the "
+        "n-gram overlap pass OR the embedding-cosine pass; per-source "
+        "counts of each flag, their overlap, and sem_only_cnt — what the "
+        "semantic pass catches that n-grams miss, the number that "
+        "justifies running it)"
+    ),
+    oracle=_decon_union_oracle(),
+)
+def docs_decontaminate_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union decontamination accounting: production pipelines run the
+    lexical and semantic passes together and drop the union of flags; this
+    report shows, per source, how much each pass contributes and how much
+    they overlap. ``sem_only_cnt > 0`` is the paraphrase-leak evidence —
+    docs the n-gram detector cannot see (no shared surface shingles) whose
+    embeddings still sit next to an eval doc.
+
+    Scale shape: both passes keep their own bounded plans (shingle-hash
+    equi-join; IVF-cell equi-join) and compose here through two doc_id
+    equi-joins onto the training universe plus ONE per-source partial
+    aggregation — the flags never fan out.
+    """
+    train = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", "source")
+    )
+    lex = docs_decontaminate_eval_overlap(spark, sf_dir).select(
+        "doc_id", F.col("is_contaminated").alias("lex_flag")
+    )
+    sem = docs_decontaminate_semantic(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("sem_flag")
+    )
+    f = (
+        train.join(lex, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("lex_flag"), F.lit(False)).alias("lex_flag"),
+            F.coalesce(F.col("sem_flag"), F.lit(False)).alias("sem_flag"),
+        )
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("train_docs"),
+        F.count(F.when(F.col("lex_flag"), 1)).cast("bigint").alias("lex_cnt"),
+        F.count(F.when(F.col("sem_flag"), 1)).cast("bigint").alias("sem_cnt"),
+        F.count(F.when(F.col("lex_flag") & F.col("sem_flag"), 1))
+        .cast("bigint")
+        .alias("both_cnt"),
+        F.count(F.when(F.col("sem_flag") & ~F.col("lex_flag"), 1))
+        .cast("bigint")
+        .alias("sem_only_cnt"),
+        F.count(F.when(F.col("lex_flag") | F.col("sem_flag"), 1))
+        .cast("bigint")
+        .alias("any_cnt"),
+    )

@@ -783,3 +783,19 @@ def test_curriculum_order_positions_are_exact_permutations(spark):
         assert pos == list(range(1, len(stage_rows) + 1))
         ordered = sorted(stage_rows, key=lambda r: (r.sort_key, r.doc_id))
         assert [r.stage_pos for r in ordered] == pos
+
+
+def test_decontaminate_union_report_set_algebra(spark):
+    """The union report's columns are set cardinalities and must obey set
+    algebra exactly: both <= min(lex, sem), sem_only = sem - both,
+    any = lex + sem - both, and every count <= train_docs. The corpus-level
+    sem_only >= 1 is the data-specific paraphrase-leak witness (semantic
+    catches docs the n-gram pass misses at sf0.01; a regen could move it)."""
+    rows = Q["docs_decontaminate_union_report"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.both_cnt <= min(r.lex_cnt, r.sem_cnt)
+        assert r.sem_only_cnt == r.sem_cnt - r.both_cnt
+        assert r.any_cnt == r.lex_cnt + r.sem_cnt - r.both_cnt
+        assert max(r.lex_cnt, r.sem_cnt, r.any_cnt) <= r.train_docs
+    assert sum(r.sem_only_cnt for r in rows) >= 1

@@ -66,6 +66,7 @@ NAMES = [
     # r12 late kernels: embedding-space decontamination (IVF-cell-bounded)
     # and the two-phase distributed curriculum ranking
     "docs_decontaminate_semantic", "docs_curriculum_order",
+    "docs_decontaminate_union_report",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
