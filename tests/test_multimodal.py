@@ -303,3 +303,34 @@ def test_video_frame_neardup_finds_every_twin(spark):
     for r in rows:
         assert r.id_a < r.id_b
         assert VF_MATCH_MIN <= r.n_frames_matched <= 4
+
+
+def test_audio_fp_neardup_finds_shifted_twins(spark):
+    """The audio fingerprint detector's contract: (a) planted hop-shifted
+    twins are recovered for nearly all audio docs (the landmark SET is
+    shift-tolerant; MinHash 4x4 banding may probabilistically miss a few
+    J~0.8 pairs — >= 90% recall asserted); (b) every returned pair clears
+    the exact-Jaccard threshold; (c) on THIS corpus unrelated audio pairs
+    max out at J~0.14 (measured), so every returned pair is a twin pair —
+    a data-specific precision witness (a regen with genuine audio dups
+    could legitimately add non-twin pairs)."""
+    from inspig_etl_spark.queries.multimodal import AUDIO_TWIN_OFFSET
+    from inspig_etl_spark.operators.dedup import JACCARD_THRESHOLD
+    from inspig_etl_spark.queries.multimodal import multimodal_audio_fp_neardup
+    from tests.conftest import SF_CORRECT
+
+    rows = multimodal_audio_fp_neardup(spark, SF_CORRECT).collect()
+    assert rows
+    audio_docs = {
+        r.doc_id
+        for r in table(spark, SF_CORRECT, "documents")
+        .filter((F.col("doc_id") % 3 == 1) & F.col("text").isNotNull())
+        .select("doc_id")
+        .collect()
+    }
+    twin_found = {r.id_a for r in rows if r.id_b - r.id_a == AUDIO_TWIN_OFFSET}
+    assert len(twin_found & audio_docs) >= 0.9 * len(audio_docs)
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.jaccard >= JACCARD_THRESHOLD
+        assert r.id_b - r.id_a == AUDIO_TWIN_OFFSET

@@ -66,7 +66,7 @@ NAMES = [
     # r12 late kernels: embedding-space decontamination (IVF-cell-bounded)
     # and the two-phase distributed curriculum ranking
     "docs_decontaminate_semantic", "docs_curriculum_order",
-    "docs_decontaminate_union_report",
+    "docs_decontaminate_union_report", "multimodal_audio_fp_neardup",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
