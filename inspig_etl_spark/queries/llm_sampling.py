@@ -590,13 +590,23 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_key = (
         md5_long(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))) % CUR_KEY_MOD
     )
-    base = scored.select(
-        "doc_id",
-        "source",
-        "logit_e4",
-        stage.alias("stage"),
-        sort_key.alias("sort_key"),
-    ).withColumn("bucket", F.expr(f"sort_key div {_CUR_BUCKET_W}"))
+    # persist(): two-phase ranking inherently reads the corpus twice (pass
+    # 1 counts buckets, pass 2 ranks inside them) — materializing the
+    # NARROW projection (ids + stage/key, no text) makes the second pass
+    # read 5 small columns instead of re-running tokenization + classifier
+    # features over the raw text (the .explain audit showed two full
+    # feature scans otherwise). Multi-query sessions clearCache() after.
+    base = (
+        scored.select(
+            "doc_id",
+            "source",
+            "logit_e4",
+            stage.alias("stage"),
+            sort_key.alias("sort_key"),
+        )
+        .withColumn("bucket", F.expr(f"sort_key div {_CUR_BUCKET_W}"))
+        .persist()
+    )
     counts = base.groupBy("stage", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
