@@ -286,3 +286,115 @@ class TestStatefulTextKernels:
             for r in docs_sequence_packing(spark, str(tmp)).collect()
         }
         assert got == model
+
+
+class TestCurriculumRanking:
+    """The two-phase distributed ranking must equal a pure-Python
+    single-sort model on arbitrary tiny corpora: the md5 sort key is
+    modeled exactly (it is deterministic), the difficulty stage is taken
+    from the kernel's own output (the classifier is covered by its own
+    oracle), and the positions must be the exact rank of (sort_key,
+    doc_id) within each stage — any bucket-offset error surfaces as a
+    permutation defect."""
+
+    DOCS = TestStatefulTextKernels.DOCS
+
+    @SETTINGS
+    @given(rows=DOCS)
+    def test_two_phase_positions_match_single_sort_model(
+        self, spark, tmp_path_factory, rows
+    ):
+        import hashlib
+
+        from inspig_etl_spark.queries.llm_sampling import (
+            CUR_KEY_MOD,
+            docs_curriculum_order,
+        )
+
+        tmp = tmp_path_factory.mktemp("curriculum")
+        TestStatefulTextKernels._write_docs(tmp, rows)
+        got = docs_curriculum_order(spark, str(tmp)).collect()
+
+        def model_key(doc_id: int) -> int:
+            h = hashlib.md5(f"cur{doc_id}".encode()).hexdigest()[:15]
+            return int(h, 16) % CUR_KEY_MOD
+
+        by_stage: dict[int, list] = {}
+        for r in got:
+            assert r.sort_key == model_key(r.doc_id)
+            by_stage.setdefault(r.stage, []).append(r)
+        for grp in by_stage.values():
+            expect = {
+                r.doc_id: i + 1
+                for i, r in enumerate(
+                    sorted(grp, key=lambda r: (r.sort_key, r.doc_id))
+                )
+            }
+            assert {r.doc_id: r.stage_pos for r in grp} == expect
+
+
+class TestAudioFingerprint:
+    """Differential for the audio landmark extraction: a pure-Python model
+    recomputes every landmark set from (doc_id, text) exactly — payload
+    truncation, hop windows, band sums, quantization, md5 — and (a) every
+    pair the kernel returns must carry the model's exact Jaccard (banding
+    may MISS pairs, verification must never invent or misvalue one), and
+    (b) every returned pair's model-Jaccard clears the threshold."""
+
+    DOCS = TestStatefulTextKernels.DOCS
+
+    @SETTINGS
+    @given(rows=DOCS)
+    def test_returned_pairs_match_python_landmark_model(
+        self, spark, tmp_path_factory, rows
+    ):
+        import hashlib
+
+        from inspig_etl_spark.operators.dedup import JACCARD_THRESHOLD
+        from inspig_etl_spark.queries.multimodal import (
+            AF_HOP,
+            AF_QUANT,
+            AF_WIN,
+            AUDIO_TWIN_OFFSET,
+            multimodal_audio_fp_neardup,
+        )
+
+        tmp = tmp_path_factory.mktemp("audiofp")
+        docs = TestStatefulTextKernels._write_docs(tmp, rows)
+
+        def landmarks(payload: bytes) -> set[int]:
+            out = set()
+            n = len(payload)
+            if n < AF_WIN:
+                return out
+            for i in range((n - AF_WIN) // AF_HOP + 1):
+                levels = [
+                    sum(payload[i * AF_HOP + b * 4 + k] for k in range(4))
+                    // AF_QUANT
+                    for b in range(4)
+                ]
+                s = "af" + "_".join(str(v) for v in levels)
+                out.add(
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    % 2147483647
+                )
+            return out
+
+        model_sets: dict[int, set[int]] = {}
+        for did, text, _src in docs:
+            if did % 3 != 1:
+                continue
+            w, h, c = did % 16 + 4, did % 12 + 4, did % 3 + 1
+            pay = (text * 4).encode()[: w * h * c]
+            model_sets[did] = landmarks(pay)
+            model_sets[did + AUDIO_TWIN_OFFSET] = landmarks(pay[AF_HOP:])
+
+        got = multimodal_audio_fp_neardup(spark, str(tmp)).collect()
+        for r in got:
+            a, b = model_sets[r.id_a], model_sets[r.id_b]
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            assert union > 0
+            expect = round(inter / union, 6)
+            assert r.jaccard == expect
+            assert r.jaccard >= JACCARD_THRESHOLD
