@@ -141,6 +141,20 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).limit(1).count()
 
+    # Host-condition controls (VERDICT r12 item 2): the same two references
+    # tools/drift_probe.py uses — tpch_q1 (a real multi-agg plan) and a
+    # trivial one-column scan+count (the floor any query pays; moves only
+    # with host/IO conditions, never a plan). Measured at session start AND
+    # end so a hot host shows up IN the official record instead of costing
+    # a next-round triage: read each headline ratio against the control
+    # ratio (control vs its committed baseline in BENCH_BASELINE.json) —
+    # if the controls read 1.2x, a uniform 1.2x on untouched queries is
+    # host, not plans. r6/r10/r11/r12 all paid that triage manually.
+    lineitem = os.path.join(SF_DIR, "lineitem.parquet")
+
+    def _trivial_scan(sp, _sf):
+        return sp.read.parquet(lineitem).select("l_quantity").groupBy().count()
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = qmap[name](spark, SF_DIR)
@@ -151,6 +165,27 @@ def main() -> None:
         # them so one run's cache never skews the next one's timing.
         spark.catalog.clearCache()
         return el
+
+    def _control_pair() -> tuple[float, float]:
+        def _min3(fn) -> float:
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            return round(min(ts), 3)
+
+        return _min3(qmap["tpch_q1_pricing_summary"]), _min3(_trivial_scan)
+
+    def _loadavg() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    load_start = _loadavg()
+    ctl_q1_start, ctl_scan_start = _control_pair()
 
     # Pass 1 warms, pass 2 measures. The first execution of a pipeline pays
     # one-time JIT/codegen compilation (async C2 — back-to-back reruns still
@@ -195,18 +230,51 @@ def main() -> None:
             line += f" ({'+' if d >= 0 else ''}{d:.3f}s vs baseline {base_queries[name]:.3f}s)"
         print(line, file=sys.stderr)
 
-    # The stdout line holds ONLY the driver contract keys — r6's line also
-    # carried the per-query baseline-delta map and blew past the driver's
-    # capture window (BENCH_r06.json: parsed=null, front-truncated tail).
-    # The full record (deltas, baseline total) goes to a side file instead.
+    ctl_q1_end, ctl_scan_end = _control_pair()
+    load_end = _loadavg()
+    host = {
+        "load": [load_start, load_end],
+        "control_q1": [ctl_q1_start, ctl_q1_end],
+        "scan_floor": [ctl_scan_start, ctl_scan_end],
+    }
+    print(f"# host controls: {json.dumps(host, separators=(',', ':'))}", file=sys.stderr)
+
+    # The stdout line holds the driver contract keys plus ONE compact host
+    # object (~6 scalars) — r6's overflow came from the per-query delta MAP,
+    # which stays in the side file (BENCH_r06.json: parsed=null,
+    # front-truncated tail). The full record (deltas, baseline total) goes
+    # to a side file instead.
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host": host,
     }
     full = dict(out)
+    # Self-adjudication: when the committed baseline carries control
+    # references (host_baseline, written from an idle-host run), fold the
+    # four control readings into one host factor — the uniform inflation
+    # this session's host conditions impose on EVERY reading. Headline
+    # ratios should be read divided by it (measurement policy, SCALE.md).
+    if base_path.exists():
+        hb = json.loads(base_path.read_text()).get("host_baseline")
+        if hb:
+            ratios = [
+                r / b
+                for rs, b in (
+                    (host["control_q1"], hb["control_q1"]),
+                    (host["scan_floor"], hb["scan_floor"]),
+                )
+                for r in rs
+                if b
+            ]
+            factor = 1.0
+            for r in ratios:
+                factor *= r
+            full["host_factor"] = round(factor ** (1.0 / len(ratios)), 3)
+            print(f"# host_factor={full['host_factor']}", file=sys.stderr)
     if base_queries:
         full["baseline_total"] = round(sum(base_queries.values()), 3)
         full["delta_vs_baseline"] = deltas

@@ -2354,6 +2354,46 @@ WHERE rk = 1
 """
 
 
+def _semantic_contam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-argmax semantic-contamination hits: one row per (training doc,
+    eval doc) pair sharing an IVF cell with cosine >= ``SEM_CONTAM_COS``,
+    columns (doc_id, eval_id, sim). Shared by the full semantic report
+    (which argmaxes to the nearest eval per doc) and the union report
+    (which only needs a per-doc existence flag and must not pay the
+    row_number window or the documents join — ADVICE r12).
+    """
+    from inspig_etl_spark.operators.similarity import dot, norm, with_ivf_cell
+    from inspig_etl_spark.queries.llm_similarity import _CENTROIDS, _vectors
+
+    emb = with_ivf_cell(_vectors(spark, sf_dir), "embedding", _CENTROIDS)
+    n = emb.select(
+        "cell", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    ev = n.select(
+        "cell",
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ev"),
+        F.col("nrm").alias("en"),
+    ).filter(F.col("eval_id") % EVAL_MOD == 0)
+    tr = n.select(
+        "cell",
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("tv"),
+        F.col("nrm").alias("tn"),
+    ).filter(F.col("doc_id") % EVAL_MOD != 0)
+    # nullif: zero-norm guard — NULL sim fails the threshold on both
+    # engines (DuckDB x/0 is NULL), same convention as the cosine kernels.
+    sim = dot(F.col("tv"), F.col("ev")) / F.nullif(
+        F.col("tn") * F.col("en"), F.lit(0.0)
+    )
+    return (
+        tr.join(ev, ["cell"])
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEM_CONTAM_COS)
+        .select("doc_id", "eval_id", "sim")
+    )
+
+
 @register(
     "docs_decontaminate_semantic",
     operators=(
@@ -2387,35 +2427,7 @@ def docs_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc argmax window partitions on doc_id (bounded by the cell's
     candidate count, never global).
     """
-    from inspig_etl_spark.operators.similarity import dot, norm, with_ivf_cell
-    from inspig_etl_spark.queries.llm_similarity import _CENTROIDS, _vectors
-
-    emb = with_ivf_cell(_vectors(spark, sf_dir), "embedding", _CENTROIDS)
-    n = emb.select(
-        "cell", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    ev = n.select(
-        "cell",
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("ev"),
-        F.col("nrm").alias("en"),
-    ).filter(F.col("eval_id") % EVAL_MOD == 0)
-    tr = n.select(
-        "cell",
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").alias("tv"),
-        F.col("nrm").alias("tn"),
-    ).filter(F.col("doc_id") % EVAL_MOD != 0)
-    # nullif: zero-norm guard — NULL sim fails the threshold on both
-    # engines (DuckDB x/0 is NULL), same convention as the cosine kernels.
-    sim = dot(F.col("tv"), F.col("ev")) / F.nullif(
-        F.col("tn") * F.col("en"), F.lit(0.0)
-    )
-    hits = (
-        tr.join(ev, ["cell"])
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= SEM_CONTAM_COS)
-    )
+    hits = _semantic_contam_hits(spark, sf_dir)
     best = hits.withColumn(
         "rk",
         F.row_number().over(
@@ -2487,8 +2499,14 @@ def docs_decontaminate_union_report(spark: SparkSession, sf_dir: str) -> DataFra
     lex = docs_decontaminate_eval_overlap(spark, sf_dir).select(
         "doc_id", F.col("is_contaminated").alias("lex_flag")
     )
-    sem = docs_decontaminate_semantic(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("sem_flag")
+    # Existence flag only: the pre-argmax hits frame, deduped — skips the
+    # full semantic report's nearest-eval row_number window and the
+    # documents attribution join it would immediately discard (ADVICE r12).
+    sem = (
+        _semantic_contam_hits(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("sem_flag", F.lit(True))
     )
     f = (
         train.join(lex, "doc_id", "left")

@@ -211,6 +211,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_HAMMING_MAX = 6
 PHASH_TWIN_OFFSET = 1_000_000
 
+
+def _twin_id(id_col: F.Column, offset: int) -> F.Column:
+    """Planted-twin id (base + offset) with a loud collision guard.
+
+    A twin id aliases a REAL doc id once any base id reaches the offset
+    (a scale factor generating >= 1M documents for images, 2M video, 3M
+    audio) — duplicate ids with different payloads would corrupt the
+    banding/verify joins identically on both engines, silently
+    invalidating the witness (ADVICE r12). The guard rides the id
+    expression itself (one per-row comparison, no extra action), so an
+    offset overrun throws instead of lying.
+    """
+    return F.when(id_col < offset, id_col + F.lit(offset)).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"planted-twin id collision: base id %s >= offset {offset}",
+                id_col.cast("string"),
+            )
+        )
+    )
+
 # Shared source-position expression for the oracle: 8x9 grid cell i (0..71,
 # row-major yi*9+xi), channel ch -> payload byte offset of the nearest-
 # neighbor sample, exactly the decoder/resize gather.
@@ -348,7 +369,7 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("substring(blob, 10, 2147483647)"),
     )
     twin = media.select(
-        (F.col("id") + PHASH_TWIN_OFFSET).alias("id"),
+        _twin_id(F.col("id"), PHASH_TWIN_OFFSET).alias("id"),
         "media_type",
         F.when(F.length("blob") > 8, perturbed).otherwise(F.col("blob")).alias("blob"),
         "meta",
@@ -564,7 +585,7 @@ def multimodal_paired_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ipairs.unionByName(tpairs)
     ids = docs_img.select(F.col("doc_id").alias("pair_id"))
     nodes = ids.unionByName(
-        ids.select((F.col("pair_id") + PHASH_TWIN_OFFSET).alias("pair_id"))
+        ids.select(_twin_id(F.col("pair_id"), PHASH_TWIN_OFFSET).alias("pair_id"))
     )
     cc = connected_components(edges, nodes, "pair_id")
     return cc.withColumn(
@@ -717,7 +738,7 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("substring(blob, 10)"),
     )
     twins = media.select(
-        (F.col("id") + VFRAME_TWIN_OFFSET).alias("id"),
+        _twin_id(F.col("id"), VFRAME_TWIN_OFFSET).alias("id"),
         F.col("media_type"),
         F.when(F.expr("octet_length(blob)") <= 8, F.col("blob"))
         .otherwise(perturbed)
@@ -937,7 +958,7 @@ def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay = F.expr("substring(blob, 9)")
     originals = media.select(F.col("id"), pay.alias("pay"))
     twins = media.select(
-        (F.col("id") + AUDIO_TWIN_OFFSET).alias("id"),
+        _twin_id(F.col("id"), AUDIO_TWIN_OFFSET).alias("id"),
         F.expr(f"substring(blob, 9 + {AF_HOP})").alias("pay"),
     )
     v = originals.unionByName(twins).select(

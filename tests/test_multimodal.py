@@ -334,3 +334,22 @@ def test_audio_fp_neardup_finds_shifted_twins(spark):
         assert r.id_a < r.id_b
         assert r.jaccard >= JACCARD_THRESHOLD
         assert r.id_b - r.id_a == AUDIO_TWIN_OFFSET
+
+
+def test_twin_id_guard_raises_on_collision(spark):
+    """ADVICE r12: a base id >= the twin offset would alias a real doc id
+    and silently corrupt the banding/verify joins on both engines. The
+    guard rides the twin-id expression, so the witness fails LOUDLY at any
+    scale factor that outgrows the offset instead of aliasing."""
+    from inspig_etl_spark.queries.multimodal import PHASH_TWIN_OFFSET, _twin_id
+
+    ok = spark.createDataFrame([(7,)], "id bigint").select(
+        _twin_id(F.col("id"), PHASH_TWIN_OFFSET).alias("id")
+    )
+    assert ok.collect()[0].id == 7 + PHASH_TWIN_OFFSET
+
+    bad = spark.createDataFrame([(PHASH_TWIN_OFFSET,)], "id bigint").select(
+        _twin_id(F.col("id"), PHASH_TWIN_OFFSET).alias("id")
+    )
+    with pytest.raises(Exception, match="planted-twin id collision"):
+        bad.collect()
