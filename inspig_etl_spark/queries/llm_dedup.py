@@ -1754,10 +1754,12 @@ def _sql_bloom_member(s: str) -> str:
     return " AND ".join(terms)
 
 
-_BLOOM_ORACLE = f"""
-WITH {_SQL_DOCS_SHINGLED},
-ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {EVAL_MOD} = 0),
-pos AS (
+# Bloom BUILD over an already-defined `ev(s)` CTE of distinct eval shingle
+# hashes: K domain-separated bit positions -> packed 32-bit words -> ONE
+# 1-row zero-filled word list. Shared by the bloom kernel's oracle and the
+# at-ingest funnel oracle (queries/st_manifest.py) so the bitmap can never
+# diverge between them.
+_SQL_BLOOM_BUILD = f"""pos AS (
   SELECT DISTINCT
          ({sql_md5_long("'bloom' || CAST(i AS VARCHAR) || ':' || CAST(s AS VARCHAR)")})
            % {BLOOM_M} AS p
@@ -1772,7 +1774,12 @@ wd AS (
 wl AS (
   SELECT list(COALESCE(wd.word, 0) ORDER BY sp.w_idx) AS words
   FROM range({BLOOM_WORDS}) sp(w_idx) LEFT JOIN wd ON wd.w_idx = sp.w_idx
-),
+)"""
+
+_BLOOM_ORACLE = f"""
+WITH {_SQL_DOCS_SHINGLED},
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {EVAL_MOD} = 0),
+{_SQL_BLOOM_BUILD},
 tr AS (SELECT doc_id, sh FROM t WHERE doc_id % {EVAL_MOD} <> 0),
 scored AS (
   SELECT tr.doc_id,

@@ -669,3 +669,399 @@ def stream_dedup_watermark_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
         got, "fp string, doc_id bigint, batch bigint, ts timestamp"
     )
     return out.select("fp", "doc_id", "batch")
+
+
+# --- at-ingest incremental curation funnel -----------------------------------
+
+ING_NB = 4  # micro-batches in the replay (batch = pmod(doc_id, 4) + 1)
+
+
+def _ingest_oracle() -> str:
+    """Order-defined batch-sequential funnel semantics in one SQL pass:
+    exact first-writer-wins by (batch, doc_id), near-dup vs earlier-batch
+    canonicals through the banded MinHash stack, the linear quality gate,
+    then the Bloom decontamination probe — each doc counted in its FIRST
+    failing stage, grouped per batch."""
+    from inspig_etl_spark.functions.text import (
+        sql_md5_long,
+        sql_token_hashes,
+        sql_token_ngram_hashes_from,
+        sql_tokens,
+    )
+    from inspig_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        SHINGLE_N,
+        SQL_JACCARD,
+        sql_minhash_sig,
+    )
+    from inspig_etl_spark.queries.llm_dedup import (
+        _SQL_BLOOM_BUILD,
+        _sql_bloom_member,
+        CONTAM_MIN_SHARED,
+        EVAL_MOD,
+    )
+    from inspig_etl_spark.queries.llm_text import (
+        _SQL_CLS_FEATURES,
+        _SQL_CLS_LOGIT,
+    )
+
+    return f"""
+WITH tt AS (
+  SELECT doc_id, source, text, {sql_tokens('text')} AS toks FROM documents
+),
+t AS (
+  SELECT * FROM tt WHERE text IS NOT NULL AND doc_id % {EVAL_MOD} <> 0
+),
+hsh AS (SELECT doc_id, {sql_token_hashes('toks')} AS hs FROM tt),
+shd AS (
+  SELECT doc_id, {sql_token_ngram_hashes_from('hs', SHINGLE_N)} AS sh FROM hsh
+),
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id % {EVAL_MOD} = 0),
+{_SQL_BLOOM_BUILD},
+f AS (
+{_SQL_CLS_FEATURES}
+),
+ing AS (
+  SELECT t.doc_id,
+         CAST(((t.doc_id % {ING_NB}) + {ING_NB}) % {ING_NB} + 1 AS BIGINT)
+           AS batch,
+         md5(COALESCE(array_to_string(t.toks, ' '), '')) AS fp,
+         shd.sh AS sh,
+         CAST({_SQL_CLS_LOGIT} AS BIGINT) AS logit_e4,
+         COALESCE(len(list_filter(shd.sh, s -> {_sql_bloom_member('s')})), 0)
+           >= {CONTAM_MIN_SHARED} AS contam
+  FROM t JOIN shd ON shd.doc_id = t.doc_id
+       JOIN f ON f.doc_id = t.doc_id
+       CROSS JOIN wl
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
+  FROM ing
+),
+sig AS (
+  SELECT doc_id, batch, {sql_minhash_sig()} AS sig
+  FROM (SELECT doc_id, batch, sh FROM r WHERE rn = 1 AND len(sh) > 0)
+),
+band AS (
+  SELECT doc_id, batch, band_no,
+         CAST(('0x' || substr(md5(array_to_string(sig[band_no * {MINHASH_ROWS} + 1 : band_no * {MINHASH_ROWS} + {MINHASH_ROWS}], '_')), 1, 15)) AS BIGINT) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band_no)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b
+  FROM band l JOIN band r2
+    ON l.band_no = r2.band_no AND l.band_key = r2.band_key
+   AND r2.batch < l.batch
+),
+near AS (
+  SELECT DISTINCT cand.id_a AS doc_id
+  FROM cand JOIN shd a ON cand.id_a = a.doc_id
+            JOIN shd b ON cand.id_b = b.doc_id
+  WHERE {SQL_JACCARD} >= {JACCARD_THRESHOLD}
+),
+fl AS (
+  SELECT r.batch, r.rn, r.logit_e4, r.contam,
+         near.doc_id IS NOT NULL AS nd
+  FROM r LEFT JOIN near ON near.doc_id = r.doc_id
+)
+SELECT batch,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_exact_dup,
+       CAST(COUNT(CASE WHEN rn = 1 AND nd THEN 1 END) AS BIGINT) AS n_neardup,
+       CAST(COUNT(CASE WHEN rn = 1 AND NOT nd AND logit_e4 < 0 THEN 1 END)
+            AS BIGINT) AS n_quality_fail,
+       CAST(COUNT(CASE WHEN rn = 1 AND NOT nd AND logit_e4 >= 0 AND contam
+                  THEN 1 END) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(CASE WHEN rn = 1 AND NOT nd AND logit_e4 >= 0 AND NOT contam
+                  THEN 1 END) AS BIGINT) AS n_admitted
+FROM fl GROUP BY batch
+"""
+
+
+_ING_LOG_SCHEMA = (
+    "doc_id BIGINT, batch BIGINT, fp STRING, sh ARRAY<BIGINT>, "
+    "sig ARRAY<BIGINT>, logit_e4 BIGINT, contam BOOLEAN"
+)
+_ING_FUNNEL_SCHEMA = (
+    "batch BIGINT, n_in BIGINT, n_exact_dup BIGINT, n_neardup BIGINT, "
+    "n_quality_fail BIGINT, n_contaminated BIGINT, n_admitted BIGINT"
+)
+
+
+def _ingest_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row ingest artifacts, computed IN-EXPRESSION at ingest time (the
+    production contract: fingerprints/sketches/scores are derived once as
+    rows arrive, never re-derived from history): normalization fingerprint,
+    shingle set, MinHash signature, classifier logit, and the Bloom
+    decontamination flag (ONE constant broadcast bitmap probe)."""
+    from inspig_etl_spark.catalog import spread
+    from inspig_etl_spark.functions.text import (
+        token_hashes,
+        token_ngram_hashes_from,
+        tokens,
+    )
+    from inspig_etl_spark.operators.dedup import SHINGLE_N, minhash_signature
+    from inspig_etl_spark.queries.llm_dedup import (
+        EVAL_MOD,
+        docs_decontaminate_bloom,
+    )
+    from inspig_etl_spark.queries.llm_text import _cls_logit_frame
+
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % EVAL_MOD != 0)
+    )
+    base = docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), ING_NB) + 1).cast("bigint").alias("batch"),
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp"),
+        token_hashes(tokens(F.col("text"))).alias("hs"),
+    ).select(
+        "doc_id",
+        "batch",
+        "fp",
+        token_ngram_hashes_from(F.col("hs"), SHINGLE_N).alias("sh"),
+    )
+    base = base.withColumn(
+        "sig",
+        F.when(F.size("sh") > 0, minhash_signature(F.col("sh"))).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    )
+    logit = _cls_logit_frame(spark, sf_dir).select("doc_id", "logit_e4")
+    contam = docs_decontaminate_bloom(spark, sf_dir).select(
+        "doc_id", F.col("is_flagged").alias("contam")
+    )
+    return base.join(logit, "doc_id").join(contam, "doc_id").select(
+        "doc_id", "batch", "fp", "sh", "sig", "logit_e4", "contam"
+    )
+
+
+def _ingest_funnel_rows(log: DataFrame, batches) -> DataFrame:
+    """Recompute the funnel row for each batch in ``batches`` from the
+    ingest log — flags are defined by BATCH NUMBERS carried in the data
+    (batch-vs-earlier-batch), never by arrival time, which is what makes
+    the final funnel arrival-order independent."""
+    from inspig_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        jaccard_verify,
+        lsh_band_keys,
+    )
+    from pyspark.sql import Window
+
+    out = None
+    shingles = log.select("doc_id", "sh")
+    for b in sorted(batches):
+        cur = log.filter(F.col("batch") == b)
+        prior = log.filter(F.col("batch") < b)
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        cur = cur.withColumn("rn", F.row_number().over(w))
+        seen = prior.select("fp").distinct().withColumn(
+            "dup_prior", F.lit(True)
+        )
+        cur = cur.join(seen, "fp", "left").withColumn(
+            "exact_dup",
+            (F.col("rn") > 1) | F.coalesce(F.col("dup_prior"), F.lit(False)),
+        )
+        # near-dup ledger: earlier-batch CANONICALS (first (batch, doc_id)
+        # per fp within the prior log), banded; probe with this batch's
+        # canonical, non-empty-shingle docs only (the house banding rule)
+        wp = Window.partitionBy("fp").orderBy("batch", "doc_id")
+        prior_canon = (
+            prior.withColumn("prn", F.row_number().over(wp))
+            .filter((F.col("prn") == 1) & (F.size("sh") > 0))
+            .select("doc_id", "sig")
+        )
+        cur_canon = cur.filter(~F.col("exact_dup") & (F.size("sh") > 0)).select(
+            "doc_id", "sig"
+        )
+
+        def _banded(df, id_alias):
+            return df.select(
+                F.col("doc_id").alias(id_alias),
+                F.posexplode(
+                    lsh_band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)
+                ).alias("band_no", "band_key"),
+            )
+
+        cand = (
+            _banded(cur_canon, "id_a")
+            .join(_banded(prior_canon, "id_b"), ["band_no", "band_key"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        near = (
+            jaccard_verify(cand, shingles, "doc_id", "sh", JACCARD_THRESHOLD)
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("nd0", F.lit(True))
+        )
+        fl = cur.join(near, "doc_id", "left").select(
+            "batch",
+            "exact_dup",
+            F.coalesce(F.col("nd0"), F.lit(False)).alias("nd"),
+            "logit_e4",
+            "contam",
+        )
+        ok = ~F.col("exact_dup") & ~F.col("nd")
+        row = fl.groupBy("batch").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in"),
+            F.count(F.when(F.col("exact_dup"), 1)).cast("bigint").alias("n_exact_dup"),
+            F.count(F.when(~F.col("exact_dup") & F.col("nd"), 1))
+            .cast("bigint")
+            .alias("n_neardup"),
+            F.count(F.when(ok & (F.col("logit_e4") < 0), 1))
+            .cast("bigint")
+            .alias("n_quality_fail"),
+            F.count(F.when(ok & (F.col("logit_e4") >= 0) & F.col("contam"), 1))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.count(F.when(ok & (F.col("logit_e4") >= 0) & ~F.col("contam"), 1))
+            .cast("bigint")
+            .alias("n_admitted"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ingest_apply(batch_df: DataFrame, log_path: str, funnel_path: str) -> None:
+    """One ingest trigger: merge the arriving rows into the log
+    (insert_if_absent on doc_id — re-delivery is a no-op) and (re)derive
+    the funnel rows for the arriving batch plus any logged LATER batch
+    (the out-of-order repair), merge-upserting them by batch key.
+    Module-level so the permuted-replay tests can drive the exact
+    production path without a stream."""
+    from inspig_etl_spark.sources.sinks import (
+        insert_if_absent,
+        merge_upsert,
+        read_or_empty,
+        staged_overwrite,
+    )
+
+    sp = batch_df.sparkSession
+    arriving = [
+        r.batch for r in batch_df.select("batch").distinct().collect()
+    ]  # bounded by the replay depth (files per trigger)
+    if not arriving:
+        return
+    log = read_or_empty(sp, log_path, _ING_LOG_SCHEMA)
+    merged = insert_if_absent(log, batch_df, ["doc_id"])
+    staged_overwrite(sp, merged, log_path)
+    log = read_or_empty(sp, log_path, _ING_LOG_SCHEMA)
+    logged = [r.batch for r in log.select("batch").distinct().collect()]
+    affected = sorted(set(arriving) | {b for b in logged if b > min(arriving)})
+    rows = _ingest_funnel_rows(log, affected)
+    funnel = read_or_empty(sp, funnel_path, _ING_FUNNEL_SCHEMA)
+    staged_overwrite(sp, merge_upsert(funnel, rows, ["batch"]), funnel_path)
+
+
+@register(
+    "stream_ingest_curation_funnel",
+    operators=(
+        "ST1 + LLM-curation-at-ingest (the production ingest shape, "
+        "composed from the four existing stages: each availableNow "
+        "micro-batch flows exact-fp ledger dedup -> batch-vs-ledger "
+        "banded MinHash near-dup -> linear quality gate -> Bloom "
+        "decontamination probe, emitting per-batch funnel-stage counts "
+        "and updating the ingest ledger; flags are defined by batch "
+        "NUMBERS carried in the data, so the final funnel is "
+        "arrival-order independent and replay-idempotent)"
+    ),
+    oracle=_ingest_oracle(),
+)
+def stream_ingest_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest incremental curation (VERDICT r12 item 3): the batch
+    curation funnel's stages replayed as a REAL availableNow micro-batch
+    stream with per-batch accounting — what a continuously-fed 100 TB
+    corpus runs instead of repeated full-corpus passes. Four batches
+    (pmod(doc_id, 4) + 1), one parquet file each, forced-monotone mtimes
+    so the file source replays them in order (the production queue
+    contract; reference analog: the idempotent hourly upsert with
+    late-data lookback, /root/reference/src/collectors/weather.py:
+    1632-1680,1480-1551).
+
+    Each trigger: (1) the arriving rows — fingerprint, shingles, MinHash
+    signature, classifier logit, Bloom flag, all computed in-expression
+    at ingest — merge into the ingest log via insert_if_absent on doc_id
+    (re-delivery is a no-op); (2) the funnel rows for the arriving batch
+    AND any logged LATER batch are (re)derived from the log and
+    merge-upserted into the funnel sink keyed on batch. Because every
+    stage flag compares a batch only against SMALLER batch numbers in the
+    data, out-of-order arrival self-repairs: delivering batch 4 first
+    just means its row is recomputed when 1..3 land, and the FINAL funnel
+    equals the one-pass oracle regardless of arrival order (pinned by the
+    reversed-replay test).
+
+    Stage semantics (each doc counted in its FIRST failing stage):
+    exact_dup = a same-fingerprint row exists with smaller (batch,
+    doc_id); neardup = banded-MinHash + exact-Jaccard match against an
+    EARLIER batch's exact-canonical (the ledger tracks content SEEN, not
+    content kept — a paraphrase of already-rejected content is still a
+    duplicate); quality_fail = classifier logit < 0; contaminated = the
+    Bloom probe (eval-shingle bitmap) fires.
+
+    Scale shape: per trigger the exact-ledger check is one equi-join on
+    fp and the near-dup probe is the batch-vs-ledger band equi-join
+    (docs_minhash_incremental_neardup's shape — at 100 TB the band index
+    and fp ledger are persisted tables partitioned by key, so the probe
+    shuffles only the batch side; the local staged-parquet re-read is the
+    test-container stand-in, same as every sink in this module). The
+    quality and Bloom gates are per-row expressions. The funnel sink is
+    O(batches); the one driver collect per trigger is the distinct batch
+    list (bounded by the replay depth). Ledger growth is measured in
+    SCALE.md ("Ledger growth & compaction"): the log grows with DISTINCT
+    content by design — the compaction policy a deployment runs is
+    documented there.
+    """
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from inspig_etl_spark.sources.sinks import read_or_empty
+
+    staged = _ingest_prep(spark, sf_dir)
+
+    tmpdir = tempfile.mkdtemp(prefix="stream_ingest_")
+    src = f"{tmpdir}/src"
+    _os.makedirs(src)
+    log_path = f"{tmpdir}/log"
+    funnel_path = f"{tmpdir}/funnel"
+    ckpt = f"{tmpdir}/ckpt"
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        _ingest_apply(batch_df, log_path, funnel_path)
+
+    try:
+        t0 = _time.time() - 1000
+        for b in range(1, ING_NB + 1):
+            sub = f"{tmpdir}/b{b}"
+            staged.filter(F.col("batch") == b).coalesce(1).write.parquet(sub)
+            part = _glob.glob(f"{sub}/part-*.parquet")[0]
+            dst = f"{src}/batch_{b}.parquet"
+            shutil.copyfile(part, dst)
+            # one file per micro-batch, replayed oldest-mtime-first
+            _os.utime(dst, (t0 + b * 10, t0 + b * 10))
+
+        stream = (
+            spark.readStream.schema(_ING_LOG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(apply)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        final = read_or_empty(spark, funnel_path, _ING_FUNNEL_SCHEMA)
+        rows = final.collect()  # funnel-sized: one row per batch
+        out = spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return out

@@ -799,3 +799,106 @@ def test_decontaminate_union_report_set_algebra(spark):
         assert r.any_cnt == r.lex_cnt + r.sem_cnt - r.both_cnt
         assert max(r.lex_cnt, r.sem_cnt, r.any_cnt) <= r.train_docs
     assert sum(r.sem_only_cnt for r in rows) >= 1
+
+
+def test_bm25_vs_idf_sum_planted_ranks(spark, tmp_path):
+    """VERDICT r12 item 5: pin exactly where BM25 agrees with and diverges
+    from the idf-sum tower, on a planted corpus where the answer is known.
+
+    40 docs; the query doc (id 0, ``% QUERY_MOD == 0``) carries bigrams
+    shared with four candidates, each via a DIFFERENT rare bigram of
+    identical df (=2) — so the idf-sum tower scores all four EQUAL and
+    falls back to the doc_id tie-break [1, 2, 3, 4]. BM25 must instead
+    rank by its two extra signals:
+
+    - saturation: doc 3 repeats its shared bigram (tf=3) vs doc 4's tf=1
+      at the same length → 3 strictly above 4;
+    - length normalization: doc 1 buries its single match in ~60 filler
+      bigrams → last, despite winning the idf-sum tie-break as lowest id;
+    - expected BM25 order [3, 2, 4, 1], reproduced independently in
+      Python fixed-point below, not copied from the engine.
+    """
+    from inspig_etl_spark.queries.hybrid_search import (
+        _lex_ranked,
+        docs_bm25_topk,
+    )
+
+    # Each candidate matches the query via a DIFFERENT bigram: the df cap
+    # is 2 at n=40, so a bigram shared by the query plus TWO candidates
+    # would be df-gated out entirely.
+    filler_a = " ".join(f"fa{i}" for i in range(60))
+    docs = [
+        (0, "aa bb cc dd ee ff"),  # bigrams: ab, bc, cd, de, ef
+        (1, "aa bb " + filler_a),  # shares (aa,bb), df=2, dl=61
+        (2, "bb cc"),  # shares (bb,cc), df=2, dl=1
+        (3, "cc dd cc dd cc dd"),  # shares (cc,dd) tf=3, df=2, dl=5
+        (4, "dd ee y4a y4b y4c y4d"),  # shares (dd,ee) tf=1, df=2, dl=5
+    ]
+    docs += [(i, f"u{i}a u{i}b u{i}c") for i in range(5, 40)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(d, t, "en", "planted", len(t)) for d, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    bm = [
+        r
+        for r in docs_bm25_topk(spark, sf).collect()
+        if r.query_id == 0
+    ]
+    bm.sort(key=lambda r: r.rank_bm25)
+    lex = [r for r in _lex_ranked(spark, sf).collect() if r.query_id == 0]
+    lex.sort(key=lambda r: r.rank_lex)
+
+    # idf-sum: four equal scores -> pure doc_id tie-break.
+    assert [r.doc_id for r in lex] == [1, 2, 3, 4]
+
+    # Independent Python replication of the fixed-point BM25.
+    dls = {1: 61, 2: 1, 3: 5, 4: 5}
+    tfs = {1: 1, 2: 1, 3: 3, 4: 1}
+    n_docs = 40
+    total = sum(dls.values()) + 5 + 35 * 2  # query dl=5, fillers dl=2
+    avgdl_e3 = total * 1000 // n_docs
+    idf_e6 = n_docs * 1_000_000 // 2
+
+    def bm25_e6(doc):
+        tf, dl = tfs[doc], dls[doc]
+        den = 1000 * tf + 300 + (900_000 * dl) // avgdl_e3
+        return idf_e6 * ((tf * 2_200_000_000) // den) // 1_000_000
+
+    expect = sorted(dls, key=lambda d: (-bm25_e6(d), d))
+    assert [r.doc_id for r in bm] == expect
+    assert {r.doc_id: r.bm25_e6 for r in bm} == {
+        d: bm25_e6(d) for d in dls
+    }
+    # the two signals, stated directly: saturation and length norm
+    assert bm25_e6(3) > bm25_e6(4)  # tf=3 beats tf=1 at equal length
+    assert expect[-1] == 1  # the long doc sinks to last despite lowest id
+
+
+def test_hybrid_recall_report_invariants(spark):
+    """Structural invariants plus the data-pinned tower relationships of
+    the recall report. GUARANTEED: one row per method, recall_ppm is the
+    exact integer ratio, hits <= possible, possible = queries x k.
+    DATA-PINNED (this corpus, waiver: synthetic text and embeddings are
+    statistically independent, so the lexical towers carry ~zero signal
+    for the VECTOR ground truth and RRF's lexical noise demotes a couple
+    of correct vector hits — on a real corpus where both towers see the
+    same semantics the standard expectation is fused >= max(single)):
+    vector strictly beats both lexical towers; rrf_fused lands within
+    [0.5x, 1.2x] of vector-only and above both lexical towers."""
+    from inspig_etl_spark.queries.hybrid_search import HYBRID_K
+
+    rows = {r.method: r for r in Q["docs_hybrid_recall_report"](spark, SF_CORRECT).collect()}
+    assert set(rows) == {"lexical_idf", "lexical_bm25", "vector", "rrf_fused"}
+    for r in rows.values():
+        assert 0 < r.queries
+        assert r.possible == r.queries * HYBRID_K
+        assert 0 <= r.hits <= r.possible
+        assert r.recall_ppm == r.hits * 1_000_000 // r.possible
+    v, f = rows["vector"], rows["rrf_fused"]
+    assert v.recall_ppm > rows["lexical_idf"].recall_ppm
+    assert v.recall_ppm > rows["lexical_bm25"].recall_ppm
+    assert f.recall_ppm > rows["lexical_idf"].recall_ppm
+    assert f.recall_ppm > rows["lexical_bm25"].recall_ppm
+    assert v.recall_ppm // 2 <= f.recall_ppm <= v.recall_ppm * 12 // 10

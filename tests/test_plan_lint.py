@@ -163,6 +163,23 @@ ALLOWED: dict[str, dict[str, str]] = {
         "against a 1-row broadcast aggregate to df-gate the rare-bigram "
         "vocabulary (the standard 1-row-scalar pattern)",
     },
+    "docs_bm25_topk": {
+        "nested-loop": "two 1-row broadcast scalars (the df-gate corpus "
+        "size N inherited from the shared lexical base, plus BM25's avgdl "
+        "corpus constant) join as crossJoins against 1-row aggregates — "
+        "the standard 1-row-scalar pattern; the postings join itself is "
+        "term-keyed and df-capped",
+    },
+    "docs_hybrid_recall_report": {
+        "nested-loop": "two declared BNLJ classes, same as "
+        "embeddings_ann_recall_report: (a) the float brute-force ground "
+        "truth recall is measured AGAINST (the embeddings_knn_bruteforce "
+        "exception — a deployment samples the query set), and (b) the "
+        "1-row broadcast crossJoins assembling each method's scalar "
+        "metrics into its report row (plus the towers' own 1-row df-gate/"
+        "avgdl scalars); every method's retrieval stages inherit the "
+        "production kernels' df-capped/cell equi-join shapes",
+    },
     "embeddings_ivf_incremental_drift": {
         "nested-loop": "the ledger/grand totals join as a crossJoin against "
         "a 1-row broadcast aggregate (the standard 1-row-scalar pattern) "

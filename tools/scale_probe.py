@@ -67,6 +67,9 @@ NAMES = [
     # and the two-phase distributed curriculum ranking
     "docs_decontaminate_semantic", "docs_curriculum_order",
     "docs_decontaminate_union_report", "multimodal_audio_fp_neardup",
+    # r13 kernels: BM25 lexical tower and the four-method hybrid recall
+    # report (brute-force gt is the declared quadratic witness)
+    "docs_bm25_topk", "docs_hybrid_recall_report",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
