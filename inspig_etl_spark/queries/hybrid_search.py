@@ -233,7 +233,17 @@ def _lex_frames(spark: SparkSession, sf_dir: str):
     vocabulary with integer idf, and the query-side terms (Spark twins of
     the ``_HYB_CTES`` stages of the same names)."""
     docs = spread(table(spark, sf_dir, "documents"))
-    th = docs.select("doc_id", token_hashes(tokens(F.col("text"))).alias("hs"))
+    # persist(): the postings subtree feeds 4-6 consumers (df stats, the
+    # query side, the postings join, and BM25's tf/dl) — without
+    # materialization each consumer re-runs the parquet scan + tokenize +
+    # per-token md5 (6 full scans in the unpersisted BM25 plan, measured
+    # via .explain). One narrow (doc_id, hs) row per doc — the _shingled
+    # pattern; the 100 TB form is the PERSISTED inverted index every
+    # lexical deployment materializes. clearCache() after the action is
+    # the repo-wide unpersist point for lazily-returned query frames.
+    th = docs.select(
+        "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
+    ).persist()
     # POSITIONAL bigrams: tb preserves multiplicity (BM25's tf and dl are
     # occurrence counts, not distinct-term counts); tq re-derives the
     # distinct postings view the idf-sum tower and df stats use.

@@ -398,3 +398,115 @@ class TestAudioFingerprint:
             expect = round(inter / union, 6)
             assert r.jaccard == expect
             assert r.jaccard >= JACCARD_THRESHOLD
+
+
+class TestBM25Properties:
+    """Differential for the fixed-point BM25 tower: a driver-side Python
+    model recomputes the exact integer pipeline (positional bigrams, df
+    cap, avgdl_e3, saturation, length norm, per-query ranking) over random
+    tiny corpora. The token domain is narrow so bigram collisions, hot
+    terms (df-gated out), repeated terms (tf > 1), and short/long docs are
+    all explored mechanically; corpora are sized ~40 docs so the 5% df cap
+    admits df <= 2 terms instead of gating everything."""
+
+    DOCS = st.lists(
+        st.tuples(
+            st.integers(0, 60),  # doc_id domain (dedup below; 0 and 50 query)
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=8),
+        ),
+        min_size=30,
+        max_size=50,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=DOCS)
+    def test_bm25_matches_python_model(self, spark, tmp_path_factory, rows):
+        from inspig_etl_spark.queries.hybrid_search import (
+            BM25_DEN_CONST_E3,
+            BM25_DEN_DL_E6,
+            BM25_SAT_NUM_E9,
+            IDF_E6,
+            LEX_C,
+            docs_bm25_topk,
+        )
+        from inspig_etl_spark.queries.llm_similarity import QUERY_MOD
+
+        tmp = tmp_path_factory.mktemp("bm25")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        seen = {}
+        for did, toks in rows:
+            seen[did] = " ".join(toks)
+        docs = sorted(seen.items())
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs],
+                    "lang": ["en"] * len(docs),
+                    "source": ["s"] * len(docs),
+                    "n_chars": pa.array(
+                        [len(t) for _, t in docs], pa.int64()
+                    ),
+                }
+            ),
+            str(tmp / "documents.parquet"),
+        )
+
+        # model terms as bigram TUPLES (the 4-word vocab has <= 16 distinct
+        # bigrams — the 2^31 hash space cannot collide on them, so tuple
+        # identity == hash identity)
+        tb = {
+            d: list(zip(t.split(), t.split()[1:])) for d, t in docs
+        }
+        tb = {d: bs for d, bs in tb.items() if bs}
+        n_docs = len(tb)
+        df = {}
+        for bs in tb.values():
+            for t in set(bs):
+                df[t] = df.get(t, 0) + 1
+        rare = {
+            t: n_docs * IDF_E6 // c
+            for t, c in df.items()
+            if c * 100 <= n_docs * 5
+        }
+        expect = {}
+        if n_docs:
+            total = sum(len(bs) for bs in tb.values())
+            avgdl_e3 = total * 1000 // n_docs
+            for q, qbs in tb.items():
+                if q % QUERY_MOD != 0:
+                    continue
+                scored = []
+                for d, dbs in tb.items():
+                    if d == q:
+                        continue
+                    s = 0
+                    hit = False
+                    for t in set(qbs):
+                        if t not in rare or t not in set(dbs):
+                            continue
+                        hit = True
+                        tf, dl = dbs.count(t), len(dbs)
+                        den = (
+                            1000 * tf
+                            + BM25_DEN_CONST_E3
+                            + (BM25_DEN_DL_E6 * dl) // avgdl_e3
+                        )
+                        s += rare[t] * ((tf * BM25_SAT_NUM_E9) // den) // IDF_E6
+                    if hit:
+                        scored.append((d, s))
+                scored.sort(key=lambda x: (-x[1], x[0]))
+                for rank, (d, s) in enumerate(scored[:LEX_C], 1):
+                    expect[(q, d)] = (rank, s)
+
+        got = {
+            (r.query_id, r.doc_id): (r.rank_bm25, r.bm25_e6)
+            for r in docs_bm25_topk(spark, str(tmp)).collect()
+        }
+        assert got == expect

@@ -71,18 +71,23 @@ def main() -> None:
     b = F.col("batch")
     i = F.col("id")
 
+    from inspig_etl_spark.functions.text import HASH_P
+
     def shingles(key: F.Column, drop_first: bool = False):
         """SH_PER_DOC content-derived shingle hashes for a doc key; the
-        NEAR variant drops one and adds one, sharing 19 of 20."""
+        NEAR variant drops one and adds one, sharing 19 of 20. Hashes are
+        reduced mod HASH_P like the real shingle pipeline's — a raw
+        60-bit md5_long overflows int64 inside the MinHash permutation
+        multiply (the memory-listed gotcha)."""
         idxs = list(range(1, SH_PER_DOC)) if drop_first else list(
             range(SH_PER_DOC)
         )
         arr = F.array(
-            *[md5_long(F.concat(F.lit(f"s{j}:"), key)) for j in idxs]
+            *[md5_long(F.concat(F.lit(f"s{j}:"), key)) % HASH_P for j in idxs]
         )
         if drop_first:
             arr = F.concat(
-                arr, F.array(md5_long(F.concat(F.lit("alt:"), key)))
+                arr, F.array(md5_long(F.concat(F.lit("alt:"), key)) % HASH_P)
             )
         return arr
 

@@ -67,9 +67,12 @@ NAMES = [
     # and the two-phase distributed curriculum ranking
     "docs_decontaminate_semantic", "docs_curriculum_order",
     "docs_decontaminate_union_report", "multimodal_audio_fp_neardup",
-    # r13 kernels: BM25 lexical tower and the four-method hybrid recall
-    # report (brute-force gt is the declared quadratic witness)
+    # r13 kernels: BM25 lexical tower, the four-method hybrid recall
+    # report (brute-force gt is the declared quadratic witness), and the
+    # at-ingest curation funnel replay (ledger growth curve lives in
+    # tools/ledger_growth_probe.py; this row tracks wall-clock growth)
     "docs_bm25_topk", "docs_hybrid_recall_report",
+    "stream_ingest_curation_funnel",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
