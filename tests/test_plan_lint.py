@@ -215,6 +215,14 @@ ALLOWED: dict[str, dict[str, str]] = {
 
 @pytest.mark.parametrize("name", sorted(reg.queries()))
 def test_plan_is_scale_safe(spark, name):
+    # Lint is defined over the FRESH plan: an earlier test in the session
+    # may have executed (and persisted) a shared subtree, and a cached
+    # InMemoryRelation carries its AQE-materialized ShuffleQueryStages —
+    # including the Exchange SinglePartition under ordinary 1-row scalar
+    # aggregates — which would flag here only because of suite ORDER.
+    # Clearing makes the gate order-independent (and is the repo-wide
+    # clearCache-after-action policy for lazily-returned query frames).
+    spark.catalog.clearCache()
     df = reg.queries()[name](spark, SF_DIR)
     findings = lint_plan(df)
     allowed = ALLOWED.get(name, {})
