@@ -97,6 +97,12 @@ HEADLINE = [
     "docs_vocab_hll_by_source",
     "docs_bpe_merge_candidates",
     "docs_token_cms_topk",
+    # round-13 addition: the BM25 lexical tower (cheap, ~2 s at sf0.1; the
+    # other two r13 kernels are SCALE.md-probed instead — the recall
+    # report re-runs the brute-force ground-truth witness (~7 s x 3 runs
+    # of session inflation) and the ingest funnel stages a real 4-trigger
+    # stream (~20 s x 3), both the documented exclusion classes below)
+    "docs_bm25_topk",
     # round-10 addition: image perceptual-hash near-dup (the other three
     # r10 kernels — shard manifest, BPE trainer, IVF-PQ refine, streaming
     # window — are SCALE.md-probed instead: composed/driver-loop/staged
