@@ -122,6 +122,29 @@ HEADLINE = [
 # instrument; keeping it bounded keeps its ratios meaningful.
 
 
+def host_factor(host: dict, host_baseline: dict) -> float | None:
+    """Fold the four control readings against their idle-host references
+    into ONE multiplicative host factor (geometric mean of the ratios) —
+    the uniform inflation this session's conditions impose on every
+    reading. Read headline ratios divided by it (SCALE.md 'Host controls
+    in the bench record'). Returns None when no ratio is computable."""
+    ratios = [
+        r / b
+        for rs, b in (
+            (host.get("control_q1", []), host_baseline.get("control_q1")),
+            (host.get("scan_floor", []), host_baseline.get("scan_floor")),
+        )
+        if b
+        for r in rs
+    ]
+    if not ratios:
+        return None
+    factor = 1.0
+    for r in ratios:
+        factor *= r
+    return round(factor ** (1.0 / len(ratios)), 3)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -266,21 +289,10 @@ def main() -> None:
     # ratios should be read divided by it (measurement policy, SCALE.md).
     if base_path.exists():
         hb = json.loads(base_path.read_text()).get("host_baseline")
-        if hb:
-            ratios = [
-                r / b
-                for rs, b in (
-                    (host["control_q1"], hb["control_q1"]),
-                    (host["scan_floor"], hb["scan_floor"]),
-                )
-                for r in rs
-                if b
-            ]
-            factor = 1.0
-            for r in ratios:
-                factor *= r
-            full["host_factor"] = round(factor ** (1.0 / len(ratios)), 3)
-            print(f"# host_factor={full['host_factor']}", file=sys.stderr)
+        hf = host_factor(host, hb) if hb else None
+        if hf is not None:
+            full["host_factor"] = hf
+            print(f"# host_factor={hf}", file=sys.stderr)
     if base_queries:
         full["baseline_total"] = round(sum(base_queries.values()), 3)
         full["delta_vs_baseline"] = deltas

@@ -121,3 +121,28 @@ def test_two_weeks_coexist_in_landed_tables(api, spark, tmp_path):
 def test_impossible_date_is_a_400_not_a_500(api):
     code, body = _post(f"{api}/api/etl/run-farm", {"farmNo": 3, "insDate": "20241399"})
     assert code == 400 and "insDate" in body["error"]
+
+
+def test_bench_host_factor_fold():
+    """bench.py's host self-adjudication: the factor is the geometric mean
+    of the four control/reference ratios, None when nothing is computable,
+    and robust to a missing or zero reference (that control is skipped)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    host = {"control_q1": [2.0, 1.0], "scan_floor": [0.2, 0.1]}
+    hb = {"control_q1": 1.0, "scan_floor": 0.1}
+    # ratios 2, 1, 2, 1 -> gm = sqrt(2*1*2*1)^(1/2) = 2^(1/2) = 1.414
+    assert bench.host_factor(host, hb) == 1.414
+    # a zero/missing reference skips that control, never divides by it
+    assert bench.host_factor(host, {"control_q1": 1.0, "scan_floor": 0}) == 1.414
+    # only q1 usable: ratios 1.0, 0.5 -> gm = sqrt(0.5) = 0.707
+    assert bench.host_factor(host, {"control_q1": 2.0}) == 0.707
+    assert bench.host_factor({}, hb) is None
+    assert bench.host_factor(host, {}) is None
