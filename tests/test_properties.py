@@ -119,28 +119,43 @@ class TestSkewKernelProperties:
         assert got == {k: len(s) for k, s in want.items()}
 
 
-def test_percentile_approx_within_exact_envelope(spark):
-    """The sketch-backed scale path must bracket the exact percentiles it
-    approximates: every approx pXX lies within the group's [min, max] and
-    within a small rank-error band of the exact answer at accuracy 10k."""
+def test_histogram_quantile_brackets_exact_rank(spark):
+    """The histogram sketch's bucket-edge answer must BRACKET the exact
+    rank statistic it approximates: for quantile q over n values, the
+    value at rank ceil(q*n/100) lies inside the answering bucket, i.e.
+    in [ub - HIST_WIDTH, ub). Plus the structural invariants: answers are
+    bucket-edge multiples and monotone across quantiles."""
+    import math
+
     from tests.conftest import SF_CORRECT
+    from inspig_etl_spark.catalog import table
     from inspig_etl_spark.queries.analytics_ext import (
-        order_value_percentiles,
+        HIST_WIDTH,
         order_value_percentiles_approx,
     )
 
-    exact = {r.o_orderpriority: r for r in order_value_percentiles(spark, SF_CORRECT).collect()}
-    approx = {r.o_orderpriority: r for r in order_value_percentiles_approx(spark, SF_CORRECT).collect()}
-    assert set(exact) == set(approx) and len(exact) == 5
-    for prio, e in exact.items():
-        a = approx[prio]
-        spread = e.max_total - e.min_total
-        for col in ("p50", "p90", "p99"):
-            assert e.min_total <= getattr(a, col) <= e.max_total
-            # accuracy=10000 → rank error ≤ 1/10000; values are dense enough
-            # at sf0.01 that 1% of the value spread safely brackets it.
-            assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * spread, (
-                prio, col, getattr(a, col), getattr(e, col))
+    approx = {
+        r.o_orderpriority: r
+        for r in order_value_percentiles_approx(spark, SF_CORRECT).collect()
+    }
+    assert len(approx) == 5
+    vals: dict[str, list[float]] = {}
+    for row in (
+        table(spark, SF_CORRECT, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        vals.setdefault(row.o_orderpriority, []).append(row.o_totalprice)
+    assert set(vals) == set(approx)
+    for prio, a in approx.items():
+        v = sorted(vals[prio])
+        assert a.n_orders == len(v)
+        assert a.p50_ub <= a.p90_ub <= a.p99_ub
+        for q, col in ((50, "p50_ub"), (90, "p90_ub"), (99, "p99_ub")):
+            ub = getattr(a, col)
+            assert ub % HIST_WIDTH == 0
+            rank_val = v[math.ceil(q * len(v) / 100) - 1]
+            assert ub - HIST_WIDTH <= rank_val < ub, (prio, col, ub, rank_val)
 
 
 def test_chunk_dedup_conservation_invariants(spark):
