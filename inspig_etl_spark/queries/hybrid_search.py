@@ -51,6 +51,19 @@ VEC_C = 10  # vector candidates per query
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 HYBRID_K = 5  # fused results per query
 
+# docs_hybrid_recall_report's Spark-side ground truth reuses
+# embeddings_knn_bruteforce, which is hard-capped at TOP_K ranks, then
+# filters to rank <= HYBRID_K — while its oracle computes the ground truth
+# at HYBRID_K directly. Raising HYBRID_K above TOP_K would silently
+# truncate the Spark-side truth and break oracle parity (ADVICE r13), so
+# the coupling is enforced at import time.
+from inspig_etl_spark.queries.llm_similarity import TOP_K as _BRUTE_TOP_K
+
+assert HYBRID_K <= _BRUTE_TOP_K, (
+    f"HYBRID_K ({HYBRID_K}) must not exceed the brute-force ground truth's "
+    f"TOP_K ({_BRUTE_TOP_K}); see docs_hybrid_recall_report"
+)
+
 # BM25 (k1 = 1.2, b = 0.75) in integer fixed point. The denominator
 # tf + k1*(1 - b + b*dl/avgdl) is scaled by 1e3, the saturation
 # tf*(k1+1)/den by 1e6, and the per-term contribution is
@@ -151,17 +164,23 @@ tf AS (
   GROUP BY doc_id, term
 ),
 bm AS (
-  SELECT qt.query_id, tf.doc_id,
-         CAST(SUM((rare.idf_e6
-                   * ((tf.tf * {BM25_SAT_NUM_E9})
-                      // (1000 * tf.tf + {BM25_DEN_CONST_E3}
-                          + ({BM25_DEN_DL_E6} * dl.dl)
-                            // NULLIF(stats.avgdl_e3, 0))))
-                  // {IDF_E6}) AS BIGINT) AS bm25_e6
-  FROM qt JOIN rare USING (term) JOIN tf USING (term)
-       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
-  WHERE tf.doc_id <> qt.query_id
-  GROUP BY qt.query_id, tf.doc_id
+  -- (idf_e6 * sat_e6) // 1e6 in the same overflow-safe split form as the
+  -- Spark side: (idf_e6 // 1e6)*sat_e6 + ((idf_e6 % 1e6)*sat_e6) // 1e6
+  SELECT query_id, doc_id,
+         CAST(SUM((idf_e6 // {IDF_E6}) * sat_e6
+                  + ((idf_e6 % {IDF_E6}) * sat_e6) // {IDF_E6})
+              AS BIGINT) AS bm25_e6
+  FROM (
+    SELECT qt.query_id, tf.doc_id, rare.idf_e6,
+           (tf.tf * {BM25_SAT_NUM_E9})
+             // (1000 * tf.tf + {BM25_DEN_CONST_E3}
+                 + ({BM25_DEN_DL_E6} * dl.dl)
+                   // NULLIF(stats.avgdl_e3, 0)) AS sat_e6
+    FROM qt JOIN rare USING (term) JOIN tf USING (term)
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+    WHERE tf.doc_id <> qt.query_id
+  )
+  GROUP BY query_id, doc_id
 ),
 bmr AS (
   SELECT query_id, doc_id, bm25_e6,
@@ -370,10 +389,17 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed point: den_e3 = 1000*tf + k1(1-b)e3 + (k1*b*1e6*dl) div
     avgdl_e3; sat_e6 = (tf*(k1+1)e9) div den_e3; contribution =
     (idf_e6*sat_e6) div 1e6 — every step bigint division, identical on
-    both engines (int64 headroom: idf_e6 <= n_docs*1e6 and sat_e6 <=
-    2.2e6, so contributions stay < 2^63 up to ~4e9 corpus docs; past
-    that a production deployment caps idf_e6, which BM25's log-idf does
-    naturally).
+    both engines. The contribution is COMPUTED in split form,
+    (idf_e6 div 1e6)*sat_e6 + ((idf_e6 mod 1e6)*sat_e6) div 1e6 — an
+    exact identity for nonnegative ints, applied identically in both
+    engines — because the naive product idf_e6*sat_e6 (idf_e6 up to
+    n_docs*1e6 for a df=1 term, sat_e6 up to 2.2e6) would cross 2^63 at
+    only ~4.2e6 corpus docs, where non-ANSI Spark wraps silently while
+    DuckDB raises (ADVICE r13). Split, the widest intermediate is
+    (n_docs div df)*sat_e6 <= n_docs*2.2e6 — headroom to ~4e12 docs;
+    past that a production deployment caps idf_e6, which BM25's log-idf
+    does naturally. The identity itself is pinned by
+    tests/test_llm_ops.py::test_bm25_split_contribution_identity.
 
     Scale shape: identical to the idf-sum tower — df and tf are
     term-/doc-keyed partial aggs, avgdl is ONE broadcast scalar row, the
@@ -391,11 +417,15 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tb.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    contrib = F.expr(
-        f"(idf_e6 * ((tf * {BM25_SAT_NUM_E9})"
+    sat = F.expr(
+        f"(tf * {BM25_SAT_NUM_E9})"
         f" div (1000 * tf + {BM25_DEN_CONST_E3}"
-        f" + ({BM25_DEN_DL_E6} * dl) div nullif(avgdl_e3, 0))))"
-        f" div {IDF_E6}"
+        f" + ({BM25_DEN_DL_E6} * dl) div nullif(avgdl_e3, 0))"
+    )
+    # (idf_e6 * sat_e6) div 1e6 in overflow-safe split form (see docstring)
+    contrib = F.expr(
+        f"(idf_e6 div {IDF_E6}) * sat_e6"
+        f" + ((idf_e6 % {IDF_E6}) * sat_e6) div {IDF_E6}"
     )
     bm = (
         qt.join(rare, "term")
@@ -403,6 +433,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "idf_e6", sat.alias("sat_e6"))
         .select("query_id", "doc_id", contrib.alias("c"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").cast("bigint").alias("bm25_e6"))

@@ -902,3 +902,39 @@ def test_hybrid_recall_report_invariants(spark):
     assert f.recall_ppm > rows["lexical_idf"].recall_ppm
     assert f.recall_ppm > rows["lexical_bm25"].recall_ppm
     assert v.recall_ppm // 2 <= f.recall_ppm <= v.recall_ppm * 12 // 10
+
+
+def test_bm25_split_contribution_identity():
+    """The overflow-safe split form the BM25 kernel computes on BOTH
+    engines, (idf_e6 div 1e6)*sat + ((idf_e6 mod 1e6)*sat) div 1e6, must
+    equal the textbook (idf_e6*sat) div 1e6 exactly for every nonnegative
+    operand pair — including values where the naive product would exceed
+    int64 (the ADVICE r13 finding: naive overflow at ~4.2e6 corpus docs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    M = 1_000_000
+    sat_max = 2_200_000  # (k1+1)*1e6 asymptote of the saturation term
+
+    def split(idf, sat):
+        return (idf // M) * sat + ((idf % M) * sat) // M
+
+    # Deterministic spot checks, incl. past-int64-naive-product territory
+    # (idf_e6 for a df=1 term in a 4.2e9-doc corpus), checked against
+    # Python's unbounded ints.
+    for idf in (0, 1, M - 1, M, M + 1, 7 * M + 123, 4_200_000_000 * M):
+        for sat in (0, 1, 999_999, M, sat_max):
+            assert split(idf, sat) == (idf * sat) // M
+            # widest split intermediate stays inside int64 for any
+            # corpus the docstring claims (~4e12 docs)
+            assert (idf // M) * sat < 2**63 or idf // M > 4_000_000_000_000
+
+    @given(
+        st.integers(min_value=0, max_value=4_000_000_000_000 * M),
+        st.integers(min_value=0, max_value=sat_max),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(idf, sat):
+        assert split(idf, sat) == (idf * sat) // M
+
+    check()
