@@ -1065,3 +1065,135 @@ def stream_ingest_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
     return out
+
+
+# --- ledger compaction (the SCALE.md policy, as an operator) ------------------
+
+ING_FROZEN = 2  # batches 1..ING_FROZEN are past the out-of-order repair window
+
+
+def _ingest_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest log's identity triple (doc_id, batch, fp) — the same
+    derivation as ``_ingest_prep``'s first select (pinned equal by
+    tests/test_streaming.py::test_ledger_compaction_preserves_live_funnel_rows)
+    without the shingle/signature/logit/Bloom artifacts the compaction
+    accounting never reads; building them would also drag the Bloom
+    stage's declared 1-row crossJoin into an otherwise lint-clean plan."""
+    from inspig_etl_spark.catalog import spread
+    from inspig_etl_spark.functions.text import tokens
+    from inspig_etl_spark.queries.llm_dedup import EVAL_MOD
+
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % EVAL_MOD != 0)
+    )
+    return docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), ING_NB) + 1).cast("bigint").alias("batch"),
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp"),
+    )
+
+
+def _compaction_oracle() -> str:
+    """The compaction contract in one SQL pass: the log's (doc_id, batch,
+    fp) triples (the same fp/batch derivation as the funnel oracle's
+    ``ing`` CTE), a rank-1-per-fp window over the FROZEN slice only, and
+    per-batch before/after accounting."""
+    from inspig_etl_spark.queries.llm_dedup import EVAL_MOD
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+  WHERE text IS NOT NULL AND doc_id % {EVAL_MOD} <> 0
+),
+ing AS (
+  SELECT doc_id,
+         CAST(((doc_id % {ING_NB}) + {ING_NB}) % {ING_NB} + 1 AS BIGINT)
+           AS batch,
+         md5(COALESCE(array_to_string(toks, ' '), '')) AS fp
+  FROM t
+),
+fr AS (
+  SELECT batch,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
+  FROM ing WHERE batch <= {ING_FROZEN}
+),
+kept AS (
+  SELECT batch FROM fr WHERE rn = 1
+  UNION ALL
+  SELECT batch FROM ing WHERE batch > {ING_FROZEN}
+),
+b4 AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS rows_before FROM ing GROUP BY batch
+),
+af AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS rows_after FROM kept GROUP BY batch
+)
+SELECT b4.batch,
+       b4.batch <= {ING_FROZEN} AS frozen,
+       b4.rows_before,
+       COALESCE(af.rows_after, 0) AS rows_after,
+       b4.rows_before - COALESCE(af.rows_after, 0) AS n_dropped
+FROM b4 LEFT JOIN af ON b4.batch = af.batch
+"""
+
+
+@register(
+    "stream_ingest_ledger_compaction",
+    operators=(
+        "ST-ext ledger compaction (VERDICT r13 item 5: the SCALE.md "
+        "'Ledger growth & compaction' policy as a real operator — batches "
+        "past the out-of-order repair window keep ONE canonical row per "
+        "fingerprint, live batches keep every row; per-batch "
+        "before/after/dropped accounting)"
+    ),
+    oracle=_compaction_oracle(),
+)
+def stream_ingest_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of the at-ingest funnel's ledger, with accounting.
+
+    The same deterministic log ``stream_ingest_curation_funnel`` replays
+    (``_ingest_prep``: batch = pmod(doc_id, ING_NB) + 1, fp = md5 of the
+    token join) is compacted at ``frozen_max_batch = ING_FROZEN``:
+    batches 1..ING_FROZEN are final, so
+    :func:`~inspig_etl_spark.streaming.incremental.compact_ingest_ledger`
+    keeps only the rank-1-per-fingerprint canonical from that slice (the
+    exact-fp probe set and the near-dup band index later batches join
+    against are functions of canonicals alone — see the operator's
+    docstring for why no future verdict can change, and
+    tests/test_streaming.py for the replay-equivalence pin).
+    The output is one row per batch: rows_before, rows_after, n_dropped,
+    and the frozen flag — the accounting a deployment's compaction job
+    emits to its run manifest.
+
+    Scale shape: the compaction itself is ONE row_number window keyed on
+    fp over the frozen slice (the live slice never shuffles); the
+    accounting is two map-side-combinable per-batch counts joined on the
+    O(batches)-row batch key. Reference analog: the delete-then-insert
+    idempotent saver retiring superseded rows once a section is final,
+    /root/reference/src/collectors/productivity.py:375-451.
+    """
+    from inspig_etl_spark.streaming.incremental import compact_ingest_ledger
+
+    log = _ingest_ids(spark, sf_dir).persist()
+    compacted = compact_ingest_ledger(log, ING_FROZEN)
+    before = log.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before")
+    )
+    after = compacted.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after")
+    )
+    return (
+        before.join(after, "batch", "left")
+        .select(
+            "batch",
+            (F.col("batch") <= ING_FROZEN).alias("frozen"),
+            "rows_before",
+            F.coalesce(F.col("rows_after"), F.lit(0)).cast("bigint").alias("rows_after"),
+            (
+                F.col("rows_before")
+                - F.coalesce(F.col("rows_after"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -270,6 +270,51 @@ def layered_merge(
     return out
 
 
+def compact_ingest_ledger(log: DataFrame, frozen_max_batch: int) -> DataFrame:
+    """Compact an at-ingest ledger past the out-of-order repair window
+    (SCALE.md "Ledger growth & compaction" — the policy, now an operator).
+
+    Batches ``<= frozen_max_batch`` are FINAL: their funnel rows are
+    immutable (the ingest queue's lateness bound has passed — the same
+    role a watermark plays for streaming state), so the only future value
+    their log rows carry is what later batches' stage probes join
+    against. Those probes consume exactly two views of the frozen slice
+    (``queries.st_manifest._ingest_funnel_rows``):
+
+    - the exact-dup probe: ``prior.select(fp).distinct()``;
+    - the near-dup band index: the CANONICAL row per fingerprint — the
+      first ``(batch, doc_id)`` — band-keyed by its MinHash signature.
+
+    Both are functions of the canonical rows alone, so compaction keeps
+    ONE canonical row per fingerprint from the frozen slice (the row the
+    rank-1 window elects — kept even when its shingle set is empty, so a
+    later non-empty duplicate can never be promoted into the band index
+    and change a verdict) and every live row verbatim. Recounting any
+    live batch from the compacted ledger is therefore EQUAL to recounting
+    it from the full log — pinned by
+    ``tests/test_streaming.py::test_ledger_compaction_preserves_live_funnel_rows``
+    — while the frozen batches' recount ability is what is traded away.
+
+    Scale shape: one row_number window keyed on fp over the FROZEN slice
+    only (the live slice never shuffles); at 100 TB the ledger is a
+    parquet table partitioned by fp bucket, so the window is
+    partition-local. Reference analog: the delete-then-insert idempotent
+    saver that retires superseded rows once a section is final,
+    /root/reference/src/collectors/productivity.py:375-451.
+    """
+    from pyspark.sql.window import Window
+
+    frozen = log.filter(F.col("batch") <= frozen_max_batch)
+    live = log.filter(F.col("batch") > frozen_max_batch)
+    w = Window.partitionBy("fp").orderBy("batch", "doc_id")
+    canon = (
+        frozen.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return canon.unionByName(live)
+
+
 @dataclass
 class RunManifest:
     """Master/job-log bookkeeping (ST6): one manifest per run, one entry per

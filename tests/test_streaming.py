@@ -636,3 +636,126 @@ def test_ingest_funnel_reconciles_to_batch_recomputation(spark):
         .count()
     )
     assert sum(r.n_in - r.n_exact_dup for r in rows) == distinct_fp
+
+
+def test_ledger_compaction_preserves_live_funnel_rows(spark):
+    """Replay-equivalence pin for compact_ingest_ledger (VERDICT r13 item
+    5): recounting every LIVE batch's funnel row from the compacted
+    ledger must equal recounting it from the full log — the frozen
+    slice's non-canonical rows carry no future value. Also: compaction
+    is idempotent, drops only frozen rows, and keeps the frozen fp set
+    intact (the exact-dup probe's view)."""
+    from inspig_etl_spark.queries.st_manifest import (
+        ING_FROZEN,
+        ING_NB,
+        _ingest_funnel_rows,
+        _ingest_ids,
+        _ingest_prep,
+    )
+    from inspig_etl_spark.streaming.incremental import compact_ingest_ledger
+
+    log = _ingest_prep(spark, SF_SMOKE).persist()
+
+    # the registered query's lightweight identity frame must derive the
+    # EXACT triples the funnel's full prep does — the two selects are
+    # duplicated code on purpose (the light one avoids the Bloom stage's
+    # declared crossJoin), so divergence must fail here
+    ids = {tuple(r) for r in _ingest_ids(spark, SF_SMOKE).collect()}
+    assert ids == {
+        tuple(r) for r in log.select("doc_id", "batch", "fp").collect()
+    }
+    compacted = compact_ingest_ledger(log, ING_FROZEN).persist()
+
+    live = list(range(ING_FROZEN + 1, ING_NB + 1))
+    full_rows = {
+        r.batch: tuple(r) for r in _ingest_funnel_rows(log, live).collect()
+    }
+    comp_rows = {
+        r.batch: tuple(r)
+        for r in _ingest_funnel_rows(compacted, live).collect()
+    }
+    assert full_rows == comp_rows and set(full_rows) == set(live)
+
+    # live rows are untouched; frozen slice keeps exactly one row per fp
+    frz = F.col("batch") <= ING_FROZEN
+    assert (
+        compacted.filter(~frz).count() == log.filter(~frz).count()
+    )
+    assert (
+        compacted.filter(frz).count()
+        == log.filter(frz).select("fp").distinct().count()
+    )
+    assert (
+        compacted.filter(frz).select("fp").distinct().count()
+        == log.filter(frz).select("fp").distinct().count()
+    )
+
+    # idempotent: compacting a compacted ledger changes nothing
+    again = compact_ingest_ledger(compacted, ING_FROZEN)
+    assert again.count() == compacted.count()
+    log.unpersist()
+    compacted.unpersist()
+
+
+def test_ledger_compaction_keeps_empty_shingle_canonical(spark):
+    """The subtle canonical-election edge: a fingerprint whose FIRST row
+    has an empty shingle set contributes NOTHING to the near-dup band
+    index (_ingest_funnel_rows filters prn==1 AND size(sh)>0 — election
+    first, filter second). Compaction must keep that empty-sh canonical,
+    not promote a later non-empty duplicate — electing the duplicate
+    would add a band-index entry the full log never had and flip a live
+    batch's near-dup verdict, as the bad-compaction contrast shows."""
+    from inspig_etl_spark.functions.text import HASH_P, md5_long
+    from inspig_etl_spark.operators.dedup import minhash_signature
+    from inspig_etl_spark.queries.st_manifest import (
+        _ING_LOG_SCHEMA,
+        _ingest_funnel_rows,
+    )
+    from inspig_etl_spark.streaming.incremental import compact_ingest_ledger
+
+    def sh_arr(names):
+        return F.array(
+            *[md5_long(F.lit(f"sh:{n}")) % HASH_P for n in names]
+        )
+
+    base = [f"t{i}" for i in range(20)]
+    near = base[:19] + ["alt"]  # 19/20 shared, J = 19/21 > 0.5
+    empty = F.array().cast("array<bigint>")
+
+    def row(doc_id, batch, fp, sh):
+        return F.struct(
+            F.lit(doc_id).cast("bigint").alias("doc_id"),
+            F.lit(batch).cast("bigint").alias("batch"),
+            F.lit(fp).alias("fp"),
+            sh.alias("sh"),
+            F.when(F.size(sh) > 0, minhash_signature(sh))
+            .otherwise(empty)
+            .alias("sig"),
+            F.lit(1).cast("bigint").alias("logit_e4"),
+            F.lit(False).alias("contam"),
+        )
+
+    rows = [
+        row(1, 1, "X", empty),  # canonical for fp X: EMPTY shingles
+        row(2, 2, "X", sh_arr(base)),  # frozen exact dup of X, non-empty
+        row(3, 3, "Y", sh_arr(near)),  # live; near-dup of doc 2's content
+    ]
+    log = spark.range(1).select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.*"
+    )
+    log = spark.createDataFrame(log.collect(), _ING_LOG_SCHEMA).persist()
+
+    compacted = compact_ingest_ledger(log, 2)
+    assert {r.doc_id for r in compacted.collect()} == {1, 3}
+
+    full = _ingest_funnel_rows(log, [3]).collect()
+    comp = _ingest_funnel_rows(compacted, [3]).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in comp]
+    assert full[0].n_neardup == 0  # doc 2 never entered the band index
+
+    # contrast: a WRONG compaction that elects the non-empty duplicate
+    # as canonical would flip batch 3's verdict — the trap is real
+    bad = log.filter(F.col("doc_id") != 1)
+    flipped = _ingest_funnel_rows(bad, [3]).collect()
+    assert flipped[0].n_neardup == 1
+    log.unpersist()

@@ -16,11 +16,13 @@ Per batch we record, from the sinks themselves:
 - ``log_rows``: the ingest log (every row ever ingested — what the
   out-of-order repair needs to recount any batch's funnel row);
 - ``distinct_fp``: the exact ledger (one per distinct fingerprint);
-- ``canon_rows``: what COMPACTION retains — one canonical row per
-  fingerprint (the near-dup band index + exact-fp probe set are both
-  derivable from canonicals alone, so once a batch is past the
+- ``canon_rows``: what COMPACTION retains — measured by running the real
+  ``streaming.incremental.compact_ingest_ledger`` operator over the log
+  with everything frozen (the near-dup band index + exact-fp probe set
+  are both derivable from canonicals alone, so once a batch is past the
   out-of-order repair window its non-canonical rows can be dropped and
-  its funnel row frozen);
+  its funnel row frozen); derived independently of ``distinct_fp`` so
+  the two columns can disagree if canonical election breaks;
 - ``log_bytes``: parquet bytes of the log dir;
 - ``trigger_s``: wall time of the trigger (the local staged-parquet
   re-read grows with the log; at 100 TB the band index and fp ledger are
@@ -64,6 +66,7 @@ def main() -> None:
     )
     from inspig_etl_spark.session import get_spark
     from inspig_etl_spark.sources.sinks import read_or_empty
+    from inspig_etl_spark.streaming.incremental import compact_ingest_ledger
 
     spark = get_spark("ledger-growth-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -139,12 +142,18 @@ def main() -> None:
                 F.count(F.lit(1)).alias("log_rows"),
                 F.countDistinct("fp").alias("distinct_fp"),
             ).collect()[0]
+            # canon_rows is measured INDEPENDENTLY through the real
+            # compaction operator (freeze everything seen so far), not
+            # copied from distinct_fp — so this column can actually
+            # disagree with the exact-ledger column if the rank-1
+            # canonical election ever breaks (ADVICE r13).
+            canon_rows = compact_ingest_ledger(log, bb).count()
             curve.append(
                 {
                     "batch": bb,
                     "log_rows": agg.log_rows,
                     "distinct_fp": agg.distinct_fp,
-                    "canon_rows": agg.distinct_fp,
+                    "canon_rows": canon_rows,
                     "log_bytes": _dir_bytes(log_path),
                     "trigger_s": el,
                 }
@@ -155,13 +164,15 @@ def main() -> None:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
     print("\n### ingest ledger growth per batch\n")
-    print("| batch | log rows | distinct fp (exact ledger = compacted) |"
+    print("| batch | log rows | distinct fp (exact ledger) |"
+          " canon rows (measured via compact_ingest_ledger) |"
           " log MiB | trigger s | n_exact_dup | n_neardup |")
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
     for c in curve:
         f = fr.get(c["batch"], {})
         print(
             f"| {c['batch']} | {c['log_rows']} | {c['distinct_fp']} |"
+            f" {c['canon_rows']} |"
             f" {c['log_bytes'] / 1048576:.1f} | {c['trigger_s']} |"
             f" {f.get('n_exact_dup', '-')} | {f.get('n_neardup', '-')} |"
         )

@@ -73,6 +73,9 @@ NAMES = [
     # tools/ledger_growth_probe.py; this row tracks wall-clock growth)
     "docs_bm25_topk", "docs_hybrid_recall_report",
     "stream_ingest_curation_funnel",
+    # r14 kernels: ledger compaction (the SCALE.md policy as an operator)
+    # and the reshaped oracle-checkable histogram-quantile sketch path
+    "stream_ingest_ledger_compaction", "order_value_percentiles_approx",
 ]
 
 # Optional comma-separated subset (probe only these names) — lets a round
