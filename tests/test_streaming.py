@@ -759,3 +759,75 @@ def test_ledger_compaction_keeps_empty_shingle_canonical(spark):
     flipped = _ingest_funnel_rows(bad, [3]).collect()
     assert flipped[0].n_neardup == 1
     log.unpersist()
+
+
+def test_ledger_compaction_random_log_properties(spark):
+    """Property pins for compact_ingest_ledger over randomized ledgers
+    (dup patterns the synthetic generators above don't reach: a fp
+    recurring in MANY frozen batches, frozen-only fps, live-only fps,
+    fps straddling the boundary): for every frozen watermark W —
+    (a) live rows survive verbatim; (b) exactly one row per frozen fp,
+    and it is the lexicographically first (batch, doc_id); (c) the
+    frozen fp SET (the exact-dup probe's view) is preserved;
+    (d) idempotence: compacting twice equals compacting once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from inspig_etl_spark.streaming.incremental import compact_ingest_ledger
+
+    schema = (
+        "doc_id BIGINT, batch BIGINT, fp STRING, sh ARRAY<BIGINT>, "
+        "sig ARRAY<BIGINT>, logit_e4 BIGINT, contam BOOLEAN"
+    )
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),  # batch
+                st.integers(min_value=0, max_value=4),  # fp id
+            ),
+            min_size=1,
+            max_size=25,
+            unique=True,
+        ),
+        st.integers(min_value=0, max_value=6),  # frozen watermark W
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(pairs, w):
+        rows = [
+            (i, b, f"fp{k}", [k], [k], 1, False)
+            for i, (b, k) in enumerate(sorted(pairs))
+        ]
+        log = spark.createDataFrame(rows, schema)
+        got = compact_ingest_ledger(log, w).collect()
+        live = [(r[0], r[1], r[2]) for r in rows if r[1] > w]
+        frozen = [(r[0], r[1], r[2]) for r in rows if r[1] <= w]
+        # (a) live rows verbatim
+        assert sorted(
+            (r.doc_id, r.batch, r.fp) for r in got if r.batch > w
+        ) == sorted(live)
+        # (b) one canonical per frozen fp — the min (batch, doc_id)
+        want_canon = {}
+        for doc_id, b, fp in frozen:
+            cur = want_canon.get(fp)
+            if cur is None or (b, doc_id) < cur:
+                want_canon[fp] = (b, doc_id)
+        got_frozen = sorted(
+            (r.fp, r.batch, r.doc_id) for r in got if r.batch <= w
+        )
+        assert got_frozen == sorted(
+            (fp, b, d) for fp, (b, d) in want_canon.items()
+        )
+        # (c) frozen fp set preserved
+        assert {r.fp for r in got if r.batch <= w} == {f for _, _, f in frozen}
+        # (d) idempotent
+        again = compact_ingest_ledger(
+            spark.createDataFrame(got, schema), w
+        ).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+    check()
