@@ -831,3 +831,51 @@ def test_ledger_compaction_random_log_properties(spark):
         assert sorted(map(tuple, again)) == sorted(map(tuple, got))
 
     check()
+
+
+def test_ingest_funnel_with_intertrigger_compaction_matches(spark, tmp_path):
+    """The deployment shape end-to-end: the SAME per-trigger function the
+    stream runs (_ingest_apply), but with the log sink COMPACTED between
+    triggers (watermark = newest batch - 1: in an in-order replay every
+    earlier batch is past the repair window). The final funnel must equal
+    the plain uncompacted replay's — compaction running live inside the
+    ingest loop changes no verdict, not just in the side-by-side recount."""
+    from inspig_etl_spark.queries.st_manifest import (
+        _ING_FUNNEL_SCHEMA,
+        _ING_LOG_SCHEMA,
+        _ingest_apply,
+        _ingest_prep,
+        ING_NB,
+    )
+    from inspig_etl_spark.sources.sinks import read_or_empty, staged_overwrite
+    from inspig_etl_spark.streaming.incremental import compact_ingest_ledger
+
+    prep = _ingest_prep(spark, SF_SMOKE).persist()
+
+    plain_log = str(tmp_path / "plain_log")
+    plain_fun = str(tmp_path / "plain_fun")
+    comp_log = str(tmp_path / "comp_log")
+    comp_fun = str(tmp_path / "comp_fun")
+
+    for b in range(1, ING_NB + 1):
+        batch = prep.filter(F.col("batch") == b)
+        _ingest_apply(batch, plain_log, plain_fun)
+        _ingest_apply(batch, comp_log, comp_fun)
+        log = read_or_empty(spark, comp_log, _ING_LOG_SCHEMA)
+        staged_overwrite(spark, compact_ingest_ledger(log, b - 1), comp_log)
+
+    plain = {
+        tuple(r)
+        for r in read_or_empty(spark, plain_fun, _ING_FUNNEL_SCHEMA).collect()
+    }
+    comp = {
+        tuple(r)
+        for r in read_or_empty(spark, comp_fun, _ING_FUNNEL_SCHEMA).collect()
+    }
+    assert comp == plain and len(plain) == ING_NB
+
+    # and the compacted log really is smaller when duplicates exist
+    n_plain = read_or_empty(spark, plain_log, _ING_LOG_SCHEMA).count()
+    n_comp = read_or_empty(spark, comp_log, _ING_LOG_SCHEMA).count()
+    assert n_comp <= n_plain
+    prep.unpersist()
