@@ -103,6 +103,13 @@ HEADLINE = [
     # of session inflation) and the ingest funnel stages a real 4-trigger
     # stream (~20 s x 3), both the documented exclusion classes below)
     "docs_bm25_topk",
+    # round-14 additions: both cheap plain plans (~0.5 s and ~1.1 s at
+    # sf0.1) — the oracle-checkable histogram-quantile sketch path and the
+    # ingest-ledger compaction accounting; bounds minted in the r14
+    # baseline re-mint's protocol (same-day quiet-host run, see
+    # BASELINE.md "Local per-query bench baseline")
+    "order_value_percentiles_approx",
+    "stream_ingest_ledger_compaction",
     # round-10 addition: image perceptual-hash near-dup (the other three
     # r10 kernels — shard manifest, BPE trainer, IVF-PQ refine, streaming
     # window — are SCALE.md-probed instead: composed/driver-loop/staged
