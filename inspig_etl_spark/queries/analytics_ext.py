@@ -139,7 +139,11 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     from the <= 1024-row-per-group histogram with pure integer arithmetic:
     the answer for quantile q is the UPPER EDGE of the first bucket whose
     cumulative count reaches ceil(q*n/100) — deterministic, rank-exact to
-    one bucket, value error <= ``HIST_WIDTH`` (0.1% of the domain).
+    one bucket: the rank-r order statistic lies in [ub - HIST_WIDTH, ub),
+    i.e. value error <= ``HIST_WIDTH`` (0.1% of the domain) vs the
+    DISCRETE rank value; vs the linearly INTERPOLATED exact percentile
+    the error can exceed that by at most one adjacent-value gap (measured
+    at sf0.1: max 505 over all 5 groups x 3 quantiles — SCALE.md r14).
 
     Unlike ``percentile_approx`` (whose KLL-style sketch is
     rank-error-bounded but not bit-reproducible across engines — why this
