@@ -209,19 +209,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- perceptual-hash near-dup ------------------------------------------
 
 PHASH_HAMMING_MAX = 6
-PHASH_TWIN_OFFSET = 1_000_000
+PHASH_TWIN_OFFSET = 100_000_000_000
 
 
 def _twin_id(id_col: F.Column, offset: int) -> F.Column:
     """Planted-twin id (base + offset) with a loud collision guard.
 
-    A twin id aliases a REAL doc id once any base id reaches the offset
-    (a scale factor generating >= 1M documents for images, 2M video, 3M
-    audio) — duplicate ids with different payloads would corrupt the
-    banding/verify joins identically on both engines, silently
-    invalidating the witness (ADVICE r12). The guard rides the id
-    expression itself (one per-row comparison, no extra action), so an
-    offset overrun throws instead of lying.
+    A twin id aliases a REAL doc id once any base id reaches the offset —
+    duplicate ids with different payloads would corrupt the banding/verify
+    joins identically on both engines, silently invalidating the witness
+    (ADVICE r12). The guard rides the id expression itself (one per-row
+    comparison, no extra action), so an offset overrun throws instead of
+    lying. Offsets sit at 1e11 (image) / 2e11 (video) / 3e11 (audio):
+    r14 raised them from 1e6-3e6 after the guard correctly refused the
+    10x replica's shifted ids (max ~9e7) — the witness harness must not
+    cap the corpus size before int64 does (id + 3e11 stays far inside
+    int64 for any realistic id space).
     """
     return F.when(id_col < offset, id_col + F.lit(offset)).otherwise(
         F.raise_error(
@@ -595,7 +598,7 @@ def multimodal_paired_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- video frame-level near-dup ----------------------------------------
 
-VFRAME_TWIN_OFFSET = 2_000_000  # video twins (image twins use 1_000_000)
+VFRAME_TWIN_OFFSET = 200_000_000_000  # video twins (image twins use 1e11)
 VF_CELLS = 65  # 1-D resample cells per frame -> 64 gradient bits
 VF_MATCH_MIN = 2  # frames (of 4) that must match for a video pair
 
@@ -833,7 +836,7 @@ def multimodal_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 # sides. A coarser //64 would collapse ASCII sums to ~3 levels per band
 # and degenerate toward all-pairs, exactly like the video kernel's
 # 8-bit frame bands.
-AUDIO_TWIN_OFFSET = 3_000_000  # audio twins (image 1M, video 2M)
+AUDIO_TWIN_OFFSET = 300_000_000_000  # audio twins (image 1e11, video 2e11)
 AF_WIN = 16  # fingerprint window: 16 payload bytes = 4 bands x 4 bytes
 AF_HOP = 8  # 50% overlap; shift tolerance = multiples of the hop
 AF_QUANT = 8  # band-sum quantizer (energy level = sum // 8)
