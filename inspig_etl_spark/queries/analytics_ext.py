@@ -84,9 +84,14 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIST_BUCKETS = 1024  # fixed-width histogram sketch resolution
-HIST_WIDTH = 500  # bucket width; 1024 x 500 covers [0, 512000) — the
-# o_totalprice domain with headroom (max ~500k); out-of-range values clamp
-# into the edge buckets, so the sketch stays TOTAL whatever the SF.
+HIST_WIDTH = 640  # bucket width; 1024 x 640 covers [0, 655360). Observed
+# o_totalprice max is ~499,993 at sf0.1 (p99 494,880), so the domain holds
+# ~31% headroom — ADVICE r14 flagged the old 512,000 ceiling's 2.4% margin
+# as one data regen away from the clamp. Out-of-range values still clamp
+# into the edge buckets (the sketch stays TOTAL whatever the SF), but a
+# clamped value voids the one-bucket bracket bound, and
+# tests/test_properties.py::test_histogram_quantile_brackets_exact_rank
+# now asserts the domain covers the data LOUDLY before checking brackets.
 
 _HIST_BUCKET_SQL = (
     f"LEAST({HIST_BUCKETS - 1}, GREATEST(0, "
@@ -140,10 +145,14 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     the answer for quantile q is the UPPER EDGE of the first bucket whose
     cumulative count reaches ceil(q*n/100) — deterministic, rank-exact to
     one bucket: the rank-r order statistic lies in [ub - HIST_WIDTH, ub),
-    i.e. value error <= ``HIST_WIDTH`` (0.1% of the domain) vs the
+    i.e. value error <= ``HIST_WIDTH`` (~0.1% of the domain) vs the
     DISCRETE rank value; vs the linearly INTERPOLATED exact percentile
     the error can exceed that by at most one adjacent-value gap (measured
-    at sf0.1: max 505 over all 5 groups x 3 quantiles — SCALE.md r14).
+    at sf0.1 with width 640: max 610 over all 5 groups x 3 quantiles —
+    SCALE.md r15). The bracket bound requires values to lie INSIDE the
+    [0, HIST_BUCKETS*HIST_WIDTH) domain (clamped edge values void it);
+    the domain carries ~31% headroom over the observed max and the
+    bracket test asserts coverage loudly (ADVICE r14 closed).
 
     Unlike ``percentile_approx`` (whose KLL-style sketch is
     rank-error-bounded but not bit-reproducible across engines — why this

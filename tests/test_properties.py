@@ -130,6 +130,7 @@ def test_histogram_quantile_brackets_exact_rank(spark):
     from tests.conftest import SF_CORRECT
     from inspig_etl_spark.catalog import table
     from inspig_etl_spark.queries.analytics_ext import (
+        HIST_BUCKETS,
         HIST_WIDTH,
         order_value_percentiles_approx,
     )
@@ -147,6 +148,18 @@ def test_histogram_quantile_brackets_exact_rank(spark):
     ):
         vals.setdefault(row.o_orderpriority, []).append(row.o_totalprice)
     assert set(vals) == set(approx)
+    # Domain-coverage guard (ADVICE r14): a value at or beyond the clamp
+    # ceiling lands in the edge bucket and silently voids the one-bucket
+    # bracket bound below while cross-engine parity stays green (both
+    # engines clamp identically). Fail HERE, loudly, if a data regen ever
+    # outgrows the histogram domain — the fix is widening HIST_WIDTH.
+    domain = HIST_BUCKETS * HIST_WIDTH
+    observed_max = max(max(v) for v in vals.values())
+    assert observed_max < domain, (
+        f"o_totalprice max {observed_max} reached the histogram clamp "
+        f"ceiling {domain}; widen HIST_WIDTH in queries/analytics_ext.py "
+        f"(bracket bound is void for clamped values)"
+    )
     for prio, a in approx.items():
         v = sorted(vals[prio])
         assert a.n_orders == len(v)
