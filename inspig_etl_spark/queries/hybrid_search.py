@@ -56,13 +56,16 @@ HYBRID_K = 5  # fused results per query
 # filters to rank <= HYBRID_K — while its oracle computes the ground truth
 # at HYBRID_K directly. Raising HYBRID_K above TOP_K would silently
 # truncate the Spark-side truth and break oracle parity (ADVICE r13), so
-# the coupling is enforced at import time.
+# the coupling is enforced at import time — as a real raise, not `assert`,
+# which `python -O` strips and would leave the trap unguarded in optimized
+# runs (ADVICE r14).
 from inspig_etl_spark.queries.llm_similarity import TOP_K as _BRUTE_TOP_K
 
-assert HYBRID_K <= _BRUTE_TOP_K, (
-    f"HYBRID_K ({HYBRID_K}) must not exceed the brute-force ground truth's "
-    f"TOP_K ({_BRUTE_TOP_K}); see docs_hybrid_recall_report"
-)
+if HYBRID_K > _BRUTE_TOP_K:
+    raise ValueError(
+        f"HYBRID_K ({HYBRID_K}) must not exceed the brute-force ground "
+        f"truth's TOP_K ({_BRUTE_TOP_K}); see docs_hybrid_recall_report"
+    )
 
 # BM25 (k1 = 1.2, b = 0.75) in integer fixed point. The denominator
 # tf + k1*(1 - b + b*dl/avgdl) is scaled by 1e3, the saturation
