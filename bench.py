@@ -8,9 +8,13 @@ Execution is forced with a ``noop`` format write (full pipeline runs on the
 executors, nothing is collected to the driver), so timings measure the real
 plan — scan, shuffle, agg — not driver serialization.
 
-Output (last line on stdout):
+Output (last line on stdout, bounded to ~1500 chars so the driver's
+2000-char tail capture always parses it — see compact_stdout_record):
     {"metric": "headline_total", "value": <sum>, "unit": "sec",
-     "queries": {"tpch_q1_pricing_summary": 1.23, ...}, "sf": 0.1}
+     "queries": {<slowest queries that fit>}, "sf": 0.1,
+     "n_queries": N, "host_factor": ..., "queries_omitted": M}
+The COMPLETE per-query map, host controls, re-read adjudications, and
+baseline deltas are written to BENCH_LOCAL.json every run.
 """
 
 from __future__ import annotations
@@ -26,6 +30,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Outlier re-read trigger: a query reading above this multiple of its
+# committed per-query floor gets one end-of-suite paired re-read (VERDICT
+# r14 item 2). Env-overridable so the re-read path itself can be
+# integration-tested (set 0 to force a re-read of every baselined query).
+REREAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_REREAD_THRESHOLD", "2.5"))
 
 # Representative slice of the registry: scan-heavy aggs, multi-way joins,
 # window kernels, the as-of join, and (as they land) the LLM-pipeline ops.
@@ -127,6 +136,60 @@ HEADLINE = [
 # r8/r9 drift triages: in-session numbers drift up with query count while
 # isolated floors stay at baseline). The bench is the BASELINE-comparison
 # instrument; keeping it bounded keeps its ratios meaningful.
+
+
+def compact_stdout_record(full: dict, limit: int = 1500) -> dict:
+    """Bound the FINAL stdout line to ``limit`` serialized chars.
+
+    The driver keeps only the last 2000 chars of the bench's combined
+    output and JSON-parses the final line — r14's 59-query line grew past
+    2000 chars, so the capture started mid-line and the official record
+    came back ``parsed: null`` (VERDICT r14 item 1; r6 failed the same
+    way). The contract keys (metric/value/unit/queries/sf) stay, but the
+    per-query map is truncated FASTEST-FIRST until the line fits: the
+    slowest queries are the informative ones, and the complete map always
+    lives in BENCH_LOCAL.json. ``n_queries`` carries the true count and
+    ``queries_omitted`` says how many were dropped from the line."""
+    rec = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": dict(full["queries"]),
+        "sf": full["sf"],
+        "n_queries": len(full["queries"]),
+        "host": full.get("host", {}),
+    }
+    if "host_factor" in full:
+        rec["host_factor"] = full["host_factor"]
+    if full.get("rereads"):
+        rec["rereads"] = len(full["rereads"])
+
+    def _size() -> int:
+        return len(json.dumps(rec, separators=(",", ":")))
+
+    by_time = sorted(rec["queries"], key=lambda n: rec["queries"][n])
+    dropped = 0
+    while _size() > limit and by_time:
+        del rec["queries"][by_time.pop(0)]
+        dropped += 1
+        rec["queries_omitted"] = dropped
+    return rec
+
+
+def reread_outliers(
+    timings: dict[str, float], base: dict[str, float], threshold: float = 2.5
+) -> list[str]:
+    """Names whose measured time exceeds ``threshold`` x their committed
+    baseline — candidates for the end-of-suite re-read (VERDICT r14
+    item 2: the r14 record posted a 12.5x/9.1x/3.9x consecutive-slot trio
+    that manual triage adjudicated as one host-contention burst; this
+    turns that triage into protocol). Slowest-excess first."""
+    flagged = [
+        n
+        for n, t in timings.items()
+        if n in base and base[n] > 0 and t > threshold * base[n]
+    ]
+    return sorted(flagged, key=lambda n: timings[n] / base[n], reverse=True)
 
 
 def host_factor(host: dict, host_baseline: dict) -> float | None:
@@ -248,13 +311,47 @@ def main() -> None:
     # Tracked baseline (committed from the last judged round) → per-query
     # delta, so a plan regression is visible in this run's output without
     # cross-round archaeology. Only comparable at the baseline's SF.
+    # ``queries`` holds the per-query MIN across the mint runs (the floor);
+    # ``queries_median`` the per-query MEDIAN (VERDICT r14 item 5) — on
+    # sub-second queries the min is a best-case floor any loaded host can
+    # "miss" by multiples, so 2x adjudication reads against the median.
     base_queries: dict[str, float] = {}
+    base_median: dict[str, float] = {}
     base_path = Path(_REPO) / "BENCH_BASELINE.json"
     sf = _sf_from_dir(SF_DIR)
     if base_path.exists():
         base = json.loads(base_path.read_text())
         if base.get("sf") == sf:
             base_queries = base.get("queries", {})
+            base_median = base.get("queries_median", {})
+
+    # End-of-suite outlier re-read (VERDICT r14 item 2): any query reading
+    # >2.5x its committed floor gets ONE more paired reading here, with a
+    # fresh scan-floor control stamped beside it, and the official timing
+    # takes the min of the readings — same convention as the per-query
+    # min-of-2 above. A host-contention burst over a few consecutive slots
+    # (r14's 12.5x/9.1x/3.9x trio) now clears itself inside the run it hit
+    # instead of costing a next-round manual triage; a REAL plan
+    # regression reproduces in the re-read and stays flagged, with the
+    # control stamp proving the host was sane when it did.
+    rereads: dict[str, dict[str, float]] = {}
+    for name in reread_outliers(timings, base_queries, REREAD_THRESHOLD):
+        t0 = time.perf_counter()
+        _trivial_scan(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        ctl = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        again = round(min(run_once(name), run_once(name)), 3)
+        rereads[name] = {
+            "first": round(timings[name], 3),
+            "reread": again,
+            "scan_floor_at_reread": ctl,
+        }
+        timings[name] = min(timings[name], again)
+        print(
+            f"# reread {name}: {rereads[name]['first']:.3f}s -> {again:.3f}s "
+            f"(scan floor {ctl:.3f}s, baseline {base_queries[name]:.3f}s)",
+            file=sys.stderr,
+        )
 
     deltas: dict[str, float] = {}
     for name in names:
@@ -263,7 +360,10 @@ def main() -> None:
         if name in base_queries:
             d = round(timings[name] - base_queries[name], 3)
             deltas[name] = d
-            line += f" ({'+' if d >= 0 else ''}{d:.3f}s vs baseline {base_queries[name]:.3f}s)"
+            line += f" ({'+' if d >= 0 else ''}{d:.3f}s vs floor {base_queries[name]:.3f}s"
+            if name in base_median:
+                line += f", median {base_median[name]:.3f}s"
+            line += ")"
         print(line, file=sys.stderr)
 
     ctl_q1_end, ctl_scan_end = _control_pair()
@@ -275,11 +375,6 @@ def main() -> None:
     }
     print(f"# host controls: {json.dumps(host, separators=(',', ':'))}", file=sys.stderr)
 
-    # The stdout line holds the driver contract keys plus ONE compact host
-    # object (~6 scalars) — r6's overflow came from the per-query delta MAP,
-    # which stays in the side file (BENCH_r06.json: parsed=null,
-    # front-truncated tail). The full record (deltas, baseline total) goes
-    # to a side file instead.
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -289,6 +384,8 @@ def main() -> None:
         "host": host,
     }
     full = dict(out)
+    if rereads:
+        full["rereads"] = rereads
     # Self-adjudication: when the committed baseline carries control
     # references (host_baseline, written from an idle-host run), fold the
     # four control readings into one host factor — the uniform inflation
@@ -309,7 +406,10 @@ def main() -> None:
             file=sys.stderr,
         )
     (Path(_REPO) / "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1))
-    print(json.dumps(out, separators=(",", ":")))
+    # FINAL stdout line, bounded so the driver's 2000-char tail capture
+    # always contains it whole (r6 and r14 both went parsed=null when the
+    # per-query map outgrew the window). Full per-query record above.
+    print(json.dumps(compact_stdout_record(full), separators=(",", ":")))
     spark.stop()
 
 

@@ -146,3 +146,72 @@ def test_bench_host_factor_fold():
     assert bench.host_factor(host, {"control_q1": 2.0}) == 0.707
     assert bench.host_factor({}, hb) is None
     assert bench.host_factor(host, {}) is None
+
+
+def _load_bench():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_bench_compact_stdout_record_bounds_the_line():
+    """The driver keeps only the last 2000 chars of bench output and
+    JSON-parses the final line — r14's 59-query line overflowed that and
+    the official record came back parsed=null. compact_stdout_record must
+    (a) keep the contract keys, (b) fit the limit by dropping the FASTEST
+    queries first, (c) carry the true count and the omission count, and
+    (d) pass everything through untouched when it already fits."""
+    import json
+
+    bench = _load_bench()
+    full = {
+        "metric": "headline_total",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_name_number_{i:04d}": round(0.1 * (i + 1), 3) for i in range(100)},
+        "host": {"load": [1.0, 2.0]},
+        "host_factor": 1.234,
+        "rereads": {"query_name_number_0099": {"first": 9.0, "reread": 1.0}},
+    }
+    rec = bench.compact_stdout_record(full, limit=1500)
+    line = json.dumps(rec, separators=(",", ":"))
+    assert len(line) <= 1500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total" and parsed["value"] == 123.456
+    assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+    assert parsed["n_queries"] == 100
+    assert parsed["host_factor"] == 1.234
+    assert parsed["rereads"] == 1
+    assert parsed["queries_omitted"] == 100 - len(parsed["queries"])
+    # the slowest queries survive; the dropped ones are the fastest
+    kept = set(parsed["queries"])
+    dropped = set(full["queries"]) - kept
+    assert kept and dropped
+    assert max(full["queries"][n] for n in dropped) <= min(
+        full["queries"][n] for n in kept
+    )
+    # a small record passes through complete, with no omission marker
+    small = dict(full, queries={"q1": 1.0, "q2": 2.0}, rereads={})
+    rec2 = bench.compact_stdout_record(small, limit=1500)
+    assert rec2["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert "queries_omitted" not in rec2 and "rereads" not in rec2
+
+
+def test_bench_reread_outliers_selection():
+    """The end-of-suite re-read list: only queries >threshold x their
+    committed floor, worst excess first, never queries without a
+    baseline or with a degenerate zero floor."""
+    bench = _load_bench()
+    timings = {"a": 4.51, "b": 1.37, "c": 0.30, "d": 9.99, "e": 0.50}
+    base = {"a": 0.362, "b": 0.150, "c": 0.463, "e": 0.0}
+    # a: 12.5x, b: 9.1x, c: 0.65x, d: no baseline, e: zero floor
+    assert bench.reread_outliers(timings, base) == ["a", "b"]
+    assert bench.reread_outliers(timings, base, threshold=100.0) == []
+    assert bench.reread_outliers({}, base) == []
