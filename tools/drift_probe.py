@@ -67,6 +67,18 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(min(times[1:]), 3)  # first pass warms; min of the rest
 
+    # Committed bounds for context in the printout: the min floor flags
+    # drift, the median (r15) is the 2x adjudication bound on sub-second
+    # queries — an isolated reading near the MEDIAN is normal, not drift.
+    floors: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    base_path = Path(_REPO) / "BENCH_BASELINE.json"
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        if f"sf{base.get('sf')}" == os.path.basename(SF_DIR.rstrip("/")):
+            floors = base.get("queries", {})
+            medians = base.get("queries_median", {})
+
     out = {}
     controls = []
     scan_controls = []
@@ -74,9 +86,15 @@ def main() -> None:
         controls.append(run(CONTROL))
         scan_controls.append(run(SCAN_CONTROL))
         out[n] = run(n)
+        bounds = ""
+        if n in floors:
+            bounds = f", floor {floors[n]:.3f}s"
+            if n in medians:
+                bounds += f", median {medians[n]:.3f}s"
         print(
             f"{n:32s} {out[n]:7.3f}s   "
-            f"(control {controls[-1]:.3f}s, scan {scan_controls[-1]:.3f}s)"
+            f"(control {controls[-1]:.3f}s, scan {scan_controls[-1]:.3f}s"
+            f"{bounds})"
         )
     controls.append(run(CONTROL))
     scan_controls.append(run(SCAN_CONTROL))
