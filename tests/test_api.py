@@ -215,3 +215,58 @@ def test_bench_reread_outliers_selection():
     assert bench.reread_outliers(timings, base) == ["a", "b"]
     assert bench.reread_outliers(timings, base, threshold=100.0) == []
     assert bench.reread_outliers({}, base) == []
+
+
+def test_bench_compact_stdout_record_properties():
+    """Property pin for the stdout bound: for ANY per-query map — any
+    count, any name lengths, any timings — the serialized final line fits
+    the limit, the kept set is exactly the slowest queries, and the
+    accounting (n_queries, queries_omitted) is exact. The driver's
+    2000-char tail is a hard external constraint; this is the invariant
+    that keeps every future headline growth parseable."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bench = _load_bench()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        queries=st.dictionaries(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=60
+            ),
+            st.floats(min_value=0.0, max_value=10_000.0, allow_nan=False),
+            max_size=150,
+        ),
+        limit=st.integers(min_value=300, max_value=2000),
+    )
+    def check(queries, limit):
+        full = {
+            "metric": "headline_total",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": queries,
+            "host": {"load": [0.5, 1.5], "control_q1": [1.0, 1.1], "scan_floor": [0.1, 0.1]},
+            "host_factor": 1.0,
+        }
+        rec = bench.compact_stdout_record(full, limit=limit)
+        line = json.dumps(rec, separators=(",", ":"))
+        # the bound holds whenever ANY queries could be dropped to meet it
+        # (with an empty map the fixed keys are the irreducible floor)
+        if rec["queries"]:
+            assert len(line) <= limit
+        assert rec["n_queries"] == len(queries)
+        dropped = set(queries) - set(rec["queries"])
+        assert rec.get("queries_omitted", 0) == len(dropped)
+        if dropped and rec["queries"]:
+            assert max(queries[n] for n in dropped) <= min(
+                queries[n] for n in rec["queries"]
+            )
+        # kept values pass through unmodified
+        for n, t in rec["queries"].items():
+            assert queries[n] == t
+
+    check()
