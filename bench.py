@@ -176,6 +176,17 @@ def compact_stdout_record(full: dict, limit: int = 1500) -> dict:
         del rec["queries"][by_time.pop(0)]
         dropped += 1
         rec["queries_omitted"] = dropped
+    if _size() > limit:
+        # Irreducible floor breach: even with every query dropped the fixed
+        # keys + host object exceed the driver's capture window (~200 chars
+        # today, so this should never fire) — say so loudly instead of
+        # silently re-introducing the r14 parsed=null failure, e.g. if a
+        # future host-object field balloons the record (ADVICE r15).
+        print(
+            f"# WARNING compact_stdout_record irreducible size {_size()} "
+            f"exceeds limit {limit}; driver tail capture may not parse",
+            file=sys.stderr,
+        )
     return rec
 
 
@@ -329,7 +340,8 @@ def main() -> None:
             base_median = base.get("queries_median", {})
 
     # End-of-suite outlier re-read (VERDICT r14 item 2): any query reading
-    # >2.5x its committed floor gets ONE more paired reading here, with a
+    # >2x its committed floor (REREAD_THRESHOLD) gets ONE more paired
+    # reading here, with a
     # fresh scan-floor control stamped beside it, and the official timing
     # takes the min of the readings — same convention as the per-query
     # min-of-2 above. A host-contention burst over a few consecutive slots

@@ -127,14 +127,7 @@ def test_bench_host_factor_fold():
     """bench.py's host self-adjudication: the factor is the geometric mean
     of the four control/reference ratios, None when nothing is computable,
     and robust to a missing or zero reference (that control is skipped)."""
-    import importlib.util
-    from pathlib import Path
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", Path(__file__).resolve().parent.parent / "bench.py"
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    bench = _load_bench()
 
     host = {"control_q1": [2.0, 1.0], "scan_floor": [0.2, 0.1]}
     hb = {"control_q1": 1.0, "scan_floor": 0.1}

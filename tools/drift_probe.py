@@ -75,7 +75,16 @@ def main() -> None:
     base_path = Path(_REPO) / "BENCH_BASELINE.json"
     if base_path.exists():
         base = json.loads(base_path.read_text())
-        if f"sf{base.get('sf')}" == os.path.basename(SF_DIR.rstrip("/")):
+        # Numeric SF compare (ADVICE r15): bench.py's _sf_from_dir parses
+        # the dir tail to a float, so "sf0.10" or "sf1" still matches a
+        # baseline minted at 0.1/1.0 — string-formatting the baseline SF
+        # silently skipped the bounds columns on such spellings.
+        tail = os.path.basename(SF_DIR.rstrip("/"))
+        try:
+            dir_sf = float(tail[2:]) if tail.startswith("sf") else None
+        except ValueError:
+            dir_sf = None
+        if dir_sf is not None and base.get("sf") == dir_sf:
             floors = base.get("queries", {})
             medians = base.get("queries_median", {})
 
