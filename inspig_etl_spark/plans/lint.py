@@ -17,6 +17,11 @@ plan strings Spark already exposes and flags:
                        SortAggregate / ObjectHashAggregate over partial-agg
                        input) or a bounded top-k parent
                        (TakeOrderedAndProject / GlobalLimit).
+- ``collect-limit``    a CollectLimit whose row bound exceeds
+                       ``collect_limit_bound`` — limit() funnels the kept
+                       rows through ONE task, so a "bounded" result that is
+                       really table-sized is a single-task bottleneck (and a
+                       driver OOM when collected) at any scale.
 
 Every query in the registry runs through this in tests/test_plan_lint.py;
 intentional exceptions must be declared per-query with a reason, so a new
@@ -45,10 +50,35 @@ def _plan_strings(df: DataFrame) -> tuple[str, str]:
     return str(qe.optimizedPlan()), str(qe.executedPlan())
 
 
-def lint_plan(df: DataFrame) -> list[Finding]:
+_COLLECT_LIMIT = re.compile(r"CollectLimit (\d+)")
+
+# Default CollectLimit bound: generous enough for every legitimate report
+# slice in the registry (the largest is chunked pagination over a few
+# hundred report rows), far below anything table-sized. A query that
+# genuinely needs a bigger bounded head declares it in the lint test's
+# ALLOWED map like every other exception.
+COLLECT_LIMIT_BOUND = 100_000
+
+
+def lint_plan(
+    df: DataFrame, collect_limit_bound: int = COLLECT_LIMIT_BOUND
+) -> list[Finding]:
     """Return scale-safety findings for a DataFrame's query plan."""
     optimized, physical = _plan_strings(df)
     findings: list[Finding] = []
+
+    # limit(n) plans as CollectLimit: the kept rows funnel through one
+    # task. Small report heads are fine; a "limit" sized like the table
+    # is a hidden single-task bottleneck (VERDICT r15 item 7c).
+    for m in _COLLECT_LIMIT.finditer(physical):
+        n = int(m.group(1))
+        if n > collect_limit_bound:
+            findings.append(
+                Finding(
+                    "collect-limit",
+                    f"CollectLimit {n} exceeds bound {collect_limit_bound}",
+                )
+            )
 
     if "CartesianProduct" in physical:
         findings.append(Finding("cartesian", "CartesianProduct in physical plan"))

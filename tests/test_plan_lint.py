@@ -233,6 +233,32 @@ def test_plan_is_scale_safe(spark, name):
     )
 
 
+def test_collect_limit_rule_flags_only_oversized_limits(spark):
+    """The collect-limit rule (VERDICT r15 item 7c): limit() funnels the
+    kept rows through one task, so a bound above COLLECT_LIMIT_BOUND is a
+    hidden single-task bottleneck. A report-sized head must pass, an
+    effectively-unbounded one must flag, and the bound is configurable."""
+    from pyspark.sql import functions as F
+
+    from inspig_etl_spark.plans.lint import lint_plan
+
+    # A parquet scan has unknown maxRows — Catalyst ELIDES a limit that is
+    # provably >= its child's maxRows upper bound (Range stats are exact
+    # and survive Filter/Project), which would leave nothing for the rule
+    # to see. Real queries read files, where the limit always survives.
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    small = df.limit(100)
+    assert not [f for f in lint_plan(small) if f.code == "collect-limit"]
+    huge = df.limit(10_000_000)
+    flagged = [f for f in lint_plan(huge) if f.code == "collect-limit"]
+    assert flagged and "10000000" in flagged[0].detail
+    assert not [
+        f
+        for f in lint_plan(huge, collect_limit_bound=10_000_001)
+        if f.code == "collect-limit"
+    ]
+
+
 def test_global_window_check_discriminates_partition_only(spark):
     """Regression: a partitioned window WITHOUT an ORDER BY also renders as
     two bracket groups and was falsely flagged; the check must key on the
