@@ -160,7 +160,15 @@ def kmeans_fit_assign(
     per-row double ROUND is the known Spark-HALF_UP vs DuckDB-HALF_EVEN
     divergence (see docs_token_stats), while FLOOR of the identical fold is
     bit-stable.
+
+    The (id, vector) projection is persisted across the loop (r16): every
+    Lloyd step re-scans the input — ``updates`` eager reduce jobs plus the
+    final assignment — and caching the two needed columns turns those into
+    memory reads (MLlib's KMeans caches its input the same way; default
+    MEMORY_AND_DISK spills gracefully when a 100 TB corpus outgrows RAM).
+    clearCache() after the action is the session-level unpersist.
     """
+    df = df.select(id_col, vec_col).persist()
     cents = [(i, m) for i, m in enumerate(seeds)]
     for _ in range(updates):
         cents = lloyd_update(df, vec_col, dim, cents)

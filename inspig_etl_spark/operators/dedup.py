@@ -290,10 +290,20 @@ def connected_components(
     # dup-graph node set is orders of magnitude smaller than the corpus —
     # this is the difference between iterating over the duplicates and
     # iterating over 100 TB. Singletons rejoin at the end via a left join.
+    #
+    # Seed with propagation round 1 ALREADY APPLIED (r16): round 1 of the
+    # loop below computes exactly min(id, min neighbor) from identity
+    # labels, and that value is one aggregation over the symmetric edge
+    # list — so seeding with it directly saves one full loop round (join +
+    # checkpoint + convergence action). A diameter-1 component (the common
+    # near-dup pair/star) now converges after ONE loop round instead of two.
     labels = (
-        edges.select(F.col("src").alias("id"))  # symmetric: src covers all
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
         .persist()
     )
     first = labels.agg(F.sum("label"), F.count(F.lit(1))).first()

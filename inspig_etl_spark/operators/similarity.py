@@ -110,17 +110,19 @@ def with_ivf_cell(
     own norm is a common positive factor); ties break to the lowest index
     (``array_position`` returns the FIRST index of the max).
 
-    The quantizer is ONE nested array<array<double>> literal folded by a
-    single ``transform`` — not |cells| separate projected fold columns. The
-    per-column form made Catalyst re-analyze a tree that duplicated every
-    64-literal fold under a greatest + when-chain (and again per join
-    branch): ~3.5 s of driver-side analysis per query build on top of ~5 s
-    per execution, independent of data size. The compact form is one
-    expression node per row regardless of |cells|.
+    The per-centroid score array is computed by the Arrow-batched kernel
+    (``operators/vector_kernels.with_vector_features`` — bit-identical
+    sequential-in-dimension numpy fold, r16 optimization round): the prior
+    JVM form — one nested array<array<double>> literal folded by a
+    ``transform`` — carried |cells| x dim literal nodes through Catalyst
+    analysis on EVERY consumer branch (measured 2–12 s of driver time per
+    query build) and executed the fold on the interpreted expression path.
+    The argmax/tie/NULL semantics stay in the JVM expressions below,
+    unchanged.
     """
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    scores = F.transform(cents, lambda c: dot(F.col(vec_col), c))
-    df = df.withColumn("__ivf_scores", scores)
+    from inspig_etl_spark.operators.vector_kernels import with_vector_features
+
+    df = with_vector_features(df, vec_col, banks={"__ivf_scores": centroids})
     return df.withColumn(
         out_col,
         (
@@ -188,11 +190,21 @@ def cosine_topk(
     vec_c: str = "c_vec",
     join_on: list[str] | None = None,
     sim_scale: int = 6,
+    unroll_dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors per query (self-match excluded).
 
     ``join_on`` restricts the pairing (e.g. a shared LSH bucket column) —
     None means brute force with the query side broadcast.
+
+    ``unroll_dim``: when the caller can PROVE every joined pair has vectors
+    of exactly this length (the IVF cell join — a non-NULL cell is only
+    derivable from a full-length score vector), the pair dot uses the
+    statically unrolled codegen form (bit-identical fold order; see
+    vector_kernels.dot_unrolled) instead of the interpreted HOF. Do NOT set
+    it for joins that admit mixed-length pairs (the LSH bucket join routes
+    wrong-length vectors to bucket 0, where an equal-but-short pair's HOF
+    dot is real while the unrolled form would yield NULL).
     """
     # Precompute each side's norm ONCE (O(n x dim)) instead of per pair
     # (O(n^2 x dim)) — at 100 TB this is the difference between one corpus
@@ -208,9 +220,13 @@ def cosine_topk(
     # has norm 0, and under Spark 4's default ANSI mode a plain division
     # would throw DIVIDE_BY_ZERO and kill the job — same guard shape as
     # jaccard_verify's nullif(union, 0). NULL sim ranks last (desc order).
-    sim = dot(F.col(vec_q), F.col(vec_c)) / F.nullif(
-        F.col("__qn") * F.col("__cn"), F.lit(0.0)
-    )
+    if unroll_dim:
+        from inspig_etl_spark.operators.vector_kernels import dot_unrolled
+
+        pair_dot = dot_unrolled(F.col(vec_q), F.col(vec_c), unroll_dim)
+    else:
+        pair_dot = dot(F.col(vec_q), F.col(vec_c))
+    sim = pair_dot / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
     scored = paired.withColumn("__sim", sim)
     # Rank on the unrounded (bit-deterministic) sim; id tiebreak makes the
     # ordering total. Window partitions by query id — bounded groups.

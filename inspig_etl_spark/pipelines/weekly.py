@@ -87,38 +87,60 @@ def wide_row_columns() -> list[str]:
     return cols
 
 
-def to_wide_rows(section: DataFrame, master_seq: int, gubun: str, sub_gubun: str) -> DataFrame:
-    """Pad a section's used columns out to the full wide-row schema.
+def to_wide_rows(
+    section: DataFrame,
+    master_seq: int,
+    gubun: str,
+    sub_gubun: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Pad a section's used columns out to the wide-row schema.
 
     ``section`` must carry farm_no + sort_no and any of code_1/2, cnt_i,
     val_i, str_i it fills; everything absent becomes a typed NULL.
+
+    ``columns`` (optional) restricts the output to a subset of
+    :func:`wide_row_columns` IN THAT CANONICAL ORDER — callers that only
+    consume part of the width (the sections query reads 17 of the 52
+    columns) should pass it: 10 union branches x 35 dead NULL projections
+    is pure Catalyst-analysis weight on every plan build (r16; the values
+    of the kept columns are identical either way).
     """
     have = set(section.columns)
-    out = [
-        F.lit(master_seq).cast("bigint").alias("master_seq"),
-        F.col("farm_no").cast("bigint"),
-        F.lit(gubun).alias("gubun"),
-        F.lit(sub_gubun).alias("sub_gubun"),
-        F.col("sort_no").cast("int"),
-    ]
+    keep = set(columns) if columns is not None else None
+    out = []
+
+    def _add(name: str, expr: F.Column) -> None:
+        if keep is None or name in keep:
+            out.append(expr)
+
+    _add("master_seq", F.lit(master_seq).cast("bigint").alias("master_seq"))
+    _add("farm_no", F.col("farm_no").cast("bigint"))
+    _add("gubun", F.lit(gubun).alias("gubun"))
+    _add("sub_gubun", F.lit(sub_gubun).alias("sub_gubun"))
+    _add("sort_no", F.col("sort_no").cast("int"))
     for c in ["code_1", "code_2"]:
-        out.append(
-            F.col(c).cast("string").alias(c) if c in have else F.lit(None).cast("string").alias(c)
+        _add(
+            c,
+            F.col(c).cast("string").alias(c) if c in have else F.lit(None).cast("string").alias(c),
         )
     for i in range(1, N_WIDE + 1):
         c = f"cnt_{i}"
-        out.append(
-            F.col(c).cast("bigint").alias(c) if c in have else F.lit(None).cast("bigint").alias(c)
+        _add(
+            c,
+            F.col(c).cast("bigint").alias(c) if c in have else F.lit(None).cast("bigint").alias(c),
         )
     for i in range(1, N_WIDE + 1):
         c = f"val_{i}"
-        out.append(
-            F.col(c).cast("double").alias(c) if c in have else F.lit(None).cast("double").alias(c)
+        _add(
+            c,
+            F.col(c).cast("double").alias(c) if c in have else F.lit(None).cast("double").alias(c),
         )
     for i in range(1, N_WIDE + 1):
         c = f"str_{i}"
-        out.append(
-            F.col(c).cast("string").alias(c) if c in have else F.lit(None).cast("string").alias(c)
+        _add(
+            c,
+            F.col(c).cast("string").alias(c) if c in have else F.lit(None).cast("string").alias(c),
         )
     return section.select(*out)
 
@@ -714,7 +736,31 @@ def build_weekly_report(
     master_seq would silently report the same fixed test week; the module
     defaults exist for the oracled registry queries, whose DuckDB oracles
     encode the same constants. Herd-status sections aggregate the latest
-    state and are period-independent, as in the reference."""
+    state and are period-independent, as in the reference.
+
+    Callers that consume only ONE side should call
+    :func:`build_weekly_wide` / :func:`build_weekly_summary` directly
+    (r16): building the 10-section union AND the 7-join summary costs
+    seconds of plan construction/analysis per call, and the oracled
+    registry queries each read a single side.
+    """
+    return (
+        build_weekly_wide(spark, sf_dir, master_seq, dt_from, dt_to),
+        build_weekly_summary(spark, sf_dir, dt_from, dt_to),
+    )
+
+
+def build_weekly_wide(
+    spark: SparkSession,
+    sf_dir: str,
+    master_seq: int = 1,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The TS_INS_WEEK_SUB wide-row union alone (see
+    :func:`build_weekly_report`); ``columns`` optionally narrows the padded
+    width (see :func:`to_wide_rows`)."""
     from inspig_etl_spark.catalog import table
     from inspig_etl_spark.queries.status_schedule import _last_events
 
@@ -735,57 +781,88 @@ def build_weekly_report(
     )
     this_from, this_to = _shift(dt_to, 1), _shift(dt_to, 7)
     sections = [
-        to_wide_rows(herd_status_section(status), master_seq, "MD", "STAT"),
+        to_wide_rows(herd_status_section(status), master_seq, "MD", "STAT", columns),
         to_wide_rows(
             alert_band_section(last, this_from, farms=farms),
             master_seq,
             "ALERT",
             "STAT",
+            columns,
         ),
         to_wide_rows(
             mating_histogram_section(events, dt_from, dt_to, farms=farms),
             master_seq,
             "GB",
             "STAT",
+            columns,
         ),
         to_wide_rows(
             farrowing_wow_section(events, dt_from, dt_to, farms=farms),
             master_seq,
             "BM",
             "STAT",
+            columns,
         ),
         to_wide_rows(
             weaning_next_event_section(events, dt_from, dt_to, farms=farms),
             master_seq,
             "EU",
             "STAT",
+            columns,
         ),
         to_wide_rows(
             accident_elapsed_section(events, dt_from, dt_to, farms=farms),
             master_seq,
             "SG",
             "STAT",
+            columns,
         ),
         to_wide_rows(
-            culling_pages_section(events, dt_from, dt_to), master_seq, "DOPE", "LIST"
+            culling_pages_section(events, dt_from, dt_to),
+            master_seq,
+            "DOPE",
+            "LIST",
+            columns,
         ),
         to_wide_rows(
-            shipment_chart_section(events, dt_from, dt_to), master_seq, "SH", "CHART"
+            shipment_chart_section(events, dt_from, dt_to),
+            master_seq,
+            "SH",
+            "CHART",
+            columns,
         ),
         to_wide_rows(
             schedule_crosstab_section(last, this_from, this_to),
             master_seq,
             "SCHEDULE",
             "ROW",
+            columns,
         ),
         to_wide_rows(
             config_ratio_section(events, dt_to, farms=farms),
             master_seq,
             "CONFIG",
             "STAT",
+            columns,
         ),
     ]
     wide = sections[0]
     for s in sections[1:]:
         wide = wide.unionByName(s)
-    return wide, farm_summary_full(last, events, dt_from, dt_to)
+    return wide
+
+
+def build_weekly_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    dt_from: str = WEEK_FROM,
+    dt_to: str = WEEK_TO,
+) -> DataFrame:
+    """The grown TS_INS_WEEK summary row alone (see
+    :func:`build_weekly_report`)."""
+    from inspig_etl_spark.catalog import table
+    from inspig_etl_spark.queries.status_schedule import _last_events
+
+    events = table(spark, sf_dir, "events")
+    last = _last_events(spark, sf_dir)
+    return farm_summary_full(last, events, dt_from, dt_to)

@@ -194,29 +194,38 @@ def semdedup_prune_frame(
     count is metadata-cheap, and baking f into the plan lets the f=1 case
     (any corpus under cells*target vectors) skip the fine-level scoring
     and the 1-row broadcast join entirely instead of paying them per row.
+
+    r16 optimization: the per-centroid scores and the norm come from ONE
+    Arrow kernel pass (bit-identical sequential folds — see
+    operators/vector_kernels), the ranked frame is persisted (it feeds
+    both pair-join sides and the final verdict join), and the pair-join
+    cosine uses the statically unrolled codegen dot: every joined pair has
+    a non-NULL cell, which is only derivable from a full-DIM score vector,
+    so the DIM-unrolled fold is exact for every pair that can exist.
     """
-    emb = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    from inspig_etl_spark.operators.vector_kernels import (
+        dot_unrolled,
+        with_vector_features,
+    )
+
+    emb = _vectors(spark, sf_dir).select("vec_id", "embedding")
     n = emb.count()  # single scalar to the driver — quantizer sizing only
     # Integer ceil: matches the oracle's CEIL(n / (cells*target).0) exactly.
     target = SEMDEDUP_CELLS * target_cell
     f = max(1, min(SEMDEDUP_FINE_MAX, (n + target - 1) // target))
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_CENTROIDS])
-    scored = emb.withColumn(
-        "__s", F.transform(cents, lambda c: dot(F.col("embedding"), c))
-    )
+    banks = {"__s": _SD_CENTROIDS}
+    if f > 1:
+        # Only the f ACTIVE fine centroids are scored (the oracle slices
+        # fs[1:f] of the full bank — same argmax, fewer dot products).
+        banks["__fs"] = _SD_FINE[:f]
+    scored = with_vector_features(emb, "embedding", banks=banks, norm_col="nrm")
     cl = scored.withColumn("best", F.array_max("__s")).withColumn(
         "ccell",
         (F.array_position(F.col("__s"), F.col("best")) - 1).cast("int"),
     )
     if f > 1:
-        # Only the f ACTIVE fine centroids are scored (the oracle slices
-        # fs[1:f] of the full bank — same argmax, fewer dot products).
-        fine = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _SD_FINE[:f]])
         cl = (
-            cl.withColumn(
-                "__fs", F.transform(fine, lambda c: dot(F.col("embedding"), c))
-            )
-            .withColumn("fbest", F.array_max("__fs"))
+            cl.withColumn("fbest", F.array_max("__fs"))
             .withColumn(
                 "fcell",
                 (F.array_position(F.col("__fs"), F.col("fbest")) - 1).cast("int"),
@@ -232,7 +241,11 @@ def semdedup_prune_frame(
     w = Window.partitionBy("cell").orderBy(
         F.col("csim").desc_nulls_last(), F.col("vec_id")
     )
-    r = cl.withColumn("rnk", F.row_number().over(w))
+    # persist(): r feeds BOTH sides of the within-cell pair join and the
+    # final verdict join — without materialization the kernel + window
+    # subtree executes three times. Bounded frame; clearCache() after the
+    # action is the session-level unpersist (ADVICE r10).
+    r = cl.withColumn("rnk", F.row_number().over(w)).persist()
     a = r.select(
         F.col("cell").alias("a_cell"),
         F.col("rnk").alias("a_rnk"),
@@ -246,7 +259,7 @@ def semdedup_prune_frame(
         F.col("embedding").alias("b_vec"),
         F.col("nrm").alias("b_nrm"),
     )
-    sim = dot(F.col("a_vec"), F.col("b_vec")) / F.nullif(
+    sim = dot_unrolled(F.col("a_vec"), F.col("b_vec"), DIM) / F.nullif(
         F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
     )
     pruned = (

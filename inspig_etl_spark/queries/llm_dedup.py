@@ -664,12 +664,17 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window granularity, embarrassingly parallel).
     """
     docs = spread(table(spark, sf_dir, "documents"))
+    # persist(): the exploded span-hash frame feeds the duplicate gate AND
+    # the per-doc re-aggregate — two (doc_id, h) consumers that would each
+    # re-run the scan + tokenize + per-token md5 pipeline otherwise (r16;
+    # same rationale as _lex_frames' persisted postings). Two-long rows,
+    # bounded by total span count; clearCache() unpersists after the action.
     d = docs.select(
         "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
     ).select(
         "doc_id",
         F.explode(token_ngram_hashes_positional(F.col("hs"), SPAN_N)).alias("h"),
-    )
+    ).persist()
     dup = (
         d.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -301,6 +301,12 @@ def docs_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data; the bucket table stays broadcast-sized at any corpus.
     """
     docs = spread(table(spark, sf_dir, "documents"))
+    # persist(): g (scan + tokenize + per-token md5 + bigram hashing) feeds
+    # THREE consumers — the bucket-ratio agg, the per-doc re-agg, and the
+    # doc-universe left join — and without materialization each one re-runs
+    # the whole tokenize pipeline (3 full passes in the executed plan,
+    # measured; the same rationale as _lex_frames' persisted postings).
+    # clearCache() after the action is the session-level unpersist.
     g = (
         docs.select(
             "doc_id",
@@ -318,6 +324,7 @@ def docs_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x % DSIR_B,
             ).alias("bs"),
         )
+        .persist()
     )
     e = g.select("doc_id", "is_t", F.explode("bs").alias("b"))
     bt = e.groupBy("b").agg(

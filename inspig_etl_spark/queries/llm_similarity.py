@@ -266,7 +266,9 @@ def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
     )
-    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"])
+    # A non-NULL cell is only derivable from a full-length score vector, so
+    # every joined pair is DIM-dimensional: the unrolled codegen dot applies.
+    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"], unroll_dim=DIM)
 
 
 @register(
@@ -370,7 +372,7 @@ def embeddings_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     queries, corpus = _ivf_probe_sides(spark, sf_dir, P_PROBE)
     return cosine_topk(
-        queries.drop("probe_rank"), corpus, TOP_K, join_on=["cell"]
+        queries.drop("probe_rank"), corpus, TOP_K, join_on=["cell"], unroll_dim=DIM
     )
 
 
@@ -386,23 +388,22 @@ def _ivf_probe_sides(
     keeps exactly one row per vector. Shared by
     ``embeddings_knn_ivf_multiprobe`` and ``embeddings_ann_recall_report``.
     """
-    from inspig_etl_spark.operators.similarity import dot
+    from inspig_etl_spark.operators.vector_kernels import with_vector_features
 
     emb = _vectors(spark, sf_dir)
     corpus = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
     )
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _CENTROIDS])
     # (-score, cell) structs sort lexicographically ascending == score DESC
     # with first-cell tie-break — the oracle's rank order; NULL scores
     # (dimension-mismatched vectors) are filtered, matching the oracle's
     # WHERE x.s IS NOT NULL (such vectors also get a NULL corpus cell on
-    # both sides and drop out of the equi-join).
+    # both sides and drop out of the equi-join). The per-centroid scores
+    # come from the Arrow kernel (bit-identical fold; r16) — the transform
+    # below only re-shapes the 8-element score COLUMN into sortable structs.
     scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            (-dot(F.col("embedding"), c)).alias("sneg"), i.cast("int").alias("cell")
-        ),
+        F.col("__ivf_scores"),
+        lambda s, i: F.struct((-s).alias("sneg"), i.cast("int").alias("cell")),
     )
     probes = F.slice(
         F.array_sort(F.filter(scored, lambda p: p["sneg"].isNotNull())),
@@ -410,7 +411,13 @@ def _ivf_probe_sides(
         nprobe,
     )
     queries = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        with_vector_features(
+            emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+                "vec_id", "embedding"
+            ),
+            "embedding",
+            banks={"__ivf_scores": _CENTROIDS},
+        )
         .select("vec_id", "embedding", F.posexplode(probes).alias("pos", "p"))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -614,32 +621,63 @@ def _pq_lut_col() -> F.Column:
     )
 
 
+def _ivfpq_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVF-PQ base frame (vec_id, qz, codes, lut, cell) in ONE
+    Arrow kernel pass (r16): coarse-quantizer scores, SQ8 quantization, PQ
+    encode and the probe-side ADC LUT all come from
+    ``with_vector_features`` (bit-identical numpy twins of the expression
+    forms), and only the argmax -> cell derivation stays a JVM expression.
+    The prior per-branch literal trees (64x64 centroid bank + 8x16x8
+    codebook, duplicated across the enc/q sides) cost ~12 s of Catalyst
+    analysis per build and interpreted per-row folds per execution.
+    ``lut`` is computed ONLY for probe-query rows (vec_id % QUERY_MOD);
+    consumers must filter to those rows before reading it."""
+    from inspig_etl_spark.operators.vector_kernels import with_vector_features
+
+    emb = (
+        _vectors(spark, sf_dir)
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", "embedding")
+    )
+    feat = with_vector_features(
+        emb,
+        "embedding",
+        banks={"__ivf_scores": _CENTROIDS},
+        sq8_col="qz",
+        pq_books=_PQ_BOOKS,
+        pq_codes_col="codes",
+        pq_lut_col="lut",
+        pq_lut_mod=QUERY_MOD,
+    )
+    return feat.withColumn(
+        "cell",
+        (
+            F.array_position(F.col("__ivf_scores"), F.array_max(F.col("__ivf_scores")))
+            - 1
+        ).cast("int"),
+    ).drop("__ivf_scores", "embedding")
+
+
 def _ivfpq_adc_scores(cl: DataFrame) -> DataFrame:
-    """ADC candidate scores inside the coarse cell: encode the corpus side
-    to PQ codes, fold the query side to a LUT, equi-join on the cell id and
-    score each pair as M integer table lookups. ``cl`` is the
-    (vec_id, cell, qz) frame; returns (query_id, neighbor_id, score_adc).
-    Shared by the IVF-PQ ADC / refine queries and the recall report."""
-    enc = cl.select(
-        F.col("vec_id").alias("neighbor_id"), "cell", _pq_codes_col().alias("codes")
-    )
+    """ADC candidate scores inside the coarse cell: equi-join the encoded
+    corpus side against the probe queries' LUTs on the cell id and score
+    each pair as M integer table lookups. ``cl`` is the ``_ivfpq_cl``
+    frame (vec_id, cell, codes, lut); returns (query_id, neighbor_id,
+    score_adc). Shared by the IVF-PQ ADC / refine queries and the recall
+    report. The M-lookup fold is statically unrolled (integer sum —
+    order-free; ``F.get`` is NULL-safe like the element_at fold) so it
+    runs in whole-stage codegen instead of the interpreted HOF path."""
+    enc = cl.select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
     q = cl.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "cell", _pq_lut_col().alias("lut")
+        F.col("vec_id").alias("query_id"), "cell", "lut"
     )
+    adc = F.lit(0).cast("bigint")
+    for m in range(PQ_M):
+        adc = adc + F.get(F.get(F.col("lut"), F.lit(m)), F.get(F.col("codes"), F.lit(m)))
     return (
         enc.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _fold_i(
-                F.zip_with(
-                    F.col("lut"),
-                    F.col("codes"),
-                    lambda l, c: F.element_at(l, c + F.lit(1)),
-                )
-            ).alias("score_adc"),
-        )
+        .select("query_id", "neighbor_id", adc.alias("score_adc"))
     )
 
 
@@ -771,10 +809,10 @@ def embeddings_ivfpq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed md5-derived literals (pure shared data); production trains them
     per sub-space with the adjacent Lloyd kernel (operators/clustering.py).
     """
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
-    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
-        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
-    )
+    # persist(): the kernel frame feeds both the enc and q sides of the ADC
+    # join — bounded (vec_id, cell, codes, per-query lut) rows; clearCache()
+    # after the action is the session-level unpersist (ADVICE r10).
+    cl = _ivfpq_cl(spark, sf_dir).persist()
     s = _ivfpq_adc_scores(cl).withColumnRenamed("score_adc", "score_q")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_q").desc(), F.col("neighbor_id")
@@ -884,10 +922,6 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (declared, same exception as the SQ8 baseline) — a deployment drops
     it; at 100 TB the first two stages shuffle O(codes) + O(C x queries).
     """
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
-    cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
-        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
-    )
     # persist(): cl feeds the encode side, the query side, two refine
     # vector fetches, and both brute-force witness sides. The frame is
     # bounded — (vec_id, cell, int8 codes), a few KB per thousand vectors —
@@ -896,7 +930,7 @@ def embeddings_ivfpq_refined_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # harness) call spark.catalog.clearCache() after each action, which is
     # the session-level unpersist for every lazily-returned query frame
     # (ADVICE r10).
-    cl = cl.persist()
+    cl = _ivfpq_cl(spark, sf_dir).persist()
     s = _ivfpq_adc_scores(cl)
     wc = Window.partitionBy("query_id").orderBy(
         F.col("score_adc").desc(), F.col("neighbor_id")
@@ -1573,10 +1607,7 @@ def embeddings_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(metrics("ivf", p, 0, top_p, scored_p))
 
     # ivfpq: ADC shortlist + exact re-rank at each C (shared stages).
-    embD = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
-    cl = with_ivf_cell(embD, "embedding", _CENTROIDS).select(
-        "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
-    ).persist()  # bounded codes frame; clearCache() policy as above
+    cl = _ivfpq_cl(spark, sf_dir).persist()  # bounded codes frame; clearCache() policy as above
     wc = Window.partitionBy("query_id").orderBy(
         F.col("score_adc").desc(), F.col("neighbor_id")
     )

@@ -26,7 +26,8 @@ from inspig_etl_spark.pipelines.weekly import (
     WEEK_FROM,
     WEEK_TO,
     _shift,
-    build_weekly_report,
+    build_weekly_summary,
+    build_weekly_wide,
 )
 from inspig_etl_spark.queries import register
 from inspig_etl_spark.queries.status_schedule import (
@@ -334,13 +335,18 @@ UNION ALL SELECT * FROM config
     oracle=sections_oracle_sql(WEEK_FROM, WEEK_TO),
 )
 def weekly_report_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide, _summary = build_weekly_report(spark, sf_dir)
-    return wide.select(
+    # Build ONLY the wide side, padded only to the 17 columns this query
+    # reads (r16): the full-width pair build cost ~6.6 s of driver plan
+    # construction/analysis per call — 10 union branches x 35 dead NULL
+    # projections plus the unused 7-join summary — for identical output.
+    cols = [
         "farm_no", "gubun", "sub_gubun", "sort_no", "code_1",
         "str_1", "str_2", "str_3",
         "cnt_1", "cnt_2", "cnt_3", "cnt_4", "cnt_5", "cnt_6", "cnt_7", "cnt_8",
         "val_1",
-    )
+    ]
+    wide = build_weekly_wide(spark, sf_dir, columns=cols)
+    return wide.select(*cols)
 
 
 @register(
@@ -446,5 +452,6 @@ LEFT JOIN delay ON herd.farm_no = delay.farm_no
 """,
 )
 def weekly_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _wide, summary = build_weekly_report(spark, sf_dir)
-    return summary
+    # Summary side only (r16) — the 10-section wide union build is dead
+    # weight for this query.
+    return build_weekly_summary(spark, sf_dir)
