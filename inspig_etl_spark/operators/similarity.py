@@ -190,21 +190,17 @@ def cosine_topk(
     vec_c: str = "c_vec",
     join_on: list[str] | None = None,
     sim_scale: int = 6,
-    unroll_dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors per query (self-match excluded).
 
     ``join_on`` restricts the pairing (e.g. a shared LSH bucket column) —
     None means brute force with the query side broadcast.
 
-    ``unroll_dim``: when the caller can PROVE every joined pair has vectors
-    of exactly this length (the IVF cell join — a non-NULL cell is only
-    derivable from a full-length score vector), the pair dot uses the
-    statically unrolled codegen form (bit-identical fold order; see
-    vector_kernels.dot_unrolled) instead of the interpreted HOF. Do NOT set
-    it for joins that admit mixed-length pairs (the LSH bucket join routes
-    wrong-length vectors to bucket 0, where an equal-but-short pair's HOF
-    dot is real while the unrolled form would yield NULL).
+    The pair dot stays the HOF ``dot`` fold: a statically unrolled
+    ``vector_kernels.dot_unrolled`` form was TRIED in the r16 optimization
+    round and measured ~30% slower on the IVF cell join (64 per-pair F.get
+    extractions with bounds/null checks lose to the fold's single array
+    traversal; OPTIMIZATION_r16.md).
     """
     # Precompute each side's norm ONCE (O(n x dim)) instead of per pair
     # (O(n^2 x dim)) — at 100 TB this is the difference between one corpus
@@ -220,13 +216,9 @@ def cosine_topk(
     # has norm 0, and under Spark 4's default ANSI mode a plain division
     # would throw DIVIDE_BY_ZERO and kill the job — same guard shape as
     # jaccard_verify's nullif(union, 0). NULL sim ranks last (desc order).
-    if unroll_dim:
-        from inspig_etl_spark.operators.vector_kernels import dot_unrolled
-
-        pair_dot = dot_unrolled(F.col(vec_q), F.col(vec_c), unroll_dim)
-    else:
-        pair_dot = dot(F.col(vec_q), F.col(vec_c))
-    sim = pair_dot / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))
+    sim = dot(F.col(vec_q), F.col(vec_c)) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
     scored = paired.withColumn("__sim", sim)
     # Rank on the unrounded (bit-deterministic) sim; id tiebreak makes the
     # ordering total. Window partitions by query id — bounded groups.

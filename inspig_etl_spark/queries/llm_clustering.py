@@ -197,16 +197,14 @@ def semdedup_prune_frame(
 
     r16 optimization: the per-centroid scores and the norm come from ONE
     Arrow kernel pass (bit-identical sequential folds — see
-    operators/vector_kernels), the ranked frame is persisted (it feeds
-    both pair-join sides and the final verdict join), and the pair-join
-    cosine uses the statically unrolled codegen dot: every joined pair has
-    a non-NULL cell, which is only derivable from a full-DIM score vector,
-    so the DIM-unrolled fold is exact for every pair that can exist.
+    operators/vector_kernels), and the ranked frame is persisted (it feeds
+    both pair-join sides and the final verdict join). The pair-join cosine
+    stays the HOF ``dot`` fold: the statically unrolled form was TRIED and
+    measured ~1.8x SLOWER on the 252k-pair join (6.4 s vs 3.5 s exec at
+    sf0.1 — 64 per-pair F.get extractions with bounds/null checks beat the
+    fold's single array traversal; see OPTIMIZATION_r16.md).
     """
-    from inspig_etl_spark.operators.vector_kernels import (
-        dot_unrolled,
-        with_vector_features,
-    )
+    from inspig_etl_spark.operators.vector_kernels import with_vector_features
 
     emb = _vectors(spark, sf_dir).select("vec_id", "embedding")
     n = emb.count()  # single scalar to the driver — quantizer sizing only
@@ -259,7 +257,7 @@ def semdedup_prune_frame(
         F.col("embedding").alias("b_vec"),
         F.col("nrm").alias("b_nrm"),
     )
-    sim = dot_unrolled(F.col("a_vec"), F.col("b_vec"), DIM) / F.nullif(
+    sim = dot(F.col("a_vec"), F.col("b_vec")) / F.nullif(
         F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
     )
     pruned = (

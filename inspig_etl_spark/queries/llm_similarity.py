@@ -266,9 +266,7 @@ def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
     )
-    # A non-NULL cell is only derivable from a full-length score vector, so
-    # every joined pair is DIM-dimensional: the unrolled codegen dot applies.
-    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"], unroll_dim=DIM)
+    return cosine_topk(queries, corpus, TOP_K, join_on=["cell"])
 
 
 @register(
@@ -372,7 +370,7 @@ def embeddings_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     queries, corpus = _ivf_probe_sides(spark, sf_dir, P_PROBE)
     return cosine_topk(
-        queries.drop("probe_rank"), corpus, TOP_K, join_on=["cell"], unroll_dim=DIM
+        queries.drop("probe_rank"), corpus, TOP_K, join_on=["cell"]
     )
 
 
