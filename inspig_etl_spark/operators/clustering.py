@@ -130,10 +130,20 @@ def lloyd_update(
     division; empty cells drop out.
     """
     assigned = assign_cells(df, vec_col, cents)
+    # The loop input carries __km_qv (the micro-quantized vector, computed
+    # ONCE before the loop — r16): summing its elements directly keeps the
+    # clamp/floor work out of every round's 'dim' aggregate expressions
+    # (one quantization pass total instead of one per Lloyd round, and a
+    # much smaller per-round plan for Catalyst to analyze).
+    qv = "__km_qv" in df.columns
     sums = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(quantize_micro(F.col(vec_col).getItem(d))).alias(f"s{d}")
+            (
+                F.sum(F.col("__km_qv").getItem(d))
+                if qv
+                else F.sum(quantize_micro(F.col(vec_col).getItem(d)))
+            ).alias(f"s{d}")
             for d in range(dim)
         ],
     )
@@ -168,20 +178,50 @@ def kmeans_fit_assign(
     MEMORY_AND_DISK spills gracefully when a 100 TB corpus outgrows RAM).
     clearCache() after the action is the session-level unpersist.
     """
-    df = df.select(id_col, vec_col).persist()
+    df = (
+        df.select(id_col, vec_col)
+        .withColumn("__km_qv", F.transform(F.col(vec_col), quantize_micro))
+        .persist()
+    )
     cents = [(i, m) for i, m in enumerate(seeds)]
-    for _ in range(updates):
-        cents = lloyd_update(df, vec_col, dim, cents)
-        if not cents:  # empty corpus: every cell died
-            return (
-                df.filter(F.lit(False))
-                .select(
-                    F.col(id_col),
-                    F.lit(0).alias("cluster"),
-                    F.lit(0).cast("bigint").alias("cluster_size"),
-                    F.lit(0).cast("bigint").alias("score_e6"),
-                )
+    # Pin the loop confs the way connected_components does (r16): each
+    # Lloyd round is ONE fixed-shape partial-aggregated reduce whose output
+    # is <= k rows, so AQE's per-stage re-planning jobs buy nothing, and
+    # the session's corpus-sized shuffle partitioning is pure scheduling
+    # overhead for a <= k-row exchange (the map-side combine already
+    # collapses every partition to <= k rows, so a handful of reduce
+    # partitions is safe at ANY corpus size — MLlib's reduce is the same
+    # shape). Saved/restored around the loop; the FINAL assignment plan is
+    # built after restore, so the returned frame plans under session confs.
+    spark = df.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    shuf_key = "spark.sql.shuffle.partitions"
+    from inspig_etl_spark.operators.dedup import _CC_CONF_LOCK
+
+    _CC_CONF_LOCK.acquire()
+    aqe_was = spark.conf.get(aqe_key, "true")
+    shuf_was = int(spark.conf.get(shuf_key, "200"))
+    spark.conf.set(aqe_key, "false")
+    spark.conf.set(shuf_key, str(max(1, min(shuf_was, len(seeds)))))
+    try:
+        for _ in range(updates):
+            cents = lloyd_update(df, vec_col, dim, cents)
+            if not cents:
+                break
+    finally:
+        spark.conf.set(aqe_key, aqe_was)
+        spark.conf.set(shuf_key, str(shuf_was))
+        _CC_CONF_LOCK.release()
+    if not cents:  # empty corpus: every cell died
+        return (
+            df.filter(F.lit(False))
+            .select(
+                F.col(id_col),
+                F.lit(0).alias("cluster"),
+                F.lit(0).cast("bigint").alias("cluster_size"),
+                F.lit(0).cast("bigint").alias("score_e6"),
             )
+        )
     out = assign_cells(df, vec_col, cents, out_col="cluster")
     w = Window.partitionBy("cluster")
     return out.select(

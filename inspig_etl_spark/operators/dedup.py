@@ -369,11 +369,16 @@ def connected_components(
             # 3.3k-node graph (the cross-modal paired graph), where
             # truncated lineage holds rounds flat. Same rationale (and
             # executor-loss trade) as _alternating_star's checkpoint below.
+            # eager=False (r16): the convergence sum right below is the
+            # round's first action, so it MATERIALIZES the checkpoint as a
+            # side effect — one job per round instead of two (the plan it
+            # runs is still only one round deep: ``labels`` was
+            # checkpointed last round).
             new_labels = (
                 contrib.unionAll(labels)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             new_sum = new_labels.agg(F.sum("label")).first()[0]
             labels.unpersist()
@@ -514,8 +519,11 @@ def _alternating_star(und: DataFrame, max_rounds: int = 25) -> tuple[DataFrame, 
             .unionAll(mins2.select(F.col("v").alias("a"), F.col("m").alias("b")))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            # eager=False: the _sig convergence action right below is the
+            # round's first job and materializes the checkpoint as a side
+            # effect — one job per round instead of two (r16; same fusion
+            # as the propagation loop above).
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         cur = _sig(nxt)
