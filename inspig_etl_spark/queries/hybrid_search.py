@@ -263,16 +263,34 @@ def _lex_frames(spark: SparkSession, sf_dir: str):
     # pattern; the 100 TB form is the PERSISTED inverted index every
     # lexical deployment materializes. clearCache() after the action is
     # the repo-wide unpersist point for lazily-returned query frames.
-    th = docs.select(
-        "doc_id", token_hashes(tokens(F.col("text"))).alias("hs")
-    ).persist()
+    # The cached row carries the ROLLED BIGRAM ARRAY, not the raw token
+    # hashes (r16): downstream only ever consumes bigrams, and with just
+    # ``hs`` cached every one of the ~5 consumers re-ran the zip_with
+    # bigram roll before exploding. Measured NEUTRAL at sf0.1 on local[32]
+    # (idle cores absorb the redundant rolls there), but each roll is a
+    # full pass over the token arrays at scale; rolling once into the
+    # cache removes them for free locally. Caching the EXPLODED postings
+    # instead was tried and measured slower (row-store barrier;
+    # OPTIMIZATION_r16.md).
+    th = (
+        docs.select(
+            # hs bound as its OWN column first: the bigram roll references
+            # the hash array in several slice positions, and an inline
+            # subtree would re-run the per-token md5 once per reference
+            # (token_hashes' documented binding rule).
+            "doc_id",
+            token_hashes(tokens(F.col("text"))).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            token_ngram_hashes_positional(F.col("hs"), 2).alias("bg"),
+        )
+        .persist()
+    )
     # POSITIONAL bigrams: tb preserves multiplicity (BM25's tf and dl are
     # occurrence counts, not distinct-term counts); tq re-derives the
     # distinct postings view the idf-sum tower and df stats use.
-    tb = th.select(
-        "doc_id",
-        F.explode(token_ngram_hashes_positional(F.col("hs"), 2)).alias("term"),
-    )
+    tb = th.select("doc_id", F.explode(F.col("bg")).alias("term"))
     tq = tb.distinct()
     n = tq.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
     df = tq.groupBy("term").agg(
