@@ -159,14 +159,67 @@ def driver_verified_rounds() -> dict[str, int]:
     return latest
 
 
+# Round in which a query's COMPUTATION PATH was last reshaped by an
+# optimization (VERDICT r16 item 1): a query whose code changed AFTER its
+# latest driver-green record must re-verify before anything merely stale —
+# its green record describes code that no longer exists. Maintenance
+# contract: every optimization round appends the names its changes
+# propagate to, stamped with that round's number; an entry expires by
+# itself once the driver lands a green record at a round >= the stamp
+# (``_reorder_for_window`` compares, nothing is ever deleted by hand).
+# The r16 entries are the full touched set from OPTIMIZATION_r16.md —
+# listing already-reverified names is harmless by construction.
+CODE_TOUCHED: dict[str, int] = {
+    # r16: Arrow vector kernel + IVF/PQ rebuild
+    "embeddings_knn_ivf": 16,
+    "embeddings_knn_ivf_multiprobe": 16,
+    "embeddings_sq8_adc_knn": 16,
+    "embeddings_ivfpq_adc_knn": 16,
+    "embeddings_ivfpq_refined_knn": 16,
+    "embeddings_ivfpq_multiprobe_knn": 16,
+    "embeddings_ivfpq_residual_knn": 16,
+    "embeddings_ann_recall_report": 16,
+    "embeddings_ivf_incremental_drift": 16,
+    "embeddings_knn_mmr_diversified": 16,
+    "embeddings_semdedup_prune": 16,
+    "docs_decontaminate_semantic": 16,
+    "docs_hybrid_rrf_search": 16,
+    # r16: connected-components seeding + lazy checkpoints
+    "docs_neardup_clusters": 16,
+    "docs_neardup_clusters_star": 16,
+    "docs_neardup_keep_best": 16,
+    "docs_neardup_cluster_quality": 16,
+    "multimodal_paired_neardup": 16,
+    # r16: kmeans loop persist/confs; weekly plan split; token-frame persists
+    "embeddings_kmeans_lloyd": 16,
+    "weekly_report_sections": 16,
+    "weekly_report_summary": 16,
+    "docs_dsir_importance_sample": 16,
+    "docs_dup_ngram_spans": 16,
+    "docs_tfidf_topterms": 16,
+    "docs_bm25_topk": 16,
+}
+
+
+def needs_recheck(name: str, latest: dict[str, int]) -> bool:
+    """True when ``name`` has no driver-green record at all, or its code
+    was touched (CODE_TOUCHED) after its latest green record."""
+    green = latest.get(name, -1)
+    return green < 0 or CODE_TOUCHED.get(name, -1) > green
+
+
 def _reorder_for_window() -> None:
-    """Stable-sort the registry by driver-record staleness: queries with no
-    driver-green record ever come first (round -1), then ascending by the
-    round of their latest green record; registration order breaks ties.
-    The driver's 50-query window therefore always lands on the stalest
-    records — a pure function of the CORRECTNESS files, nothing to hand-
-    rotate per round."""
+    """Stable-sort the registry so the driver's 50-query window lands on
+    the queries that most need a check: first every query needing a
+    RE-check (never driver-verified, or code touched since its last green
+    record — see ``needs_recheck``), then everything else; within each
+    class ascending by latest green round, registration order breaking
+    ties. A pure function of the CORRECTNESS files + CODE_TOUCHED, nothing
+    to hand-rotate per round."""
     latest = driver_verified_rounds()
-    ordered = sorted(REGISTRY.values(), key=lambda q: latest.get(q.name, -1))
+    ordered = sorted(
+        REGISTRY.values(),
+        key=lambda q: (not needs_recheck(q.name, latest), latest.get(q.name, -1)),
+    )
     REGISTRY.clear()
     REGISTRY.update({q.name: q for q in ordered})

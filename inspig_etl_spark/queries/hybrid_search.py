@@ -328,7 +328,12 @@ def _lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vec_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell exact-int8 vector candidates: (query_id, doc_id,
     rank_vec <= VEC_C)."""
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = (
+        _vectors(spark, sf_dir)
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", "embedding")
+    )
     cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
     )

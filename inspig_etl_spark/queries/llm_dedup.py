@@ -2377,7 +2377,12 @@ def _semantic_contam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspig_etl_spark.operators.similarity import dot, norm, with_ivf_cell
     from inspig_etl_spark.queries.llm_similarity import _CENTROIDS, _vectors
 
-    emb = with_ivf_cell(_vectors(spark, sf_dir), "embedding", _CENTROIDS)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = with_ivf_cell(
+        _vectors(spark, sf_dir).select("vec_id", "embedding"),
+        "embedding",
+        _CENTROIDS,
+    )
     n = emb.select(
         "cell", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )

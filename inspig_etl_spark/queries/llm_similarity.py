@@ -257,8 +257,12 @@ def embeddings_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one partition; here both sides compute the cell inline and the join
     shuffles O(|corpus|) rows on the cell key — never all-pairs.
     """
+    # select first: mapInArrow ships every input column (guide §4.1) — the
+    # unused `label` must not cross the Python boundary.
     emb = with_ivf_cell(
-        _vectors(spark, sf_dir), "embedding", _CENTROIDS
+        _vectors(spark, sf_dir).select("vec_id", "embedding"),
+        "embedding",
+        _CENTROIDS,
     )
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "cell"
@@ -388,7 +392,8 @@ def _ivf_probe_sides(
     """
     from inspig_etl_spark.operators.vector_kernels import with_vector_features
 
-    emb = _vectors(spark, sf_dir)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = _vectors(spark, sf_dir).select("vec_id", "embedding")
     corpus = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
     )
@@ -1050,7 +1055,12 @@ def embeddings_ivfpq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame
     Recall vs the flat encoding is pinned (>=) by an invariant test, the
     standard justification for residual coding.
     """
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = (
+        _vectors(spark, sf_dir)
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", "embedding")
+    )
     cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
     )
@@ -1187,7 +1197,12 @@ def embeddings_ivfpq_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFra
     """
     from inspig_etl_spark.operators.similarity import dot
 
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = (
+        _vectors(spark, sf_dir)
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", "embedding")
+    )
     cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
     )
@@ -1780,7 +1795,12 @@ def embeddings_knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFram
     fold aggs, then a pure expression — no stage grows faster than
     queries x C^2 at any corpus size.
     """
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = (
+        _vectors(spark, sf_dir)
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", "embedding")
+    )
     cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select(
         "vec_id", "cell", _sq8(F.col("embedding")).alias("qz")
     )
@@ -1966,7 +1986,12 @@ def embeddings_ivf_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFr
     literal cell spine zero-fill, and the 1-row broadcast totals — no
     stage beyond the scan exceeds cell-bank cardinality.
     """
-    emb = _vectors(spark, sf_dir).filter(F.size("embedding") == DIM)
+    # select first: mapInArrow ships every input column (guide §4.1).
+    emb = (
+        _vectors(spark, sf_dir)
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", "embedding")
+    )
     cl = with_ivf_cell(emb, "embedding", _CENTROIDS).select("vec_id", "cell")
     agg = cl.groupBy("cell").agg(
         F.count(F.when(F.col("vec_id") % IVF_INCR_MOD != 1, 1))

@@ -36,16 +36,40 @@ def test_no_oracle_query_runs(spark, case):
 
 
 def test_window_is_sorted_by_record_staleness():
-    """The registry must be stable-sorted ascending by each query's latest
-    driver-green round (never-verified = -1 first) — the mechanical
-    rotation that replaced the hand-maintained tier frozensets after they
-    silently drifted in r8. A non-monotone sequence means someone
-    re-introduced manual ordering or broke ``_reorder_for_window``."""
+    """The registry must be stable-sorted by the two-class recheck key
+    (VERDICT r16 item 1): queries needing a re-check first (never verified,
+    or CODE_TOUCHED after their last green record), then the rest; each
+    class ascending by latest green round. A non-monotone key sequence
+    means someone re-introduced manual ordering or broke
+    ``_reorder_for_window``."""
     latest = reg.driver_verified_rounds()
-    rounds = [latest.get(name, -1) for name in reg.REGISTRY]
-    assert rounds == sorted(rounds), (
-        "registry is not sorted by driver-record staleness; "
+    keys = [
+        (not reg.needs_recheck(name, latest), latest.get(name, -1))
+        for name in reg.REGISTRY
+    ]
+    assert keys == sorted(keys), (
+        "registry is not sorted by the recheck/staleness key; "
         f"first inversion near {[n for n in reg.REGISTRY][:5]}"
+    )
+
+
+def test_code_touched_queries_sit_inside_window():
+    """Every query whose code was touched after its latest driver-green
+    record (CODE_TOUCHED) must be in the driver's 50-query window — the
+    whole point of the r17 rotation change: a reshaped kernel re-verifies
+    before anything merely stale."""
+    latest = reg.driver_verified_rounds()
+    if not latest:
+        pytest.skip("no driver correctness records present")
+    window = set(list(reg.REGISTRY)[:50])
+    pending = [
+        n
+        for n in reg.CODE_TOUCHED
+        if n in reg.REGISTRY and reg.needs_recheck(n, latest)
+    ]
+    outside = [n for n in pending if n not in window]
+    assert not outside, (
+        f"code-touched-but-unverified queries outside the window: {outside}"
     )
 
 
@@ -71,17 +95,25 @@ def test_never_driver_verified_queries_sit_inside_window():
 
 
 def test_stalest_records_sit_inside_window():
-    """No query outside the 50-query window may have a staler record than
-    any query inside it: max(round inside) <= min(round outside). This is
-    the invariant the r8 round broke (15 r5-stale queries sat outside while
-    r7-fresh queries re-verified)."""
+    """Among queries NOT needing a re-check, no query outside the 50-query
+    window may have a staler record than any such query inside it (the r8
+    invariant, restricted to the non-priority class — recheck-class
+    queries legitimately jump the staleness queue)."""
     latest = reg.driver_verified_rounds()
     if not latest:
         pytest.skip("no driver correctness records present")
     names = list(reg.REGISTRY)
-    inside = [latest.get(n, -1) for n in names[:50]]
-    outside = [latest.get(n, -1) for n in names[50:]]
-    if outside:
+    inside = [
+        latest.get(n, -1)
+        for n in names[:50]
+        if not reg.needs_recheck(n, latest)
+    ]
+    outside = [
+        latest.get(n, -1)
+        for n in names[50:]
+        if not reg.needs_recheck(n, latest)
+    ]
+    if inside and outside:
         assert max(inside) <= min(outside), (
             f"window holds a fresher record (r{max(inside)}) than one left "
             f"outside (r{min(outside)})"
