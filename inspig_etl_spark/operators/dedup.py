@@ -283,38 +283,21 @@ def connected_components(
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-
-    # Propagate over EDGE-TOUCHED nodes only: a singleton's label can never
-    # change, so keeping the full corpus in the loop would shuffle O(|docs|)
-    # per round for nothing. With near-dup rates in the low percents, the
-    # dup-graph node set is orders of magnitude smaller than the corpus —
-    # this is the difference between iterating over the duplicates and
-    # iterating over 100 TB. Singletons rejoin at the end via a left join.
-    #
-    # Seed with propagation round 1 ALREADY APPLIED (r16): round 1 of the
-    # loop below computes exactly min(id, min neighbor) from identity
-    # labels, and that value is one aggregation over the symmetric edge
-    # list — so seeding with it directly saves one full loop round (join +
-    # checkpoint + convergence action). A diameter-1 component (the common
-    # near-dup pair/star) now converges after ONE loop round instead of two.
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__mn"))
-        .select(
-            F.col("src").alias("id"),
-            F.least(F.col("src"), F.col("__mn")).alias("label"),
-        )
-        .persist()
-    )
-    first = labels.agg(F.sum("label"), F.count(F.lit(1))).first()
-    prev_sum, n_nodes = first[0], first[1]
+    # Materialize the edge cache with its own count, under SESSION confs
+    # (r17): this is the only job that runs the detector pipeline — it
+    # wants AQE and corpus-sized shuffle partitions. Everything after it
+    # reads the (tiny) cache. Previously the seed aggregation materialized
+    # the cache as a side effect, which executed the detector lineage under
+    # both union branches in one job and left the co-partitioning shuffle
+    # to a separate job; the count also supplies the loop-partition sizing
+    # BEFORE the first loop-keyed shuffle, so the seed can reuse it.
+    n_edges = edges.count()
 
     spark = pairs.sparkSession
-    if n_nodes == 0:
+    if n_edges == 0:
         # No edges at all: every node is its own cluster; skip the loop
         # (and its conf juggling) entirely.
         edges.unpersist()
-        labels.unpersist()
         return nodes.select(
             F.col(id_col), F.col(id_col).alias("cluster_id")
         )
@@ -325,10 +308,11 @@ def connected_components(
     # smaller (the near-dup node set). With AQE off (below), nothing else
     # right-sizes these exchanges, and a tiny graph shuffled across hundreds
     # of partitions pays pure task-scheduling overhead each round — measured
-    # ~0.9 s/round at sf0.1 on local[32] for a 469-node graph. ~500k label
-    # rows (≈16 B each) per partition keeps partitions well under executor
-    # memory at any scale; clamped to the session default so a 100 TB dup
-    # graph never gets FEWER partitions than the cluster is sized for.
+    # ~0.9 s/round at sf0.1 on local[32] for a 469-node graph. ~500k edge
+    # rows (the larger of the two per-round shuffled frames; ≈16 B each)
+    # per partition keeps partitions well under executor memory at any
+    # scale; clamped to the session default so a 100 TB dup graph never
+    # gets FEWER partitions than the cluster is sized for.
     aqe_key = "spark.sql.adaptive.enabled"
     shuf_key = "spark.sql.shuffle.partitions"
     # The loop pins SESSION-level confs (AQE off, state-sized shuffle
@@ -341,15 +325,31 @@ def connected_components(
     _CC_CONF_LOCK.acquire()
     aqe_was = spark.conf.get(aqe_key, "true")
     shuf_was = int(spark.conf.get(shuf_key, "200"))
-    loop_partitions = max(1, min(shuf_was, (n_nodes + 499_999) // 500_000))
+    loop_partitions = max(1, min(shuf_was, (n_edges + 499_999) // 500_000))
     spark.conf.set(aqe_key, "false")
     spark.conf.set(shuf_key, str(loop_partitions))
     try:
         # Co-partition the (cached, tiny) edge list on the join key once so
         # every round's join reuses the layout instead of re-exchanging the
         # edges; labels come pre-partitioned on id by each round's groupBy.
+        # The seed labels — propagation round 1 pre-applied (r16): round 1
+        # from identity labels is exactly min(id, min neighbor), ONE
+        # aggregation over the symmetric edges, so a diameter-1 component
+        # (the common near-dup pair/star) converges after one loop round —
+        # are computed FROM the co-partitioned frame in the same job
+        # (groupBy("src") reuses the repartition("src") layout: one job
+        # materializes both, no extra exchange — r17).
         part_edges = edges.repartition(loop_partitions, "src").persist()
-        part_edges.count()
+        labels = (
+            part_edges.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select(
+                F.col("src").alias("id"),
+                F.least(F.col("src"), F.col("__mn")).alias("label"),
+            )
+            .persist()
+        )
+        prev_sum = labels.agg(F.sum("label")).first()[0]
         edges.unpersist()
         edges = part_edges
         converged = False

@@ -171,25 +171,10 @@ def driver_verified_rounds() -> dict[str, int]:
 # listing already-reverified names is harmless by construction.
 CODE_TOUCHED: dict[str, int] = {
     # r16: Arrow vector kernel + IVF/PQ rebuild
-    "embeddings_knn_ivf": 16,
-    "embeddings_knn_ivf_multiprobe": 16,
     "embeddings_sq8_adc_knn": 16,
     "embeddings_ivfpq_adc_knn": 16,
     "embeddings_ivfpq_refined_knn": 16,
-    "embeddings_ivfpq_multiprobe_knn": 16,
-    "embeddings_ivfpq_residual_knn": 16,
-    "embeddings_ann_recall_report": 16,
-    "embeddings_ivf_incremental_drift": 16,
-    "embeddings_knn_mmr_diversified": 16,
     "embeddings_semdedup_prune": 16,
-    "docs_decontaminate_semantic": 16,
-    "docs_hybrid_rrf_search": 16,
-    # r16: connected-components seeding + lazy checkpoints
-    "docs_neardup_clusters": 16,
-    "docs_neardup_clusters_star": 16,
-    "docs_neardup_keep_best": 16,
-    "docs_neardup_cluster_quality": 16,
-    "multimodal_paired_neardup": 16,
     # r16: kmeans loop persist/confs; weekly plan split; token-frame persists
     "embeddings_kmeans_lloyd": 16,
     "weekly_report_sections": 16,
@@ -198,6 +183,26 @@ CODE_TOUCHED: dict[str, int] = {
     "docs_dup_ngram_spans": 16,
     "docs_tfidf_topterms": 16,
     "docs_bm25_topk": 16,
+    # r17: mapInArrow input narrowing at every with_ivf_cell /
+    # with_vector_features call site (guide §4.1)
+    "embeddings_knn_ivf": 17,
+    "embeddings_knn_ivf_multiprobe": 17,
+    "embeddings_ann_recall_report": 17,
+    "embeddings_ivfpq_residual_knn": 17,
+    "embeddings_ivfpq_multiprobe_knn": 17,
+    "embeddings_knn_mmr_diversified": 17,
+    "embeddings_ivf_incremental_drift": 17,
+    "docs_hybrid_rrf_search": 17,
+    "docs_hybrid_recall_report": 17,
+    "docs_decontaminate_semantic": 17,
+    "docs_decontaminate_union_report": 17,
+    # r17: connected-components seed/co-partition restructure
+    "docs_neardup_clusters": 17,
+    "docs_neardup_clusters_star": 17,
+    "docs_neardup_keep_best": 17,
+    "docs_neardup_cluster_quality": 17,
+    "docs_leakage_safe_split": 17,
+    "multimodal_paired_neardup": 17,
 }
 
 

@@ -60,6 +60,39 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def sweep(spark, data_dir: str, names: list[str], workers: int = 8) -> list[str]:
+    """Run every (query, oracle) pair against ``data_dir`` from a small
+    thread pool (guide §2.6: actions are only sequential because the
+    caller makes them so — Spark's scheduler happily overlaps independent
+    jobs, and each thread opens its own DuckDB connection). One sequential
+    sweep is ~170 driver-bound plan builds back to back; overlapping them
+    cuts a sweep from tens of minutes to a few (r17: the driver's pytest
+    window expired at ~41% of the r16 suite, so wall time IS coverage).
+    Returns per-query failure strings so a red sweep names every diverging
+    pair, like a parametrized form would."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from inspig_etl_spark import queries as reg
+
+    reg._load()
+    failures: list[str] = []
+    lock = threading.Lock()
+
+    def one(name: str) -> None:
+        q = reg.REGISTRY[name]
+        try:
+            compare(q.name, q.fn(spark, data_dir), *run_oracle(q.oracle, data_dir))
+        except Exception as e:  # noqa: BLE001 - collected and re-raised in bulk
+            with lock:
+                failures.append(f"{name}: {e}")
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(one, names))
+    spark.catalog.clearCache()
+    return sorted(failures)
+
+
 def compare(name, spark_df, oracle_cols, oracle_rows):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]

@@ -144,42 +144,10 @@ def _all_oracled():
     return [q.name for q in reg.REGISTRY.values() if q.oracle is not None]
 
 
-def _sweep(spark, data_dir: str, names: list[str], workers: int = 8) -> list[str]:
-    """Run every (query, oracle) pair against ``data_dir`` from a small
-    thread pool (guide §2.6: actions are only sequential because the
-    caller makes them so — Spark's scheduler happily overlaps independent
-    jobs, and each thread opens its own DuckDB connection). One sequential
-    sweep is ~170 driver-bound plan builds back to back; overlapping them
-    cut the hostile+empty gates from ~25 min to a few minutes without
-    dropping a single pair (r17: the driver's pytest window expired at
-    ~41% of the suite in r16, so wall time IS coverage). Returns
-    per-query failure strings so a red sweep names every diverging pair,
-    like the parametrized form did."""
-    import threading
-    from concurrent.futures import ThreadPoolExecutor
-
-    from inspig_etl_spark import queries as reg
-
-    reg._load()
-    failures: list[str] = []
-    lock = threading.Lock()
-
-    def one(name: str) -> None:
-        q = reg.REGISTRY[name]
-        try:
-            compare(q.name, q.fn(spark, data_dir), *run_oracle(q.oracle, data_dir))
-        except Exception as e:  # noqa: BLE001 - collected and re-raised in bulk
-            with lock:
-                failures.append(f"{name}: {e}")
-
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(one, names))
-    spark.catalog.clearCache()
-    return sorted(failures)
-
-
 def test_parity_survives_hostile_rows(spark, hostile_dir):
-    failures = _sweep(spark, hostile_dir, _all_oracled())
+    from tests.parity import sweep
+
+    failures = sweep(spark, hostile_dir, _all_oracled())
     assert not failures, (
         f"{len(failures)} queries diverge on the hostile clone:\n"
         + "\n".join(failures)
@@ -205,7 +173,9 @@ def test_parity_survives_empty_tables(spark, empty_dir):
     """Zero input rows must yield the SAME (usually zero-row, sometimes
     spine/zero-fill) result on both engines — no crashes on empty
     aggregates, windows, folds, or pivots."""
-    failures = _sweep(spark, empty_dir, _all_oracled())
+    from tests.parity import sweep
+
+    failures = sweep(spark, empty_dir, _all_oracled())
     assert not failures, (
         f"{len(failures)} queries diverge on the empty clone:\n"
         + "\n".join(failures)

